@@ -1,0 +1,492 @@
+"""Fixture corpus f01-f20 (FIXTURES.md §3) with hand-written golden spans.
+
+Each fixture = (pdf_bytes, golden) where golden is the expected
+``[(kind, text, media_ref, order), ...]`` output — written down from the
+content streams we author here, NOT derived from the engine. ``None``
+golden means the fixture must fail row-level (status='error').
+
+Span-text parity notes (SURVEY.md §7.4.1): literal strings are
+codepoint-per-byte; hex strings are 2-hex-digit codepoints (so Type0 2-byte
+codes surface as e.g. "\\x00H\\x00i" — the reference lexes strings *before*
+font semantics and never applies ToUnicode, src/render/mod.rs:1273,
+src/font/cmap.rs:5-10).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from ..pdfcore.images import media_ref_for_pixels
+from .builder import PdfBuilder, simple_page_pdf
+from .fontprogs import cff_program, truetype_program, type1_program
+
+
+def _t(*texts: str):
+    return [("text", t, None, i) for i, t in enumerate(texts)]
+
+
+def f01_minimal_tj():
+    pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET")
+    return pdf, _t("Hello World")
+
+
+def f02_flate_content():
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET", content_filter="flate"
+    )
+    return pdf, _t("Hello World")
+
+
+def f03_tj_array_kerning():
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td [(He) 120 (llo) -30.5 ( World)] TJ ET"
+    )
+    # kerning numbers adjust Tm but do not break the logical run
+    return pdf, _t("Hello World")
+
+
+def f04_text_positioning():
+    content = (
+        b"BT /F1 10 Tf 14 TL 72 720 Td (Line one) Tj "
+        b"0 -14 TD (Line two) Tj "
+        b"T* (Line three) Tj "
+        b"110 Tz 2 Tc 1 Tw (Line four) ' "
+        b".5 1.5 (Line five) \" "
+        b"1 0 0 1 72 600 Tm 50 Ts -50 Ts 1 Tr 0 Tr (Line six) Tj ET"
+    )
+    pdf = simple_page_pdf(content)
+    return pdf, _t(
+        "Line one", "Line two", "Line three", "Line four", "Line five", "Line six"
+    )
+
+
+def f05_string_escapes():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(\\n\\r\\t escapes\\) \\( \\\\ done) Tj "
+        b"(\\101\\102\\1038) Tj "
+        b"(foo\\\n    bar) Tj "
+        b"(a(b(c))d) Tj "
+        b"<48656C6C6F> Tj "
+        b"<48454C50F> Tj "
+        b"<FEFF0048006900210020263A> Tj "
+        b"ET"
+    )
+    pdf = simple_page_pdf(content)
+    return pdf, _t(
+        "\n\r\t escapes) ( \\ done",
+        "ABC8",
+        "foobar",
+        "a(b(c))d",
+        "Hello",
+        "HELPð",
+        "Hi! ☺",
+    )
+
+
+def f06_multi_stream_page():
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 7 0 R >> >> "
+        b"/Contents [4 0 R 5 0 R 6 0 R] >>",
+    )
+    # the `Tj` operator straddles the stream-1/stream-2 boundary: the
+    # buffers must be concatenated before tokenizing (src/content/stream.rs)
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Part one) T")
+    b.add_stream(5, b"", b"j (Part two) Tj", filters="flate")
+    b.add_stream(6, b"", b" (Part three) Tj ET")
+    b.add(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pdf = b.build(1)
+    return pdf, _t("Part one", "Part two", "Part three")
+
+
+def f07_xref_stream_objstm():
+    """PDF 1.5: catalog/pages/page/font dicts packed in an ObjStm; xref is
+    an Up-predicted Flate xref *stream* with type-2 entries."""
+    content = b"BT /F1 12 Tf 72 720 Td (ObjStm text) Tj ET"
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    # ObjStm body: header of "num offset" pairs, then the objects
+    bodies = b""
+    header = b""
+    for num in sorted(inner):
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += inner[num] + b"\n"
+    objstm_payload = header + bodies
+    first = len(header)
+    objstm_data = zlib.compress(objstm_payload, 9)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    offsets[6] = len(out)  # 6 = ObjStm
+    out += (
+        f"6 0 obj\n<< /Type /ObjStm /N {len(inner)} /First {first} "
+        f"/Filter /FlateDecode /Length {len(objstm_data)} >>\nstream\n"
+    ).encode()
+    out += objstm_data + b"\nendstream\nendobj\n"
+    offsets[4] = len(out)  # 4 = content stream (streams can't live in ObjStm)
+    out += (
+        f"4 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+    # xref stream obj 7: entries 0..7; W=[1 4 2]
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    for num in range(1, 8):
+        if num in inner:
+            idx = sorted(inner).index(num)
+            rows += bytes([2]) + (6).to_bytes(4, "big") + idx.to_bytes(2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+        elif num == 7:
+            rows += bytes([1]) + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + b"\x00\x01"
+    rowlen = 7
+    tagged = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = rows[r : r + rowlen]
+        tagged += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        prev = row
+    xdata = zlib.compress(bytes(tagged), 9)
+    out += (
+        f"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xdata)} >>\nstream\n"
+    ).encode()
+    out += xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out), _t("ObjStm text")
+
+
+def f08_incremental_update():
+    base = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Original text) Tj ET")
+    new_content = b"BT /F1 12 Tf 72 720 Td (Updated text) Tj ET"
+    body = (
+        f"<< /Length {len(new_content)} >>\nstream\n".encode()
+        + new_content
+        + b"\nendstream"
+    )
+    pdf = PdfBuilder.append_incremental(base, {4: body}, root_num=1)
+    return pdf, _t("Updated text")
+
+
+def _embedded_font_pdf(text: bytes, golden: str, font_obj: bytes, file_objs: dict):
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (" + text + b") Tj ET",
+        extra_objects={5: font_obj, **file_objs},
+    )
+    return pdf, _t(golden)
+
+
+def f09_type1_embedded():
+    prog = type1_program()
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Type one text!) Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureSerif "
+        b"/FirstChar 32 /LastChar 126 /Widths 8 0 R /FontDescriptor 6 0 R "
+        b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /alpha 66 /beta] >> >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /FontDescriptor /FontName /FixtureSerif /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 /FontFile 7 0 R >>",
+    )
+    b.add_stream(
+        7,
+        f"/Length1 {prog.length1} /Length2 {prog.length2} /Length3 0".encode(),
+        prog.data,
+        filters="flate",
+    )
+    b.add(8, ("[" + " ".join(["500"] * 95) + "]").encode())
+    return b.build(1), _t("Type one text!")
+
+
+def f10_ttf_embedded():
+    prog = truetype_program()
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (TrueType text) Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /FixtureSans "
+        b"/FirstChar 65 /LastChar 90 /Widths 8 0 R /FontDescriptor 6 0 R >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /FontDescriptor /FontName /FixtureSans /Flags 32 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 /FontFile2 7 0 R >>",
+    )
+    b.add_stream(7, f"/Length1 {len(prog)}".encode(), prog, filters="flate")
+    b.add(8, ("[" + " ".join(["600"] * 26) + "]").encode())
+    return b.build(1), _t("TrueType text")
+
+
+def f11_cff_fontfile3():
+    prog = cff_program()
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (CFF text here) Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureCFF "
+        b"/FirstChar 32 /LastChar 126 /Widths 8 0 R /FontDescriptor 6 0 R >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /FontDescriptor /FontName /FixtureCFF /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 /FontFile3 7 0 R >>",
+    )
+    b.add_stream(7, b"/Subtype /Type1C", prog, filters="flate")
+    b.add(8, ("[" + " ".join(["550"] * 95) + "]").encode())
+    return b.build(1), _t("CFF text here")
+
+
+def f12_type0_identity_h():
+    """Type0/Identity-H: 2-byte codes in a hex string. Parity: the lexer
+    maps each 2-hex-digit pair to a codepoint BEFORE any font semantics,
+    so "\\x00H\\x00i" is the reference-equal span text."""
+    to_unicode = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n<0041> <005A> <0041>\n<0061> <007A> <0061>\n"
+        b"endbfrange\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+        b"end\nend"
+    )
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td <00480069> Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 9 0 R >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /FontDescriptor 7 0 R /DW 1000 "
+        b"/W [72 [600] 65 90 650 100 [320 330 340]] /CIDToGIDMap /Identity >>",
+    )
+    b.add(
+        7,
+        b"<< /Type /FontDescriptor /FontName /FixtureCID /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 >>",
+    )
+    b.add_stream(9, b"", to_unicode, filters="flate")
+    return b.build(1), _t("\x00H\x00i")
+
+
+IMG_W, IMG_H = 4, 3
+IMG_PIXELS = bytes(
+    [
+        255, 0, 0,   0, 255, 0,   0, 0, 255,   255, 255, 0,
+        0, 255, 255, 255, 0, 255, 128, 128, 128, 0, 0, 0,
+        255, 255, 255, 64, 0, 0,  0, 64, 0,    0, 0, 64,
+    ]
+)
+IMG_REF = media_ref_for_pixels(IMG_W, IMG_H, IMG_PIXELS)
+
+
+def f13_image_png_decode():
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before image) Tj ET "
+        b"q 100 0 0 75 72 600 cm /Im1 Do Q "
+        b"BT /F1 12 Tf 72 580 Td (After image) Tj ET",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3 "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length "
+                + str(len(zlib.compress(IMG_PIXELS, 9))).encode()
+                + b" >>\nstream\n"
+                + zlib.compress(IMG_PIXELS, 9)
+                + b"\nendstream"
+            )
+        },
+    )
+    golden = [
+        ("text", "Before image", None, 0),
+        ("image", None, IMG_REF, 1),
+        ("text", "After image", None, 2),
+    ]
+    return pdf, golden
+
+
+def f14_form_xobject_nested():
+    form_content = b"BT /F2 10 Tf 0 0 Td (Inside form) Tj ET"
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 200 100] "
+        b"/Matrix [1 0 0 1 50 50] "
+        b"/Resources << /Font << /F2 10 0 R >> >> /Length "
+        + str(len(form_content)).encode()
+        + b" >>\nstream\n"
+        + form_content
+        + b"\nendstream"
+    )
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Page before) Tj ET "
+        b"q 1 0 0 1 100 100 cm /Fm1 Do Q "
+        b"BT /F1 12 Tf 72 580 Td (Page after) Tj ET",
+        extra_resources=b"/XObject << /Fm1 9 0 R >>",
+        extra_objects={
+            9: form,
+            10: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        },
+    )
+    return pdf, _t("Page before", "Inside form", "Page after")
+
+
+def f15_filters_ascii():
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> >> /Contents [4 0 R 5 0 R] >>",
+    )
+    b.add_stream(
+        4, b"", b"BT /F1 12 Tf 72 720 Td (Hex encoded) Tj ", filters="ahx"
+    )
+    b.add_stream(5, b"", b"(Base85 encoded) Tj ET", filters="a85")
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return b.build(1), _t("Hex encoded", "Base85 encoded")
+
+
+def f16_filter_lzw():
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (LZW compressed content) Tj ET",
+        content_filter="lzw",
+    )
+    return pdf, _t("LZW compressed content")
+
+
+def f17_marked_content():
+    content = (
+        b"0.5 0.5 0.5 RG 0.1 0.2 0.3 rg 2 w 10 M 0 J 1 j [3 1] 0 d "
+        b"/GS1 gs 1 0 0 1 10 10 cm "
+        b"72 100 200 50 re f "
+        b"/Artifact BMC BT /F1 12 Tf 72 720 Td (Marked one) Tj ET EMC "
+        b"/Span << /ActualText (ignored) >> BDC "
+        b"BT /F1 12 Tf 72 700 Td (Marked two) Tj ET EMC "
+        b"BX /FakeOp EX "
+        b"100 200 m 150 250 l 200 200 220 180 240 200 c h S n "
+        b"BT /F1 12 Tf 72 680 Td (After paths) Tj ET"
+    )
+    pdf = simple_page_pdf(
+        content, extra_resources=b"/ExtGState << /GS1 << /Type /ExtGState >> >>"
+    )
+    return pdf, _t("Marked one", "Marked two", "After paths")
+
+
+def f18_outlier_200pp(n_pages: int = 200):
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{10 + i} 0 R" for i in range(n_pages))
+    b.add(
+        2,
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+            "/Resources << /Font << /F1 3 0 R >> >> "
+            "/MediaBox [0 0 612 792] >>"
+        ).encode(),
+    )
+    b.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    golden = []
+    for i in range(n_pages):
+        text = f"Page {i + 1} of {n_pages}"
+        b.add(10 + i, f"<< /Type /Page /Parent 2 0 R /Contents {10 + n_pages + i} 0 R >>".encode())
+        content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        b.add(
+            10 + n_pages + i,
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream",
+        )
+        golden.append(("text", text, None, i))
+    return b.build(1), golden
+
+
+def f19a_poison_truncated():
+    pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Will be cut) Tj ET")
+    return pdf[: len(pdf) // 2], None
+
+
+def f19b_poison_bad_xref():
+    pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Bad xref) Tj ET")
+    idx = pdf.rfind(b"startxref")
+    end = pdf.rfind(b"%%EOF")
+    return pdf[:idx] + b"startxref\n999999999\n" + pdf[end:], None
+
+
+FIXTURES = {
+    "f01": f01_minimal_tj,
+    "f02": f02_flate_content,
+    "f03": f03_tj_array_kerning,
+    "f04": f04_text_positioning,
+    "f05": f05_string_escapes,
+    "f06": f06_multi_stream_page,
+    "f07": f07_xref_stream_objstm,
+    "f08": f08_incremental_update,
+    "f09": f09_type1_embedded,
+    "f10": f10_ttf_embedded,
+    "f11": f11_cff_fontfile3,
+    "f12": f12_type0_identity_h,
+    "f13": f13_image_png_decode,
+    "f14": f14_form_xobject_nested,
+    "f15": f15_filters_ascii,
+    "f16": f16_filter_lzw,
+    "f17": f17_marked_content,
+    "f18": f18_outlier_200pp,
+    "f19a": f19a_poison_truncated,
+    "f19b": f19b_poison_bad_xref,
+}

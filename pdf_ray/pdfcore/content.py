@@ -1,0 +1,107 @@
+"""Content-stream tokenizer.
+
+Mirrors the reference ``ContentLexer`` (src/content/mod.rs:38-139):
+
+- tokens are objects or operators; operator chars are consumed while
+  ascii-alphanumeric, and ``* ' "`` terminate an operator inclusively
+  (so ``b*RG`` lexes as ``b*`` then ``RG``; ``'``/``"`` are one-char ops)
+- ``true``/``false``/``null`` lex as objects even though they start like
+  operators
+- unknown operators are fatal unless inside a ``BX``..``EX`` compatibility
+  section (tracked with a depth counter, src/content/mod.rs:70-81)
+- dictionaries inside content streams never carry streams
+  (src/content/mod.rs:156-160) — except inline images: after the ``ID``
+  operator we emit one ``("inline", bytes)`` token holding the raw binary
+  data up to ``EI`` (the reference todo!()s on BI/ID/EI,
+  src/render/mod.rs:292 — we implement the spec)
+"""
+
+from __future__ import annotations
+
+from .lexer import _DIGITS, WHITESPACE, Lexer
+from .objects import NULL, PdfParseError
+
+OPERATORS = frozenset(
+    """b B b* B* BDC BI BMC BT BX c cm CS cs d d0 d1 Do DP EI EMC ET EX f F
+    f* G g gs h i ID j J K k l m M MP n q Q re RG rg ri s S SC sc SCN scn
+    sh T* Tc Td TD Tf Tj TJ TL Tm Tr Ts Tw Tz v w W W* y ' \"""".split()
+)
+
+OBJ = 0
+OP = 1
+INLINE = 2
+
+
+def tokenize(buf: bytes):
+    """Yield ``(OBJ, value)`` / ``(OP, name)`` / ``(INLINE, bytes)`` tokens."""
+    lx = Lexer(buf)
+    compat_depth = 0
+    n = len(buf)
+    while True:
+        lx.skip_whitespace()
+        b = lx.peek()
+        if b is None:
+            return
+        if (
+            b == ord("'")
+            or b == ord('"')
+            or (ord("a") <= b <= ord("z"))
+            or (ord("A") <= b <= ord("Z"))
+        ):
+            start = lx.pos
+            while True:
+                c = lx.peek()
+                if c is None:
+                    break
+                if c in (ord("*"), ord("'"), ord('"')):
+                    lx.pos += 1
+                    break
+                if not (
+                    (ord("a") <= c <= ord("z"))
+                    or (ord("A") <= c <= ord("Z"))
+                    or c in _DIGITS
+                ):
+                    break
+                lx.pos += 1
+            s = buf[start : lx.pos].decode("latin-1")
+            if s == "true":
+                yield (OBJ, True)
+            elif s == "false":
+                yield (OBJ, False)
+            elif s == "null":
+                yield (OBJ, NULL)
+            elif s in OPERATORS:
+                if s == "BX":
+                    compat_depth += 1
+                elif s == "EX":
+                    compat_depth = max(0, compat_depth - 1)
+                elif s == "ID":
+                    # inline image data: one whitespace byte, then raw bytes
+                    # until whitespace-delimited `EI` (PDF 32000-1 §8.9.7)
+                    if lx.peek() in WHITESPACE:
+                        lx.pos += 1
+                    data_start = lx.pos
+                    i = data_start
+                    while True:
+                        i = buf.find(b"EI", i)
+                        if i == -1:
+                            raise PdfParseError("unterminated inline image")
+                        before_ok = i == 0 or buf[i - 1] in WHITESPACE
+                        after = buf[i + 2] if i + 2 < n else None
+                        after_ok = after is None or after in WHITESPACE
+                        if before_ok and after_ok:
+                            break
+                        i += 2
+                    data_end = i - 1 if i > data_start and buf[i - 1] in WHITESPACE else i
+                    yield (OP, "ID")
+                    yield (INLINE, buf[data_start:data_end])
+                    lx.pos = i + 2
+                    yield (OP, "EI")
+                    continue
+                yield (OP, s)
+            elif compat_depth > 0:
+                continue
+            else:
+                raise PdfParseError(f"unknown content operator {s!r}")
+        else:
+            yield (OBJ, lx.lex_object())

@@ -1,0 +1,180 @@
+"""Document-level parsing: resolver, object streams, page tree.
+
+Mirrors the reference's ``Parser``/``Lexer`` pair (src/lib.rs:131-539) as a
+single ``Document`` that owns the file buffer, the merged xref, a per-document
+ObjStm cache (src/lib.rs:137,179-209) and the page-tree walk with inheritable
+fields (src/lib.rs:211-393, src/page.rs:19-91).
+
+Everything here is *per-row* state inside a Ray ``map_batches`` UDF — one
+PDF byte payload in, parsed pages out. No cross-row state.
+"""
+
+from __future__ import annotations
+
+from .filters import decode_stream
+from .lexer import Lexer
+from .objects import NULL, Name, PdfParseError, Ref, Stream
+from .xref import Compressed, InUse, read_full_xref
+
+_INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+
+class Page:
+    __slots__ = ("dict", "resources", "media_box", "rotate")
+
+    def __init__(self, dict_: dict, resources, media_box, rotate):
+        self.dict = dict_
+        self.resources = resources
+        self.media_box = media_box
+        self.rotate = rotate
+
+
+class Document:
+    """Parsed PDF: xref + trailer + catalog + page list, with lazy object
+    resolution. ``Document(buf).pages`` are in document (spec) order."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.xref, self.trailer = read_full_xref(buf)
+        self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+        root = self.trailer.get("Root")
+        if root is None:
+            raise PdfParseError("trailer has no /Root")
+        self.catalog = self.resolve_dict(root)
+        pages_ref = self.catalog.get("Pages")
+        if pages_ref is None:
+            raise PdfParseError("catalog has no /Pages")
+        self.pages: list[Page] = []
+        self._walk_page_tree(pages_ref, {}, set())
+
+    # -- resolution (src/lib.rs:396-422, src/resolve.rs) --------------------
+
+    def resolve(self, obj):
+        """Chase indirect references until a direct object; a dangling
+        reference resolves to NULL (src/lib.rs:405)."""
+        seen = 0
+        while isinstance(obj, Ref):
+            entry = self.xref.get(obj)
+            if entry is None:
+                return NULL
+            if isinstance(entry, InUse):
+                obj = self._lex_at(entry.offset)
+            elif isinstance(entry, Compressed):
+                obj = self._lex_from_objstm(entry)
+            else:
+                return NULL
+            seen += 1
+            if seen > 32:
+                raise PdfParseError("reference chain too deep")
+        return obj
+
+    def resolve_dict(self, obj) -> dict:
+        v = self.resolve(obj)
+        if isinstance(v, Stream):
+            return v.dict
+        if not isinstance(v, dict):
+            raise PdfParseError(f"expected dictionary, got {type(v).__name__}")
+        return v
+
+    def resolve_stream(self, obj) -> Stream:
+        v = self.resolve(obj)
+        if not isinstance(v, Stream):
+            raise PdfParseError(f"expected stream, got {type(v).__name__}")
+        return v
+
+    def decoded(self, stream: Stream) -> bytes:
+        return decode_stream(stream, resolve=self.resolve)
+
+    def _lex_at(self, offset: int):
+        lx = Lexer(self.buf, resolve=self._resolve_length)
+        lx.pos = offset
+        lx.read_obj_prelude()
+        return lx.lex_object()
+
+    def _resolve_length(self, ref: Ref) -> int:
+        v = self.resolve(ref)
+        if not isinstance(v, int):
+            raise PdfParseError(f"indirect /Length is {type(v).__name__}")
+        return v
+
+    # -- object streams (src/object_stream.rs:71-109) -----------------------
+
+    def _load_objstm(self, num: int):
+        cached = self._objstm_cache.get(num)
+        if cached is not None:
+            return cached
+        entry = self.xref.objects.get(num)
+        if not isinstance(entry, InUse):
+            raise PdfParseError(f"ObjStm {num} not a main-file object")
+        stream = self.resolve_stream(Ref(num, 0))
+        d = stream.dict
+        n = self.resolve(d.get("N"))
+        first = self.resolve(d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise PdfParseError("bad ObjStm header")
+        data = self.decoded(stream)
+        hdr = Lexer(data)
+        pairs = []
+        for _ in range(n):
+            hdr.skip_whitespace()
+            onum = hdr.lex_whole_number()
+            hdr.skip_whitespace()
+            ooff = hdr.lex_whole_number()
+            pairs.append((int(onum), int(ooff)))
+        result = (pairs, data, first)
+        self._objstm_cache[num] = result
+        return result
+
+    def _lex_from_objstm(self, entry: Compressed):
+        pairs, data, first = self._load_objstm(entry.objstm_num)
+        if entry.index >= len(pairs):
+            raise PdfParseError("ObjStm index out of range")
+        _, off = pairs[entry.index]
+        lx = Lexer(data)
+        lx.pos = first + off
+        return lx.lex_object()
+
+    # -- page tree (src/lib.rs:211-393) -------------------------------------
+
+    def _walk_page_tree(self, node_ref, inherited: dict, visiting: set):
+        key = node_ref if isinstance(node_ref, Ref) else None
+        if key is not None:
+            if key in visiting:
+                raise PdfParseError("page tree cycle")
+            visiting = visiting | {key}
+        node = self.resolve_dict(node_ref)
+        fields = dict(inherited)
+        for f in _INHERITABLE:
+            if f in node:
+                fields[f] = node[f]
+        ntype = self.resolve(node.get("Type", NULL))
+        if ntype == Name("Page") or ("Kids" not in node and "Contents" in node):
+            self.pages.append(
+                Page(
+                    node,
+                    self.resolve(fields.get("Resources", NULL)),
+                    self.resolve(fields.get("MediaBox", NULL)),
+                    self.resolve(fields.get("Rotate", 0)),
+                )
+            )
+            return
+        kids = self.resolve(node.get("Kids"))
+        if not isinstance(kids, list):
+            raise PdfParseError("page tree node has no /Kids")
+        for kid in kids:
+            self._walk_page_tree(kid, fields, visiting)
+
+    # -- contents (src/content/stream.rs:27-57) ------------------------------
+
+    def page_content(self, page: Page) -> bytes:
+        """Decode and concatenate the page's Contents stream(s) into one
+        buffer — operators may straddle stream boundaries, so this must be
+        a plain byte concat before tokenizing."""
+        contents = self.resolve(page.dict.get("Contents", NULL))
+        if contents is NULL:
+            return b""
+        streams = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for s in streams:
+            parts.append(self.decoded(self.resolve_stream(s)))
+        return b"".join(parts)

@@ -1,0 +1,104 @@
+"""Image XObject pixel decode + content-addressed media refs + PNG encode.
+
+- model keys follow the reference ImageXObject (src/xobject/image.rs:15-173)
+- pixel decode to RGB8 covers DeviceGray (1/8-bit) and DeviceRGB 8-bit like
+  the reference canvas (src/render/canvas.rs:420-480), plus DeviceCMYK 8-bit
+- ``media_ref`` is a content hash over the *decoded raw pixels* (not the
+  encoded container) so it is reproducible from any lossless encoding:
+  ``img:sha256("{w}x{h}:rgb8:" + pixels)[:40]``
+- PNG encoding (the sink format, src/render/canvas.rs:504-506) is a minimal
+  spec-conformant writer: IHDR/IDAT(zlib, filter 0 rows)/IEND
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+from .filters import decode_stream
+from .objects import NULL, PdfParseError, Stream
+
+
+def _abbrev(name: str) -> str:
+    return {
+        "G": "DeviceGray",
+        "RGB": "DeviceRGB",
+        "CMYK": "DeviceCMYK",
+        "I": "Indexed",
+    }.get(name, name)
+
+
+def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
+    """Decode an Image XObject to ``(width, height, rgb8_bytes)``."""
+    d = stream.dict
+    w = resolve(d.get("Width", d.get("W")))
+    h = resolve(d.get("Height", d.get("H")))
+    if not isinstance(w, int) or not isinstance(h, int):
+        raise PdfParseError("image missing Width/Height")
+    bpc = resolve(d.get("BitsPerComponent", d.get("BPC", 8)))
+    cs = resolve(d.get("ColorSpace", d.get("CS", NULL)))
+    cs_name = _abbrev(str(cs)) if cs is not NULL else "DeviceGray"
+    data = decode_stream(stream, resolve=resolve)
+
+    if cs_name == "DeviceRGB" and bpc == 8:
+        need = w * h * 3
+        if len(data) < need:
+            raise PdfParseError("short image data")
+        return w, h, bytes(data[:need])
+    if cs_name == "DeviceGray" and bpc == 8:
+        need = w * h
+        if len(data) < need:
+            raise PdfParseError("short image data")
+        out = bytearray(need * 3)
+        for i in range(need):
+            out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = data[i]
+        return w, h, bytes(out)
+    if cs_name == "DeviceGray" and bpc == 1:
+        row_bytes = (w + 7) // 8
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            for x in range(w):
+                bit = (data[y * row_bytes + x // 8] >> (7 - x % 8)) & 1
+                v = 255 if bit else 0
+                i = 3 * (y * w + x)
+                out[i] = out[i + 1] = out[i + 2] = v
+        return w, h, bytes(out)
+    if cs_name == "DeviceCMYK" and bpc == 8:
+        need = w * h * 4
+        if len(data) < need:
+            raise PdfParseError("short image data")
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            c, m, y_, k = data[4 * i : 4 * i + 4]
+            out[3 * i] = (255 - c) * (255 - k) // 255
+            out[3 * i + 1] = (255 - m) * (255 - k) // 255
+            out[3 * i + 2] = (255 - y_) * (255 - k) // 255
+        return w, h, bytes(out)
+    raise PdfParseError(f"unsupported image: cs={cs_name} bpc={bpc}")
+
+
+def media_ref_for_pixels(w: int, h: int, rgb8: bytes) -> str:
+    digest = hashlib.sha256(f"{w}x{h}:rgb8:".encode() + rgb8).hexdigest()
+    return f"img:{digest[:40]}"
+
+
+def encode_png(w: int, h: int, rgb8: bytes) -> bytes:
+    """Minimal RGB8 PNG writer (no dependencies)."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = b"".join(
+        b"\x00" + rgb8[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

@@ -1,0 +1,196 @@
+"""Cross-reference index: startxref scan, classic tables, xref streams,
+incremental-update (`Prev`) chain merging.
+
+Reference behaviors mirrored:
+- backward scan for ``startxref`` (src/xref/parser.rs:76-105)
+- classic table subsections ``start count`` + 20-byte-ish entries
+  (src/xref/parser.rs:169-233)
+- xref *stream* entries decoded by the W field widths, types 0/1/2
+  (src/xref/stream/parser.rs:52-145); missing field width -> defaults
+  (type defaults to 1, gen to 0)
+- ``Prev`` chain merge, first writer wins (src/xref/mod.rs:57-62,
+  src/lib.rs:441-467); hybrid ``XRefStm`` also honored (src/trailer.rs)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .filters import decode_stream
+from .lexer import Lexer
+from .objects import PdfParseError, Ref, Stream
+
+
+@dataclass(frozen=True)
+class InUse:
+    offset: int
+    gen: int = 0
+
+
+@dataclass(frozen=True)
+class Compressed:
+    objstm_num: int  # object number of the containing ObjStm
+    index: int       # index of the object within the ObjStm
+
+
+FREE = "free"
+
+
+class Xref:
+    """objects: obj_num -> InUse | Compressed | 'free'."""
+
+    __slots__ = ("objects",)
+
+    def __init__(self, objects: dict | None = None):
+        self.objects = objects or {}
+
+    def merge_previous(self, prev: "Xref") -> None:
+        """First writer wins: entries from newer sections shadow older."""
+        for num, entry in prev.objects.items():
+            self.objects.setdefault(num, entry)
+
+    def get(self, ref: Ref):
+        e = self.objects.get(ref.num)
+        if e is None or e == FREE:
+            return None
+        return e
+
+
+def find_startxref(buf: bytes) -> int:
+    """Scan the file tail for the last ``startxref`` keyword and parse the
+    offset that follows (src/xref/parser.rs:76-105)."""
+    tail_start = max(0, len(buf) - 2048)
+    idx = buf.rfind(b"startxref", tail_start)
+    if idx == -1:
+        idx = buf.rfind(b"startxref")
+    if idx == -1:
+        raise PdfParseError("startxref not found")
+    lx = Lexer(buf)
+    lx.pos = idx + len(b"startxref")
+    lx.skip_whitespace()
+    n = lx.lex_whole_number()
+    if not n:
+        raise PdfParseError("bad startxref offset")
+    return int(n)
+
+
+def parse_xref_at(buf: bytes, offset: int, resolve=None):
+    """Parse one xref section at ``offset``.
+
+    Returns ``(xref, trailer_dict)``. Classic tables are followed by a
+    ``trailer`` dict; xref streams carry the trailer keys in the stream
+    dict itself. Handles the hybrid ``XRefStm`` pointer.
+    """
+    if offset >= len(buf):
+        raise PdfParseError(f"xref offset {offset} beyond EOF")
+    lx = Lexer(buf)
+    lx.pos = offset
+    lx.skip_whitespace()
+    if lx.next_matches(b"xref"):
+        return _parse_classic_table(lx)
+    return _parse_xref_stream(lx)
+
+
+def _parse_classic_table(lx: Lexer):
+    lx.expect(b"xref")
+    lx.skip_whitespace()
+    objects: dict = {}
+    while True:
+        if lx.next_matches(b"trailer"):
+            break
+        start = lx.lex_whole_number()
+        if not start:
+            raise PdfParseError("bad xref subsection header")
+        lx.skip_whitespace()
+        count = lx.lex_whole_number()
+        if not count:
+            raise PdfParseError("bad xref subsection count")
+        lx.skip_whitespace()
+        for i in range(int(count)):
+            off = lx.lex_whole_number()
+            lx.skip_whitespace()
+            gen = lx.lex_whole_number()
+            lx.skip_whitespace()
+            kind = lx.next_byte()
+            lx.skip_whitespace()
+            num = int(start) + i
+            if kind == ord("n"):
+                objects.setdefault(num, InUse(int(off), int(gen)))
+            elif kind == ord("f"):
+                objects.setdefault(num, FREE)
+            else:
+                raise PdfParseError(f"bad xref entry kind {kind!r}")
+    lx.expect(b"trailer")
+    lx.skip_whitespace()
+    trailer = lx.lex_dict_only()
+    return Xref(objects), trailer
+
+
+def _parse_xref_stream(lx: Lexer):
+    lx.read_obj_prelude()
+    obj = lx.lex_dict()
+    if not isinstance(obj, Stream):
+        raise PdfParseError("expected xref stream")
+    d = obj.dict
+    data = decode_stream(obj)
+    w = d["W"]
+    if len(w) != 3:
+        raise PdfParseError(f"bad /W {w!r}")
+    size = d["Size"]
+    index = d.get("Index", [0, size])
+    pairs = [(index[i], index[i + 1]) for i in range(0, len(index), 2)]
+    entry_len = sum(w)
+    objects: dict = {}
+    cursor = 0
+
+    def field(width: int, default: int) -> int:
+        nonlocal cursor
+        if width == 0:
+            return default
+        v = int.from_bytes(data[cursor : cursor + width], "big")
+        cursor += width
+        return v
+
+    for first, count in pairs:
+        for i in range(count):
+            t = field(w[0], 1)
+            f2 = field(w[1], 0)
+            f3 = field(w[2], 0)
+            num = first + i
+            if t == 0:
+                objects.setdefault(num, FREE)
+            elif t == 1:
+                objects.setdefault(num, InUse(f2, f3))
+            elif t == 2:
+                objects.setdefault(num, Compressed(f2, f3))
+            # unknown types -> treated as null references (parser.rs:130-135)
+    return Xref(objects), d
+
+
+def read_full_xref(buf: bytes):
+    """Follow the complete ``Prev`` / ``XRefStm`` chain from startxref.
+
+    Returns ``(xref, trailer_dict)`` where ``trailer_dict`` is the newest
+    trailer (its Root/Info/Encrypt/ID win) and the xref has first-writer-wins
+    entries across all updates (src/lib.rs:441-467).
+    """
+    offset = find_startxref(buf)
+    xref, trailer = parse_xref_at(buf, offset)
+    seen = {offset}
+    frontier = []
+    if "XRefStm" in trailer:
+        frontier.append(trailer["XRefStm"])
+    if "Prev" in trailer:
+        frontier.append(trailer["Prev"])
+    while frontier:
+        off = frontier.pop(0)
+        if off in seen:
+            continue
+        seen.add(off)
+        prev_xref, prev_trailer = parse_xref_at(buf, off)
+        xref.merge_previous(prev_xref)
+        if "XRefStm" in prev_trailer:
+            frontier.append(prev_trailer["XRefStm"])
+        if "Prev" in prev_trailer:
+            frontier.append(prev_trailer["Prev"])
+    return xref, trailer

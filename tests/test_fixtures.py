@@ -1,0 +1,82 @@
+"""End-to-end golden test: every fixture PDF -> exact span-sequence equality
+(kind, text, media_ref, order) against its hand-written golden
+(FIXTURES.md §2-3). Poison fixtures must raise (they become row-level
+status='error' in the pipeline)."""
+
+import pytest
+
+from pdf_ray.fixtures.corpus import FIXTURES, IMG_H, IMG_PIXELS, IMG_W
+from pdf_ray.pdfcore.interp import extract_spans
+from pdf_ray.pdfcore.objects import PdfParseError
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_fixture_golden(name):
+    pdf, golden = FIXTURES[name]()
+    if golden is None:
+        with pytest.raises(Exception):
+            extract_spans(pdf)
+        return
+    spans, _ = extract_spans(pdf)
+    assert spans == golden
+
+
+def test_fixture_determinism():
+    for name, fn in FIXTURES.items():
+        assert fn()[0] == fn()[0], name
+
+
+def test_image_collection_and_png_roundtrip():
+    import zlib
+
+    pdf, golden = FIXTURES["f13"]()
+    spans, images = extract_spans(pdf, collect_images=True)
+    ref = next(s[2] for s in spans if s[0] == "image")
+    png = images[ref]
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    # decode the IDAT back and compare raw pixels
+    idat_start = png.find(b"IDAT") + 4
+    idat_len = int.from_bytes(png[idat_start - 8 : idat_start - 4], "big")
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    rows = [
+        raw[y * (IMG_W * 3 + 1) + 1 : (y + 1) * (IMG_W * 3 + 1)]
+        for y in range(IMG_H)
+    ]
+    assert b"".join(rows) == IMG_PIXELS
+
+
+def test_inline_image_span():
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.images import media_ref_for_pixels
+
+    pixels = bytes([255, 0, 0, 0, 255, 0])
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+        b"BI /W 2 /H 1 /CS /RGB /BPC 8 ID " + pixels + b" EI "
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    )
+    pdf = simple_page_pdf(content)
+    spans, _ = extract_spans(pdf)
+    assert spans == [
+        ("text", "before", None, 0),
+        ("image", None, media_ref_for_pixels(2, 1, pixels), 1),
+        ("text", "after", None, 2),
+    ]
+
+
+def test_empty_tj_emits_empty_span():
+    from pdf_ray.fixtures.builder import simple_page_pdf
+
+    pdf = simple_page_pdf(b"BT /F1 9 Tf () Tj [] TJ [5] TJ ET")
+    spans, _ = extract_spans(pdf)
+    # `() Tj` shows one empty string -> one empty-text span;
+    # TJ with no string elements emits nothing
+    assert spans == [("text", "", None, 0)]
+
+
+def test_missing_font_is_an_error():
+    from pdf_ray.fixtures.builder import simple_page_pdf
+
+    pdf = simple_page_pdf(b"BT /NoSuchFont 9 Tf (x) Tj ET")
+    with pytest.raises(PdfParseError):
+        extract_spans(pdf)
