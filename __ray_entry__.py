@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the pdf_ray library) calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship PDF-extraction pipeline over the interleaved
+                      fixture corpus (the BASELINE.json input shape; the
+                      sf* testdata tables don't carry media spans, see
+                      FIXTURES.md note), returns the exploded span Dataset.
+- ``queries()``     — one entry per implemented pipeline/operator
+                      (SURVEY.md §2 + training-data ops).
+- ``oracle_sql()``  — DuckDB-equivalent SQL. For PDF extraction the oracle
+                      reads the hand-written golden parquet, making the
+                      driver compare a true span-sequence-equality gate.
 """
 
 from __future__ import annotations
@@ -20,25 +21,28 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from pdf_ray.ops.pdf_queries import pdf_extract_spans
+
+    return pdf_extract_spans("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_ray.ops import pdf_queries as p
+    from pdf_ray.ops import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "pdf_extract_spans": p.pdf_extract_spans,
+        "pdf_extract_status": p.pdf_extract_status,
+        "pdf_span_kind_counts": p.pdf_span_kind_counts,
+    }
+    q.update(registry.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_ray.ops import registry
+    from pdf_ray.ops.pdf_queries import PDF_ORACLE_SQL
+
+    sql = dict(PDF_ORACLE_SQL)
+    sql.update(registry.ORACLE_SQL)
+    return sql

@@ -1,0 +1,168 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "pdf_extraction_docs_per_sec", "value": <headline docs/s>,
+   "unit": "docs/sec", "queries": {...per-pipeline seconds...},
+   "sf": ..., "num_cpus": N, "n_docs": ...}
+
+Headline: PDF extraction throughput over the skew-mix bench corpus
+(95% 1-3 page docs, 4% 20-page, 1% 200-page — FIXTURES.md §5), the
+BASELINE.json metric. Table pipelines over $GRAFT_SF_DIR are timed into
+``queries`` as secondary numbers.
+
+``--scaling``: run the same job in fresh processes at num_cpus=8 and 32
+(the sandbox evidence for the N -> 4N cluster criterion) and report both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def bench_extraction(num_cpus: int, n_docs: int):
+    import ray
+
+    from pdf_ray.fixtures.tables import build_bench_corpus
+    from pdf_ray.pipelines.extract import extract_dataset
+
+    docs_tbl, payloads = build_bench_corpus(n_docs=n_docs)
+    pref = ray.put(payloads)
+
+    import ray.data as rd
+
+    # leave CPU headroom for the non-actor stages: a fixed actor pool that
+    # reserves every logical CPU starves task-pool operators (deadlock)
+    pool = max(2, num_cpus - 2)
+
+    def slices(tbl, n):
+        step = max(1, tbl.num_rows // n)
+        return [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+
+    def run():
+        # driver-side slicing -> many blocks without an AllToAll repartition
+        ds = rd.from_arrow(slices(docs_tbl, num_cpus * 8))
+        out = extract_dataset(
+            ds, pref, concurrency=pool, batch_size=max(4, n_docs // (num_cpus * 8))
+        )
+        # consume via a tiny projection (streaming; spans never hit the
+        # driver — only 2 small columns do)
+        stats = out.select_columns(["n_spans", "status"]).to_pandas()
+        return int((stats["status"] == "ok").sum()), len(stats)
+
+    # warm-up (actor pool startup + page cache) on a small slice
+    warm_tbl, _ = build_bench_corpus(n_docs=min(64, n_docs))
+    extract_dataset(
+        rd.from_arrow(slices(warm_tbl, num_cpus)), pref, concurrency=pool, batch_size=8
+    ).count()
+
+    t0 = time.perf_counter()
+    n_ok, n_total = run()
+    dt = time.perf_counter() - t0
+    assert n_ok == n_total, "bench corpus contains no poison docs"
+    return dt, n_total
+
+
+def bench_table_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary: table pipelines over $GRAFT_SF_DIR."""
+    out: dict[str, float] = {}
+    try:
+        from pdf_ray.ops import registry
+    except Exception:
+        return out
+    for name, fn in sorted(registry.QUERIES.items()):
+        try:
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas() if not hasattr(res, "count") else res.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            out[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+    return out
+
+
+def main():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "2000"))
+    _init_ray(num_cpus)
+
+    dt, n_total = bench_extraction(num_cpus, n_docs)
+    queries = {"pdf_extract": round(dt, 3)}
+    queries.update(bench_table_queries(sf_dir))
+
+    result = {
+        "metric": "pdf_extraction_docs_per_sec",
+        "value": round(n_total / dt, 2),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_total,
+    }
+    print(json.dumps(result))
+
+    import ray
+
+    ray.shutdown()
+
+
+def scaling():
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "docs_per_sec_8": r_lo["value"],
+                "docs_per_sec_32": r_hi["value"],
+                "num_cpus": [lo, hi],
+                "n_docs": r_hi["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

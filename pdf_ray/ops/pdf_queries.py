@@ -1,0 +1,76 @@
+"""Driver-facing PDF-extraction queries with DuckDB-checkable oracles.
+
+The extraction pipeline runs over the committed fixture corpus
+(``fixtures_data/``, written by ``python -m pdf_ray.fixtures.build``); the
+oracle SQL reads the *hand-written* golden parquet — so the driver's
+row-count + schema + value-hash comparison is a genuine end-to-end
+span-sequence-equality check of the whole Ray pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures_data",
+)
+
+
+def _load(concurrency=4):
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.extract import extract_dataset
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return extract_dataset(docs, ray.put(payloads), concurrency=concurrency)
+
+
+def pdf_extract_spans(sf_dir: str | None = None):
+    """Flagship: interleaved docs -> extracted spans, exploded to one row
+    per span (doc_id, kind, text, media_ref, order)."""
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load())
+
+
+def pdf_extract_status(sf_dir: str | None = None):
+    """Per-document status/row-count view (poison containment check)."""
+    return _load().select_columns(["doc_id", "n_spans", "status"])
+
+
+def pdf_span_kind_counts(sf_dir: str | None = None):
+    """Aggregate over extraction output: spans per kind (Ray groupby)."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.extract import explode_spans
+
+    out = explode_spans(_load()).groupby("kind").aggregate(Count(alias_name="n"))
+    return out
+
+
+GOLDEN = os.path.join(FIXTURES_DIR, "golden.parquet")
+
+PDF_ORACLE_SQL = {
+    "pdf_extract_spans": f"""
+        SELECT doc_id, s.kind AS kind, s.text AS text,
+               s.media_ref AS media_ref, s."order" AS "order"
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('{GOLDEN}'))
+    """,
+    "pdf_extract_status": f"""
+        SELECT doc_id, n_spans, status FROM read_parquet('{GOLDEN}')
+    """,
+    "pdf_span_kind_counts": f"""
+        SELECT s.kind AS kind, count(*) AS n
+        FROM (SELECT unnest(spans) AS s FROM read_parquet('{GOLDEN}'))
+        GROUP BY 1
+    """,
+}

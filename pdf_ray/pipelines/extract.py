@@ -1,0 +1,184 @@
+"""End-to-end extraction pipeline (the flagship).
+
+    read docs (parquet/lance dir)
+      -> [optional resume filter: anti-join vs lineage manifests]
+      -> map_batches(ExtractStage actor pool)   # the parse fan-out
+      -> write partitioned parquet + per-partition lineage manifest
+
+Scale notes (SURVEY.md §4):
+- the payload store is broadcast once via ``ray.put`` (small side) — at
+  real scale swap in a ``payload_resolver`` that reads a blob store;
+  nothing else changes
+- skew: batch_size bounds *documents* per task; a 200-page outlier costs
+  ~200x a 1-pager but stays one row — blocks are rebalanced with
+  ``repartition`` before the heavy stage so stragglers don't pin the tail
+- resume: completed doc_ids come from the manifest parquet written next to
+  the output; restart filters them out with a broadcast semi-join
+  (anti-join of input vs manifest, SURVEY.md §2.8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.extract import ExtractStage
+
+
+def extract_dataset(
+    docs_ds,
+    payloads,
+    concurrency=4,
+    batch_size: int = 64,
+    collect_images: bool = False,
+):
+    """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
+    ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
+    import ray
+
+    ref = payloads if not isinstance(payloads, dict) else ray.put(payloads)
+    return docs_ds.map_batches(
+        ExtractStage,
+        fn_constructor_kwargs={
+            "payloads": ref,
+            "collect_images": collect_images,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def explode_spans(extracted_ds):
+    """Flatten (doc_id, spans[...]) -> one row per span: the relational
+    view used by the correctness oracle."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = []
+        kinds, texts, refs, orders = [], [], [], []
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                doc_ids.append(doc_id)
+                kinds.append(sp["kind"])
+                texts.append(sp["text"])
+                refs.append(sp["media_ref"])
+                orders.append(sp["order"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+                "order": pa.array(orders, pa.int32()),
+            }
+        )
+
+    return extracted_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _manifest_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_lineage")
+
+
+def completed_doc_ids(output_dir: str) -> set[str]:
+    """Read doc_ids recorded by prior (partial) runs' manifests."""
+    mdir = _manifest_dir(output_dir)
+    done: set[str] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            done.update(m["doc_ids"])
+    return done
+
+
+def run_extract(
+    input_path: str,
+    output_dir: str,
+    payloads,
+    concurrency=4,
+    batch_size: int = 64,
+    resume: bool = True,
+):
+    """Run the flagship pipeline with per-partition lineage + resume.
+
+    Output layout: ``output_dir/part-*.parquet`` plus
+    ``output_dir/_lineage/<task>.json`` manifests ``{doc_ids, n_ok, n_err}``
+    written atomically (tmp+rename) by the same task that wrote the rows —
+    a doc_id appears in a manifest iff its row hit the output.
+    """
+    import ray
+    import ray.data as rd
+
+    docs_ds = rd.read_parquet(input_path)
+    done = completed_doc_ids(output_dir) if resume else set()
+    skipped = 0
+    if done:
+        skipped = len(done)
+        done_ref = ray.put(done)
+
+        def not_done(batch: pa.Table) -> pa.Table:
+            d = ray.get(done_ref)
+            mask = pa.array(
+                [i not in d for i in batch.column("doc_id").to_pylist()]
+            )
+            return batch.filter(mask)
+
+        docs_ds = docs_ds.map_batches(not_done, batch_format="pyarrow")
+
+    extracted = extract_dataset(
+        docs_ds, payloads, concurrency=concurrency, batch_size=batch_size
+    )
+
+    os.makedirs(_manifest_dir(output_dir), exist_ok=True)
+
+    def write_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        import uuid
+
+        if batch.num_rows == 0:
+            return pa.table({"n_ok": pa.array([], pa.int64()),
+                             "n_err": pa.array([], pa.int64())})
+        task_id = uuid.uuid4().hex[:16]
+        part = os.path.join(output_dir, f"part-{task_id}.parquet")
+        tmp = part + ".tmp"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, part)
+        n_err = pc.sum(
+            pc.cast(pc.equal(batch.column("status"), "error"), pa.int64())
+        ).as_py() or 0
+        manifest = {
+            "doc_ids": batch.column("doc_id").to_pylist(),
+            "n_ok": batch.num_rows - n_err,
+            "n_err": n_err,
+            "file": os.path.basename(part),
+        }
+        mtmp = os.path.join(_manifest_dir(output_dir), f"{task_id}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mtmp[:-4])
+        return pa.table(
+            {
+                "n_ok": pa.array([manifest["n_ok"]], pa.int64()),
+                "n_err": pa.array([n_err], pa.int64()),
+            }
+        )
+
+    stats = extracted.map_batches(
+        write_partition, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    if "n_ok" not in stats.columns:  # fully-resumed run: nothing to do
+        return {"n_ok": 0, "n_err": 0, "skipped": skipped}
+    return {
+        "n_ok": int(stats["n_ok"].sum()),
+        "n_err": int(stats["n_err"].sum()),
+        "skipped": skipped,
+    }

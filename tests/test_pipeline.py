@@ -1,0 +1,109 @@
+"""Ray pipeline end-to-end: corpus -> extract -> exact golden equality,
+plus lineage/resume and parallelism-invariance."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from pdf_ray.fixtures.tables import build_corpus
+
+    return build_corpus(replicas=2)
+
+
+def _extract_table(docs, payload_tbl, **kw):
+    import ray.data as rd
+
+    from pdf_ray.pipelines.extract import extract_dataset
+
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    ds = rd.from_arrow(docs)
+    out = extract_dataset(ds, payloads, concurrency=2, **kw)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_extract_matches_golden(ray_session, corpus):
+    docs, payload_tbl, golden = corpus
+    got = _extract_table(docs, payload_tbl)
+    want = golden.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["status"]) == list(want["status"])
+    assert list(got["n_spans"]) == list(want["n_spans"])
+    for i in range(len(got)):
+        g = [tuple(sp.values()) for sp in got["spans"][i]]
+        w = [tuple(sp.values()) for sp in want["spans"][i]]
+        assert g == w, f"span mismatch for {got['doc_id'][i]}"
+
+
+def test_batch_size_invariance(ray_session, corpus):
+    docs, payload_tbl, _ = corpus
+    a = _extract_table(docs, payload_tbl, batch_size=4)
+    b = _extract_table(docs, payload_tbl, batch_size=64)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for i in range(len(a)):
+        assert [tuple(s.values()) for s in a["spans"][i]] == [
+            tuple(s.values()) for s in b["spans"][i]
+        ]
+
+
+def test_run_extract_and_resume(ray_session, corpus, tmp_path):
+    import ray
+
+    from pdf_ray.pipelines.extract import completed_doc_ids, run_extract
+
+    docs, payload_tbl, golden = corpus
+    in_path = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "out")
+    pq.write_table(docs, in_path)
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    pref = ray.put(payloads)
+    stats = run_extract(in_path, out_dir, pref, concurrency=2)
+    assert stats["n_ok"] + stats["n_err"] == docs.num_rows
+    assert stats["n_err"] == 2 * 2  # two poison fixtures x two replicas
+    assert stats["skipped"] == 0
+    assert len(completed_doc_ids(out_dir)) == docs.num_rows
+
+    # resume: everything already done -> nothing re-extracted
+    stats2 = run_extract(in_path, out_dir, pref, concurrency=2)
+    assert stats2["skipped"] == docs.num_rows
+    assert stats2["n_ok"] == 0 and stats2["n_err"] == 0
+
+    # output rows == input rows, readable as one dataset
+    import glob
+
+    parts = glob.glob(f"{out_dir}/part-*.parquet")
+    total = sum(pq.read_metadata(p).num_rows for p in parts)
+    assert total == docs.num_rows
+
+
+def test_explode_spans(ray_session, corpus):
+    import ray.data as rd
+
+    from pdf_ray.pipelines.extract import explode_spans, extract_dataset
+
+    docs, payload_tbl, golden = corpus
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    flat = explode_spans(
+        extract_dataset(rd.from_arrow(docs), payloads, concurrency=2)
+    ).to_pandas()
+    n_expected = sum(
+        len(sp) for sp in golden.column("spans").to_pylist()
+    )
+    assert len(flat) == n_expected
+    assert set(flat.columns) == {"doc_id", "kind", "text", "media_ref", "order"}
