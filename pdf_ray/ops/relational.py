@@ -1,1 +1,404 @@
-"""Placeholder — populated in this round."""
+"""Relational pipelines over the TPC-H-ish testdata tables: grouped
+aggregates with partial pre-aggregation, broadcast joins, anti-joins,
+top-k, and windowed/sessionized event processing.
+
+Float aggregates are rounded half-up to 2 decimals on BOTH sides
+(duckdb ROUND is half-away-from-zero; numpy round is banker's — we
+implement half-up explicitly) so value hashes are engine-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .registry import register
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round2(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5) / 100.0
+
+
+# -- Q1-style pricing summary ----------------------------------------------
+
+Q1_CUTOFF = "2001-01-01"
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch partial aggregation (one row per
+    key per batch) before the small shuffle — the scale pattern from
+    SURVEY.md §2.8 / ray_guide 'Aggregation at scale'."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < pd.Timestamp(Q1_CUTOFF)]
+        if df.empty:
+            return pd.DataFrame(
+                columns=[
+                    "l_returnflag", "l_linestatus", "p_qty", "p_price",
+                    "p_disc_price", "p_rows",
+                ]
+            )
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"])
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_price=("l_extendedprice", "sum"),
+            p_disc_price=("disc_price", "sum"),
+            p_rows=("l_quantity", "count"),
+        )
+        return g
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pandas")
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc_price", alias_name="sum_disc_price"),
+            Sum("p_rows", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = _round2(out["sum_qty"])
+    out["sum_base_price"] = _round2(out["sum_base_price"])
+    out["sum_disc_price"] = _round2(out["sum_disc_price"])
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+register(
+    "q1_pricing_summary",
+    q1_pricing_summary,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# -- broadcast join + top-k -------------------------------------------------
+
+
+def top_customers_by_revenue(sf_dir: str):
+    """Revenue per customer (orders ⋈ customer via broadcast of the small
+    dimension side — no shuffle join), top 10 by revenue then custkey."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            p_rev=("o_totalprice", "sum"), p_orders=("o_orderkey", "count")
+        )
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue"),
+            Sum("p_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    per_cust["revenue"] = _round2(per_cust["revenue"])
+    per_cust["n_orders"] = per_cust["n_orders"].astype("int64")
+    seg = ray.get(cust_ref)
+    per_cust["c_mktsegment"] = per_cust["o_custkey"].map(seg)
+    top = per_cust.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    return top[["c_custkey", "c_mktsegment", "revenue", "n_orders"]].reset_index(
+        drop=True
+    )
+
+
+register(
+    "top_customers_by_revenue",
+    top_customers_by_revenue,
+    """
+    SELECT o_custkey AS c_custkey,
+           any_value(c_mktsegment) AS c_mktsegment,
+           ROUND(sum(o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+
+
+# -- anti-join (broadcast key set) ------------------------------------------
+
+
+ANTI_CUTOFF = "2001-01-01"
+
+
+def customers_without_recent_orders(sf_dir: str):
+    """Anti-join: customers with no orders on/after ANTI_CUTOFF. The
+    recent-order custkey set is broadcast (at scale: a Bloom filter) and
+    applied as a vectorized filter inside map_batches — no shuffle. The
+    date filter is pushed into the parquet read."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pd.Timestamp(ANTI_CUTOFF),
+    )
+    key_set = set(recent.unique("o_custkey"))
+    kref = ray.put(key_set)
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        return df[~df["c_custkey"].isin(ks)][["c_custkey", "c_mktsegment"]]
+
+    out = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        anti, batch_format="pandas"
+    ).to_pandas()
+    if out.empty:  # keep schema stable even when no rows survive
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_mktsegment": pd.Series(dtype=object),
+            }
+        )
+    return out
+
+
+register(
+    "customers_without_recent_orders",
+    customers_without_recent_orders,
+    f"""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{ANTI_CUTOFF} 00:00:00')
+    """,
+)
+
+
+# -- multi-way join: revenue by nation --------------------------------------
+
+
+def revenue_by_nation(sf_dir: str):
+    """customer ⋈ nation broadcast into an orders aggregation: revenue per
+    nation name. Two broadcast lookups, one small shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((c2n, n2name))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(ref)
+        nk = df["o_custkey"].map(c2n_)
+        name = nk.map(n2name_)
+        g = pd.DataFrame({"n_name": name, "rev": df["o_totalprice"]}).groupby(
+            "n_name", as_index=False
+        ).agg(p_rev=("rev", "sum"), p_orders=("rev", "count"))
+        return g
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue"),
+            Sum("p_orders", alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = _round2(out["revenue"])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+register(
+    "revenue_by_nation",
+    revenue_by_nation,
+    """
+    SELECT n_name,
+           ROUND(sum(o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+
+# -- windowed aggregation over the event stream -----------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+    Window key = truncated timestamp; partial per batch, then groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h")
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "hour": hour, "value": df["value"]}
+        ).groupby(["event_type", "hour"], as_index=False).agg(
+            p_n=("value", "count"), p_val=("value", "sum")
+        )
+        return g
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("p_n", alias_name="n_events"),
+            Sum("p_val", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = _round2(out["sum_value"])
+    return out
+
+
+register(
+    "events_hourly",
+    events_hourly,
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*)::BIGINT AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str):
+    """Sessionization: per-user event stream split on >30-min gaps.
+    ``groupby(user_id).map_groups`` sorts each user's events by ts and
+    counts gap-breaks — state never crosses the partition key, the
+    documented ordering assumption for stream-shaped ops."""
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sess, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    return out
+
+
+register(
+    "user_sessions",
+    user_sessions,
+    f"""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events)
+    SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions,
+           count(*)::BIGINT AS n_events
+    FROM d GROUP BY user_id
+    """,
+)
+
+
+def orders_by_priority(sf_dir: str):
+    """Simple grouped count (int-only output)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+register(
+    "orders_by_priority",
+    orders_by_priority,
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+def part_type_stats(sf_dir: str):
+    """Grouped stats over part: count + min/max retail price per type."""
+    from ray.data.aggregate import Count, Max, Min
+
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["min_price"] = _round2(out["min_price"])
+    out["max_price"] = _round2(out["max_price"])
+    return out
+
+
+register(
+    "part_type_stats",
+    part_type_stats,
+    """
+    SELECT p_type, count(*)::BIGINT AS n_parts,
+           ROUND(min(p_retailprice), 2) AS min_price,
+           ROUND(max(p_retailprice), 2) AS max_price
+    FROM part GROUP BY 1
+    """,
+)

@@ -1,1 +1,181 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_brute``: exact top-k cosine for a fixed query set — broadcast query
+  matrix (ray.put once), one numpy matmul per batch, per-batch partial
+  top-k, tiny final reduce. This is the baseline the system brief asks for.
+- ``knn_ivf``: LSH(random-hyperplane)-bucketed approximate variant — the
+  scale path: queries only scan their own bucket (+neighboring probes).
+  Rows-only check (approximate by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .registry import register
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _query_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t.column("vec_id"), N_QUERIES))
+    df = t.to_pandas().sort_values("vec_id")
+    Q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    return df["vec_id"].to_numpy(), Q
+
+
+def knn_brute(sf_dir: str, k: int = TOP_K):
+    """Exact top-k cosine neighbors (neighbor != query) for queries
+    vec_id < N_QUERIES. Output (query_id, rank, neighbor_id) — ints only,
+    so the driver value-hash is float-free; ties break on neighbor id."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir)
+    qref = ray.put((qids, Q))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = ray.get(qref)
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = qm @ M.T  # (nq, batch)
+        vids = df["vec_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for r, qid in enumerate(qi):
+            s = sims[r].copy()
+            s[vids == qid] = -np.inf  # exclude self
+            take = min(k, len(s))
+            idx = np.argpartition(-s, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(vids[idx])
+            out_s.extend(s[idx])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "score": out_s,
+            }
+        )
+
+    cand = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pandas"
+    ).to_pandas()  # <= nq * k * n_batches rows: tiny
+    cand = cand.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = cand.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+register(
+    "knn_brute",
+    knn_brute,
+    f"""
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id nid,
+             list_cosine_similarity(
+               list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))) c
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) rnk
+      FROM scored)
+    SELECT qid AS query_id, rnk::BIGINT AS rank, nid AS neighbor_id
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+
+
+N_PLANES = 4  # 16 buckets
+
+
+def knn_ivf(sf_dir: str, k: int = TOP_K):
+    """Approximate top-k: random-hyperplane LSH into 2^N_PLANES buckets;
+    each query scans only its bucket (multi-probe: plus 1-bit flips).
+    The bucket id is a groupby key — at scale each bucket is a partition
+    and the brute stage above runs inside each. Rows-only (approximate)."""
+    import ray
+
+    rng = np.random.RandomState(7)
+    qids, Q = _query_matrix(sf_dir)
+    dim = Q.shape[1]
+    planes = rng.randn(N_PLANES, dim)
+
+    def bucket_of(M: np.ndarray) -> np.ndarray:
+        bits = (M @ planes.T) > 0
+        return (bits * (1 << np.arange(N_PLANES))).sum(axis=1)
+
+    q_buckets = bucket_of(Q)
+    # multi-probe: own bucket + 1-bit flips
+    probes = {
+        int(b) ^ (1 << j) for b in q_buckets for j in range(N_PLANES)
+    } | {int(b) for b in q_buckets}
+    qref = ray.put((qids, Q, q_buckets, probes))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qi, qm, qb, pr = ray.get(qref)
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        vb = bucket_of(M)
+        mask = np.isin(vb, list(pr))
+        M2, vids = M[mask], df["vec_id"].to_numpy()[mask]
+        if len(vids) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        sims = qm @ M2.T
+        out_q, out_n, out_s = [], [], []
+        for r, qid in enumerate(qi):
+            s = sims[r].copy()
+            s[vids == qid] = -np.inf
+            take = min(k, len(s))
+            idx = np.argpartition(-s, take - 1)[:take] if take else []
+            out_q.extend([qid] * take)
+            out_n.extend(vids[idx])
+            out_s.extend(s[idx])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "score": out_s,
+            }
+        )
+
+    cand = _read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = cand.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+register("knn_ivf", knn_ivf, None)  # approximate

@@ -1,0 +1,88 @@
+"""Table-op correctness at sf0.001 (fast): Ray pipelines vs DuckDB
+oracles via the same canonical compare the driver uses. The full sweep
+runs via tools/check_oracles.py at sf0.01."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SF = "/root/testdata/sf0.001"
+SUBSET = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "doc_token_stats",
+    "lang_id",
+    "quality_score",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "customers_without_recent_orders",
+    "knn_brute",
+    "user_sessions",
+    "events_hourly",
+    "token_count_total",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    from check_oracles import TABLES
+
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_op_matches_oracle(ray_session, con, name):
+    import pandas.testing as pdt
+
+    import __ray_entry__ as m
+    from check_oracles import canon, to_pandas
+
+    got = canon(to_pandas(m.queries()[name](SF)))
+    want = canon(con.sql(m.oracle_sql()[name]).df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        if want[c].dtype != got[c].dtype:
+            try:
+                want[c] = want[c].astype(got[c].dtype)
+            except Exception:
+                pass
+    pdt.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9)
+
+
+def test_minhash_is_subset_of_exact_jaccard(ray_session):
+    """LSH candidates (verified) must be a subset of the exact pair set;
+    at these thresholds the fixtures' near-dups are far above the S-curve
+    knee, so the sets should coincide."""
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+
+    exact = to_pandas(m.queries()["dedup_ngram_jaccard"](SF))
+    lsh = to_pandas(m.queries()["dedup_minhash_lsh"](SF))
+    e = {tuple(r) for r in exact[["doc_a", "doc_b"]].itertuples(index=False)}
+    l = {tuple(r) for r in lsh[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert l <= e
+    assert len(l) >= 0.9 * len(e)
+
+
+def test_knn_ivf_overlaps_brute(ray_session):
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+
+    brute = to_pandas(m.queries()["knn_brute"](SF))
+    ivf = to_pandas(m.queries()["knn_ivf"](SF))
+    b = {tuple(r) for r in brute[["query_id", "neighbor_id"]].itertuples(index=False)}
+    a = {tuple(r) for r in ivf[["query_id", "neighbor_id"]].itertuples(index=False)}
+    # multi-probe LSH should recover a majority of true neighbors
+    assert len(a & b) >= 0.5 * len(b)
