@@ -468,6 +468,13 @@ def f19b_poison_bad_xref():
     return pdf[:idx] + b"startxref\n999999999\n" + pdf[end:], None
 
 
+# hand-derived expected spans for the ToUnicode-enrichment variant
+# (pdf_extract_unicode); fixtures not listed are identical to their raw
+# golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
+UNICODE_OVERRIDES: dict[str, list] = {
+    "f12": [("text", "Hi", None, 0)],
+}
+
 FIXTURES = {
     "f01": f01_minimal_tj,
     "f02": f02_flate_content,

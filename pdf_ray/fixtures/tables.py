@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..schema import DOCS, EXTRACTED, PAYLOADS
-from .corpus import FIXTURES
+from .corpus import FIXTURES, UNICODE_OVERRIDES
 
 
 def _fixture_cache():
@@ -28,18 +28,17 @@ def _fixture_cache():
 
 
 def build_corpus(replicas: int = 3, include_mixed: bool = True):
-    """Returns ``(docs, payloads, golden)`` pyarrow Tables."""
+    """Returns ``(docs, payloads, golden, golden_unicode)`` pyarrow Tables."""
     fixtures = _fixture_cache()
     doc_rows: list[dict] = []
     golden_rows: list[dict] = []
+    golden_uni_rows: list[dict] = []
     payloads = {
         f"pdf://{name}": pdf for name, (pdf, _) in fixtures.items()
     }
 
-    def add_doc(doc_id: str, in_spans: list[dict]):
-        doc_rows.append({"doc_id": doc_id, "spans": in_spans})
+    def _golden_row(doc_id, in_spans, fixture_golden):
         out_spans: list[dict] = []
-        status, error = "ok", None
         for sp in in_spans:
             if sp["kind"] == "text":
                 out_spans.append(
@@ -47,36 +46,39 @@ def build_corpus(replicas: int = 3, include_mixed: bool = True):
                 )
             else:
                 name = sp["media_ref"].split("//", 1)[1]
-                golden = fixtures[name][1]
+                golden = fixture_golden(name)
                 if golden is None:
-                    status = "error"
-                    break
+                    return {
+                        "doc_id": doc_id,
+                        "spans": [],
+                        "n_spans": 0,
+                        "status": "error",
+                        "error": None,  # message text is implementation detail
+                    }
                 for kind, text, mref, _ in golden:
                     out_spans.append(
                         {"kind": kind, "text": text, "media_ref": mref}
                     )
-        if status == "ok":
-            golden_rows.append(
-                {
-                    "doc_id": doc_id,
-                    "spans": [
-                        {**sp, "order": i} for i, sp in enumerate(out_spans)
-                    ],
-                    "n_spans": len(out_spans),
-                    "status": "ok",
-                    "error": None,
-                }
+        return {
+            "doc_id": doc_id,
+            "spans": [{**sp, "order": i} for i, sp in enumerate(out_spans)],
+            "n_spans": len(out_spans),
+            "status": "ok",
+            "error": None,
+        }
+
+    def add_doc(doc_id: str, in_spans: list[dict]):
+        doc_rows.append({"doc_id": doc_id, "spans": in_spans})
+        golden_rows.append(
+            _golden_row(doc_id, in_spans, lambda n: fixtures[n][1])
+        )
+        golden_uni_rows.append(
+            _golden_row(
+                doc_id,
+                in_spans,
+                lambda n: UNICODE_OVERRIDES.get(n, fixtures[n][1]),
             )
-        else:
-            golden_rows.append(
-                {
-                    "doc_id": doc_id,
-                    "spans": [],
-                    "n_spans": 0,
-                    "status": "error",
-                    "error": None,  # message text is implementation detail
-                }
-            )
+        )
 
     for name in sorted(fixtures):
         for r in range(replicas):
@@ -111,7 +113,8 @@ def build_corpus(replicas: int = 3, include_mixed: bool = True):
         schema=PAYLOADS,
     )
     golden = pa.Table.from_pylist(golden_rows, schema=EXTRACTED)
-    return docs, pay, golden
+    golden_uni = pa.Table.from_pylist(golden_uni_rows, schema=EXTRACTED)
+    return docs, pay, golden, golden_uni
 
 
 def build_bench_corpus(n_docs: int = 3000, seed: int = 42):
@@ -159,8 +162,9 @@ def write_corpus(out_dir: str, replicas: int = 3):
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, pay, golden = build_corpus(replicas)
+    docs, pay, golden, golden_uni = build_corpus(replicas)
     pq.write_table(docs, f"{out_dir}/docs.parquet")
     pq.write_table(pay, f"{out_dir}/payloads.parquet")
     pq.write_table(golden, f"{out_dir}/golden.parquet")
+    pq.write_table(golden_uni, f"{out_dir}/golden_unicode.parquet")
     return docs.num_rows

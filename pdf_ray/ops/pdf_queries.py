@@ -19,7 +19,7 @@ FIXTURES_DIR = os.path.join(
 )
 
 
-def _load(concurrency=4):
+def _load(concurrency=4, apply_tounicode=False):
     import ray
     import ray.data as rd
 
@@ -30,7 +30,12 @@ def _load(concurrency=4):
     payloads = dict(
         zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
     )
-    return extract_dataset(docs, ray.put(payloads), concurrency=concurrency)
+    return extract_dataset(
+        docs,
+        ray.put(payloads),
+        concurrency=concurrency,
+        apply_tounicode=apply_tounicode,
+    )
 
 
 def pdf_extract_spans(sf_dir: str | None = None):
@@ -39,6 +44,16 @@ def pdf_extract_spans(sf_dir: str | None = None):
     from ..pipelines.extract import explode_spans
 
     return explode_spans(_load())
+
+
+def pdf_extract_unicode(sf_dir: str | None = None):
+    """Extraction with the ToUnicode enrichment stage applied: span text is
+    CMap-mapped unicode (a capability the reference lacks; its ToUnicode
+    wrapper is never interpreted, src/font/cmap.rs:5-10). Oracle: the
+    hand-derived golden_unicode parquet."""
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load(apply_tounicode=True))
 
 
 def pdf_extract_status(sf_dir: str | None = None):
@@ -58,12 +73,20 @@ def pdf_span_kind_counts(sf_dir: str | None = None):
 
 GOLDEN = os.path.join(FIXTURES_DIR, "golden.parquet")
 
+GOLDEN_UNICODE = os.path.join(FIXTURES_DIR, "golden_unicode.parquet")
+
 PDF_ORACLE_SQL = {
     "pdf_extract_spans": f"""
         SELECT doc_id, s.kind AS kind, s.text AS text,
                s.media_ref AS media_ref, s."order" AS "order"
         FROM (SELECT doc_id, unnest(spans) AS s
               FROM read_parquet('{GOLDEN}'))
+    """,
+    "pdf_extract_unicode": f"""
+        SELECT doc_id, s.kind AS kind, s.text AS text,
+               s.media_ref AS media_ref, s."order" AS "order"
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('{GOLDEN_UNICODE}'))
     """,
     "pdf_extract_status": f"""
         SELECT doc_id, n_spans, status FROM read_parquet('{GOLDEN}')

@@ -1,0 +1,110 @@
+"""ToUnicode / embedded CMap interpreter.
+
+The reference captures ToUnicode streams but never interprets them
+(src/font/cmap.rs:5-10 — "todo"); we implement the spec subset that
+matters for text enrichment: codespacerange (code byte-width),
+bfchar and bfrange mappings (PDF 32000-1 §9.10.3)."""
+
+from __future__ import annotations
+
+import re
+
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+class ToUnicodeCMap:
+    def __init__(self):
+        self.code_widths: set[int] = set()  # byte widths from codespacerange
+        self.single: dict[int, str] = {}
+        self.ranges: list[tuple[int, int, object]] = []  # (lo, hi, dst)
+
+    @property
+    def code_bytes(self) -> int:
+        return max(self.code_widths) if self.code_widths else 1
+
+    def map_code(self, code: int) -> str | None:
+        got = self.single.get(code)
+        if got is not None:
+            return got
+        for lo, hi, dst in self.ranges:
+            if lo <= code <= hi:
+                if isinstance(dst, list):
+                    return dst[code - lo] if code - lo < len(dst) else None
+                return "".join(
+                    chr(c)
+                    for c in _add_to_codepoints(dst, code - lo)
+                )
+        return None
+
+
+def _utf16be_to_str(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return "".join(
+            chr(int.from_bytes(raw[i : i + 2], "big"))
+            for i in range(0, len(raw) - 1, 2)
+        )
+
+
+def _add_to_codepoints(base: str, delta: int):
+    """bfrange dst increment applies to the LAST code unit (spec)."""
+    if not base:
+        return []
+    cps = [ord(c) for c in base]
+    cps[-1] += delta
+    return cps
+
+
+def parse_tounicode(data: bytes) -> ToUnicodeCMap:
+    cmap = ToUnicodeCMap()
+    i = 0
+    n = len(data)
+
+    def hex_tokens(upto: bytes, start: int):
+        """Collect <...> tokens (and [ ... ] arrays of them) until keyword."""
+        end = data.find(upto, start)
+        if end == -1:
+            return [], n
+        return data[start:end], end + len(upto)
+
+    while i < n:
+        j = data.find(b"begincodespacerange", i)
+        k = data.find(b"beginbfchar", i)
+        m = data.find(b"beginbfrange", i)
+        nxt = min(x for x in (j, k, m, n) if x != -1)
+        if nxt == n:
+            break
+        if nxt == j:
+            body, i = hex_tokens(b"endcodespacerange", j + 19)
+            toks = _HEX_RE.findall(body)
+            for t in toks:
+                cmap.code_widths.add(len(t) // 2)
+        elif nxt == k:
+            body, i = hex_tokens(b"endbfchar", k + 11)
+            toks = _HEX_RE.findall(body)
+            for a in range(0, len(toks) - 1, 2):
+                src = int(toks[a], 16)
+                dst = _utf16be_to_str(bytes.fromhex(toks[a + 1].decode()))
+                cmap.single[src] = dst
+        else:
+            body, i = hex_tokens(b"endbfrange", m + 12)
+            # entries: <lo> <hi> <dst>   |   <lo> <hi> [<d1> <d2> ...]
+            lexer_like = re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+                body,
+            )
+            for lo_h, hi_h, dst_tok in lexer_like:
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if dst_tok.startswith(b"["):
+                    arr = [
+                        _utf16be_to_str(bytes.fromhex(t.decode()))
+                        for t in _HEX_RE.findall(dst_tok)
+                    ]
+                    cmap.ranges.append((lo, hi, arr))
+                else:
+                    dst = _utf16be_to_str(
+                        bytes.fromhex(dst_tok.strip(b"<>").decode())
+                    )
+                    cmap.ranges.append((lo, hi, dst))
+    return cmap

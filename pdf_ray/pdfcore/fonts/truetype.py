@@ -1,0 +1,117 @@
+"""TrueType (sfnt) parser: table directory + head/maxp/hhea/hmtx and cmap
+formats 0/4/6 — the width path only (the reference's ~1,600-LoC table
+parser and the 1,835-LoC hinting VM have no effect on span text,
+SURVEY.md §2.5 T11/T12)."""
+
+from __future__ import annotations
+
+import struct
+
+
+class TrueTypeFont:
+    def __init__(self, units_per_em: int, cmap: dict[int, int], hmtx: list[int]):
+        self.units_per_em = units_per_em
+        self.cmap = cmap  # unicode/code -> glyph id
+        self.hmtx = hmtx  # advance width per glyph (last repeats)
+
+    def advance(self, gid: int) -> int:
+        if not self.hmtx:
+            return 0
+        return self.hmtx[gid] if gid < len(self.hmtx) else self.hmtx[-1]
+
+    def width(self, code: int) -> float | None:
+        """Advance for a character code, scaled to 1000/em PDF text units."""
+        gid = self.cmap.get(code)
+        if gid is None:
+            return None
+        return self.advance(gid) * 1000.0 / self.units_per_em
+
+
+def _parse_cmap_subtable(data: bytes, off: int) -> dict[int, int]:
+    fmt = struct.unpack_from(">H", data, off)[0]
+    table: dict[int, int] = {}
+    if fmt == 0:
+        for code in range(256):
+            gid = data[off + 6 + code]
+            if gid:
+                table[code] = gid
+    elif fmt == 4:
+        seg_x2 = struct.unpack_from(">H", data, off + 6)[0]
+        segs = seg_x2 // 2
+        ends = struct.unpack_from(f">{segs}H", data, off + 14)
+        starts = struct.unpack_from(f">{segs}H", data, off + 16 + seg_x2)
+        deltas = struct.unpack_from(f">{segs}h", data, off + 16 + 2 * seg_x2)
+        range_off_base = off + 16 + 3 * seg_x2
+        range_offs = struct.unpack_from(f">{segs}H", data, range_off_base)
+        for s in range(segs):
+            if starts[s] == 0xFFFF:
+                continue
+            for code in range(starts[s], ends[s] + 1):
+                if range_offs[s] == 0:
+                    gid = (code + deltas[s]) & 0xFFFF
+                else:
+                    addr = (
+                        range_off_base
+                        + 2 * s
+                        + range_offs[s]
+                        + 2 * (code - starts[s])
+                    )
+                    gid = struct.unpack_from(">H", data, addr)[0]
+                    if gid:
+                        gid = (gid + deltas[s]) & 0xFFFF
+                if gid:
+                    table[code] = gid
+    elif fmt == 6:
+        first, count = struct.unpack_from(">HH", data, off + 6)
+        gids = struct.unpack_from(f">{count}H", data, off + 10)
+        for i, gid in enumerate(gids):
+            if gid:
+                table[first + i] = gid
+    # other formats: unsupported -> empty (caller falls back to defaults)
+    return table
+
+
+def parse_truetype(data: bytes) -> TrueTypeFont:
+    num_tables = struct.unpack_from(">H", data, 4)[0]
+    tables: dict[bytes, tuple[int, int]] = {}
+    for i in range(num_tables):
+        tag, _cs, off, length = struct.unpack_from(">4sIII", data, 12 + 16 * i)
+        tables[tag] = (off, length)
+
+    if b"head" not in tables:
+        raise ValueError("no head table")
+    head_off = tables[b"head"][0]
+    units_per_em = struct.unpack_from(">H", data, head_off + 18)[0]
+
+    num_glyphs = 0
+    if b"maxp" in tables:
+        num_glyphs = struct.unpack_from(">H", data, tables[b"maxp"][0] + 4)[0]
+
+    hmtx: list[int] = []
+    if b"hhea" in tables and b"hmtx" in tables:
+        n_hmetrics = struct.unpack_from(">H", data, tables[b"hhea"][0] + 34)[0]
+        hm_off = tables[b"hmtx"][0]
+        for g in range(n_hmetrics):
+            hmtx.append(struct.unpack_from(">H", data, hm_off + 4 * g)[0])
+        # remaining glyphs repeat the last advance
+        if hmtx and num_glyphs > n_hmetrics:
+            hmtx.extend([hmtx[-1]] * (num_glyphs - n_hmetrics))
+
+    cmap: dict[int, int] = {}
+    if b"cmap" in tables:
+        cm_off = tables[b"cmap"][0]
+        n_sub = struct.unpack_from(">H", data, cm_off + 2)[0]
+        best = None
+        for i in range(n_sub):
+            plat, enc, sub_off = struct.unpack_from(
+                ">HHI", data, cm_off + 4 + 8 * i
+            )
+            score = {(3, 1): 3, (0, 3): 3, (3, 0): 2, (1, 0): 1}.get(
+                (plat, enc), 0
+            )
+            if best is None or score > best[0]:
+                best = (score, cm_off + sub_off)
+        if best is not None:
+            cmap = _parse_cmap_subtable(data, best[1])
+
+    return TrueTypeFont(units_per_em or 1000, cmap, hmtx)

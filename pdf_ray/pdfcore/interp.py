@@ -96,14 +96,17 @@ class Interpreter:
         collect_images: bool = False,
         font_cache=None,
         compute_positions: bool = False,
+        apply_tounicode: bool = False,
     ):
         self.doc = doc
         self.collect_images = collect_images
         self.font_cache = font_cache
         self.compute_positions = compute_positions
+        self.apply_tounicode = apply_tounicode
         self.spans: list[tuple[str, str | None, str | None]] = []
         self.images: dict[str, bytes] = {}
         self._font_widths = None  # lazy per-Tf width lookup
+        self._font_info = None  # FontInfo for unicode enrichment
 
     # -- entry point ---------------------------------------------------------
 
@@ -157,6 +160,10 @@ class Interpreter:
     # -- text ----------------------------------------------------------------
 
     def _emit_text(self, text: str) -> None:
+        if self.apply_tounicode and self._font_info is not None:
+            from .fonts import unicode_text
+
+            text = unicode_text(self._font_info, text)
         self.spans.append(("text", text, None))
 
     def _advance_after(self, s: str) -> None:
@@ -216,6 +223,12 @@ class Interpreter:
             from .fonts import width_function
 
             self._font_widths = width_function(
+                self.doc, self.doc.resolve_dict(fonts[name]), self.font_cache
+            )
+        if self.apply_tounicode:
+            from .fonts import load_font
+
+            self._font_info = load_font(
                 self.doc, self.doc.resolve_dict(fonts[name]), self.font_cache
             )
 
@@ -411,6 +424,7 @@ def extract_spans(
     collect_images: bool = False,
     font_cache=None,
     compute_positions: bool = False,
+    apply_tounicode: bool = False,
 ):
     """Parse one PDF payload and return its interleaved span sequence.
 
@@ -424,5 +438,6 @@ def extract_spans(
         collect_images=collect_images,
         font_cache=font_cache,
         compute_positions=compute_positions,
+        apply_tounicode=apply_tounicode,
     )
     return interp.run(), interp.images

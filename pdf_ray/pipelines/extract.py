@@ -34,6 +34,7 @@ def extract_dataset(
     concurrency=4,
     batch_size: int = 64,
     collect_images: bool = False,
+    apply_tounicode: bool = False,
 ):
     """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
     ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
@@ -45,6 +46,7 @@ def extract_dataset(
         fn_constructor_kwargs={
             "payloads": ref,
             "collect_images": collect_images,
+            "apply_tounicode": apply_tounicode,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -31,7 +31,13 @@ class ExtractStage:
     """Callable class for ``ds.map_batches(ExtractStage, concurrency=N,
     batch_format="pyarrow", fn_constructor_kwargs=...)``."""
 
-    def __init__(self, payloads=None, payload_resolver=None, collect_images=False):
+    def __init__(
+        self,
+        payloads=None,
+        payload_resolver=None,
+        collect_images=False,
+        apply_tounicode=False,
+    ):
         if payloads is not None:
             import ray
 
@@ -42,6 +48,7 @@ class ExtractStage:
         else:
             self.resolver = lambda ref: None
         self.collect_images = collect_images
+        self.apply_tounicode = apply_tounicode
         # font-program cache shared across all rows this actor processes
         # (reference reloads fonts per draw_text call — SURVEY §2.5)
         self.font_cache: dict = {}
@@ -78,6 +85,7 @@ class ExtractStage:
                         doc,
                         collect_images=self.collect_images,
                         font_cache=self.font_cache,
+                        apply_tounicode=self.apply_tounicode,
                     )
                     for k, text, mref, _ in interp.run():
                         out_spans.append(

@@ -1,0 +1,128 @@
+"""Font-layer round trip: the synthetic Type1/TrueType/CFF programs from
+the fixture builder are parsed back for widths + encodings; ToUnicode
+CMaps are interpreted (a reference gap we exceed — src/font/cmap.rs:5-10)."""
+
+from pdf_ray.fixtures.fontprogs import (
+    GLYPH_WIDTHS,
+    cff_program,
+    t1_decrypt,
+    t1_encrypt,
+    truetype_program,
+    type1_program,
+)
+from pdf_ray.pdfcore.fonts.cff import parse_cff
+from pdf_ray.pdfcore.fonts.cmap import parse_tounicode
+from pdf_ray.pdfcore.fonts.encodings import apply_differences
+from pdf_ray.pdfcore.fonts.truetype import parse_truetype
+from pdf_ray.pdfcore.fonts.type1 import parse_type1
+
+
+def test_t1_crypt_roundtrip():
+    for r in (55665, 4330):
+        data = b"some charstring payload \x00\xff\x80"
+        assert t1_decrypt(t1_encrypt(data, r), r) == data
+
+
+def test_type1_program_widths_and_encoding():
+    prog = type1_program()
+    font = parse_type1(prog.data)
+    assert font.widths == {k: float(v) for k, v in GLYPH_WIDTHS.items()}
+    assert font.encoding[32] == "space"
+    assert font.encoding[65] == "alpha"
+    assert font.encoding[66] == "beta"
+    assert font.width(65) == 540.0
+
+
+def test_truetype_program_cmap_and_widths():
+    font = parse_truetype(truetype_program())
+    assert font.units_per_em == 1000
+    # format-4 idDelta: A-Z map to consecutive glyph ids 1..26
+    assert font.cmap[ord("A")] == 1
+    assert font.cmap[ord("Z")] == 26
+    assert ord("a") not in font.cmap
+    assert font.advance(0) == 500
+    assert font.advance(1) == 600
+    assert font.width(ord("A")) == 600.0
+    assert font.width(ord("Z")) == 600.0  # past hmtx -> last advance repeats
+
+
+def test_cff_program_widths():
+    font = parse_cff(cff_program())
+    assert font.widths_by_gid == [500.0, 550.0]  # default / explicit
+
+
+def test_differences():
+    enc = apply_differences({65: "A"}, [65, "alpha", "beta", 97, "gamma"])
+    assert enc[65] == "alpha"
+    assert enc[66] == "beta"
+    assert enc[97] == "gamma"
+
+
+def test_tounicode_parse_and_map():
+    data = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00480069>\nendbfchar\n"
+        b"2 beginbfrange\n<0041> <005A> <0061>\n"
+        b"<0100> <0102> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    cm = parse_tounicode(data)
+    assert cm.code_bytes == 2
+    assert cm.map_code(1) == "A"
+    assert cm.map_code(2) == "Hi"  # multi-codepoint bfchar
+    assert cm.map_code(0x41) == "a"  # range offset maps A->a
+    assert cm.map_code(0x5A) == "z"
+    assert cm.map_code(0x101) == "Y"  # array-form bfrange
+    assert cm.map_code(0x999) is None
+
+
+def test_unicode_extraction_of_type0_fixture():
+    from pdf_ray.fixtures.corpus import FIXTURES
+    from pdf_ray.pdfcore.interp import extract_spans
+
+    pdf, golden = FIXTURES["f12"]()
+    raw, _ = extract_spans(pdf)
+    assert raw == golden  # parity text stays "\x00H\x00i"
+    uni, _ = extract_spans(pdf, apply_tounicode=True)
+    assert uni == [("text", "Hi", None, 0)]
+
+
+def test_unicode_extraction_is_identity_for_simple_latin():
+    from pdf_ray.fixtures.corpus import FIXTURES
+    from pdf_ray.pdfcore.interp import extract_spans
+
+    for name in ("f01", "f04", "f09", "f10", "f11"):
+        pdf, golden = FIXTURES[name]()
+        uni, _ = extract_spans(pdf, apply_tounicode=True)
+        assert uni == golden, name
+
+
+def test_compute_positions_advances_tm():
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    pdf = simple_page_pdf(b"BT /F1 10 Tf 0 0 Td (AAA) Tj ET")
+    doc = Document(pdf)
+    interp = Interpreter(doc, compute_positions=True, font_cache={})
+    interp.run()
+    # default width 0.5 em x 10pt x 3 chars = 15 units of x-advance,
+    # measured via ET having reset... use a fresh run capturing before ET
+    pdf2 = simple_page_pdf(b"BT /F1 10 Tf 0 0 Td (AAA) Tj")
+    doc2 = Document(pdf2)
+    i2 = Interpreter(doc2, compute_positions=True, font_cache={})
+    i2.run()
+    assert abs(i2.ts.tm[4] - 15.0) < 1e-9
+
+
+def test_font_cache_is_reused():
+    from pdf_ray.fixtures.corpus import FIXTURES
+    from pdf_ray.pdfcore.interp import extract_spans
+
+    cache = {}
+    # f12's ToUnicode stream is parsed through the cache
+    pdf, _ = FIXTURES["f12"]()
+    extract_spans(pdf, font_cache=cache, apply_tounicode=True)
+    n1 = len(cache)
+    assert n1 >= 1
+    extract_spans(pdf, font_cache=cache, apply_tounicode=True)
+    assert len(cache) == n1  # same stream -> cache hit, no new entries

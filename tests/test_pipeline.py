@@ -9,7 +9,8 @@ import pytest
 def corpus():
     from pdf_ray.fixtures.tables import build_corpus
 
-    return build_corpus(replicas=2)
+    docs, pay, golden, _golden_uni = build_corpus(replicas=2)
+    return docs, pay, golden
 
 
 def _extract_table(docs, payload_tbl, **kw):
