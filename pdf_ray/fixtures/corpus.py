@@ -456,6 +456,32 @@ def f18_outlier_200pp(n_pages: int = 200):
     return b.build(1), golden
 
 
+def f21_type3_font():
+    """Type3 font: glyphs are content streams (CharProcs). The reference
+    stubs glyph evaluation (src/font/type3.rs:21-62); span text comes from
+    the shown codepoints as with any simple font."""
+    glyph_a = b"0 0 500 0 0 500 d1 0 0 m 500 500 l S"
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (abc) Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type3 "
+        b"/FontBBox [0 0 750 750] /FontMatrix [0.001 0 0 0.001 0 0] "
+        b"/CharProcs << /glyphA 6 0 R >> "
+        b"/Encoding << /Type /Encoding /Differences [97 /glyphA] >> "
+        b"/FirstChar 97 /LastChar 99 /Widths [500 500 500] >>",
+    )
+    b.add_stream(6, b"", glyph_a)
+    return b.build(1), _t("abc")
+
+
 def f19a_poison_truncated():
     pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Will be cut) Tj ET")
     return pdf[: len(pdf) // 2], None
@@ -496,4 +522,5 @@ FIXTURES = {
     "f18": f18_outlier_200pp,
     "f19a": f19a_poison_truncated,
     "f19b": f19b_poison_bad_xref,
+    "f21": f21_type3_font,
 }

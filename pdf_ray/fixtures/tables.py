@@ -118,8 +118,10 @@ def build_corpus(replicas: int = 3, include_mixed: bool = True):
 
 
 def build_bench_corpus(n_docs: int = 3000, seed: int = 42):
-    """Throughput-benchmark corpus with the FIXTURES.md §5 skew mix:
-    ~95%% small docs (1-3 pages), ~4%% 20-page docs, ~1%% 200-page outliers.
+    """Throughput-benchmark corpus with a page-weighted skew mix
+    modelling a real PDF corpus (where multi-page documents dominate
+    wall time): 50%% 1-3 page fixture docs, 20%% 20-page, 20%% 60-page,
+    10%% 200-page outliers (~2-3 ms of parse per doc on average).
     Returns ``(docs_table, payload_dict)`` — no goldens (bench ≠ oracle)."""
     import random
 
@@ -133,14 +135,17 @@ def build_bench_corpus(n_docs: int = 3000, seed: int = 42):
     for name in small_names:
         payloads[f"pdf://{name}"] = FIXTURES[name]()[0]
     payloads["pdf://f18x20"] = f18_outlier_200pp(20)[0]
+    payloads["pdf://f18x60"] = f18_outlier_200pp(60)[0]
     payloads["pdf://f18x200"] = f18_outlier_200pp(200)[0]
 
     doc_rows = []
     for i in range(n_docs):
         r = rng.random()
-        if r < 0.01:
+        if r < 0.10:
             ref = "pdf://f18x200"
-        elif r < 0.05:
+        elif r < 0.30:
+            ref = "pdf://f18x60"
+        elif r < 0.50:
             ref = "pdf://f18x20"
         else:
             ref = f"pdf://{rng.choice(small_names)}"

@@ -61,6 +61,43 @@ def pdf_extract_status(sf_dir: str | None = None):
     return _load().select_columns(["doc_id", "n_spans", "status"])
 
 
+def pdf_image_features(sf_dir: str | None = None):
+    """Extract image blobs -> multimodal ImageFeatureStage (decode PNG,
+    vectorized pixel features). Oracle: constants derived by hand from the
+    fixture's literal pixel data (corpus.py IMG_PIXELS)."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.extract import extract_image_blobs
+    from ..stages.multimodal import ImageFeatureStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    blobs = extract_image_blobs(docs, ray.put(payloads), concurrency=2)
+    return blobs.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    )
+
+
+def _image_features_oracle() -> str:
+    # derived from the literal fixture pixels, not from engine code
+    from ..fixtures.corpus import IMG_H, IMG_PIXELS, IMG_REF, IMG_W
+
+    n = IMG_W * IMG_H
+    mean = [
+        int(sum(IMG_PIXELS[c::3]) / n) for c in range(3)
+    ]
+    return f"""
+        SELECT '{IMG_REF}' AS media_ref,
+               {IMG_W}::INT AS width, {IMG_H}::INT AS height,
+               {mean[0]}::INT AS mean_r, {mean[1]}::INT AS mean_g,
+               {mean[2]}::INT AS mean_b
+    """
+
+
 def pdf_span_kind_counts(sf_dir: str | None = None):
     """Aggregate over extraction output: spans per kind (Ray groupby)."""
     from ray.data.aggregate import Count
@@ -97,3 +134,4 @@ PDF_ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()

@@ -83,6 +83,37 @@ def media_ref_for_pixels(w: int, h: int, rgb8: bytes) -> str:
     return f"img:{digest[:40]}"
 
 
+def decode_png(png: bytes) -> tuple[int, int, bytes]:
+    """Decode an RGB8 PNG produced by ``encode_png`` (or any 8-bit
+    truecolor PNG with the standard row filters) back to raw pixels."""
+    from .filters import _png_predict
+
+    if not png.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise PdfParseError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(png):
+        length = int.from_bytes(png[pos : pos + 4], "big")
+        tag = png[pos + 4 : pos + 8]
+        payload = png[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w = int.from_bytes(payload[0:4], "big")
+            h = int.from_bytes(payload[4:8], "big")
+            bit_depth, color_type = payload[8], payload[9]
+            if bit_depth != 8 or color_type != 2:
+                raise PdfParseError("only 8-bit truecolor PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise PdfParseError("no IHDR")
+    raw = zlib.decompress(bytes(idat))
+    return w, h, _png_predict(raw, colors=3, bpc=8, columns=w)
+
+
 def encode_png(w: int, h: int, rgb8: bytes) -> bytes:
     """Minimal RGB8 PNG writer (no dependencies)."""
 

@@ -84,6 +84,32 @@ def explode_spans(extracted_ds):
     return extracted_ds.map_batches(explode, batch_format="pyarrow")
 
 
+def extract_image_blobs(docs_ds, payloads, concurrency=4, batch_size: int = 64):
+    """Extract content-addressed image blobs: (media_ref, png), deduped
+    across the corpus (same pixels -> same ref -> one survivor via a
+    hash-partitioned groupby)."""
+    import ray
+
+    from ..stages.extract import ImageBlobStage
+
+    ref = payloads if not isinstance(payloads, dict) else ray.put(payloads)
+    blobs = docs_ds.map_batches(
+        ImageBlobStage,
+        fn_constructor_kwargs={"payloads": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def first_per_ref(g):
+        return g.head(1)
+
+    return blobs.groupby("media_ref").map_groups(
+        first_per_ref, batch_format="pandas"
+    )
+
+
 def _manifest_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_lineage")
 

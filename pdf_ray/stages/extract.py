@@ -54,59 +54,126 @@ class ExtractStage:
         self.font_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Columnar batch assembly: per-doc span tuples land in flat
+        arrays + list offsets (no per-span dicts) — this path runs for
+        every span in the corpus, so it stays allocation-light."""
         doc_ids = batch.column("doc_id").to_pylist()
         in_spans = batch.column("spans").to_pylist()
-        out_rows = []
+        kinds: list[str] = []
+        texts: list[str | None] = []
+        refs: list[str | None] = []
+        orders: list[int] = []
+        offsets: list[int] = [0]
+        statuses: list[str] = []
+        errors: list[str | None] = []
+        n_spans: list[int] = []
         for doc_id, spans in zip(doc_ids, in_spans):
-            out_rows.append(self._extract_doc(doc_id, spans or []))
-        return pa.Table.from_pylist(out_rows, schema=EXTRACTED)
+            start = len(kinds)
+            try:
+                self._extract_doc(spans or [], kinds, texts, refs, orders, start)
+                statuses.append("ok")
+                errors.append(None)
+            except Exception as e:  # row-level containment
+                del kinds[start:], texts[start:], refs[start:], orders[start:]
+                statuses.append("error")
+                errors.append(f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN])
+            n_spans.append(len(kinds) - start)
+            offsets.append(len(kinds))
 
-    def _extract_doc(self, doc_id: str, in_spans: list[dict]) -> dict:
-        out_spans: list[dict] = []
-        try:
-            for sp in in_spans:
-                kind = sp.get("kind")
-                if kind == "text":
-                    out_spans.append(
-                        {
-                            "kind": "text",
-                            "text": sp.get("text"),
-                            "media_ref": None,
-                            "order": 0,
-                        }
-                    )
-                elif kind == "media":
-                    ref = sp.get("media_ref")
-                    pdf_bytes = self.resolver(ref)
-                    if pdf_bytes is None:
-                        raise KeyError(f"payload {ref!r} not found")
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(orders, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "order"],
+        )
+        spans_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), span_struct
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").combine_chunks(),
+                spans_col,
+                pa.array(n_spans, pa.int32()),
+                pa.array(statuses, pa.string()),
+                pa.array(errors, pa.string()),
+            ],
+            schema=EXTRACTED,
+        )
+
+    def _extract_doc(self, in_spans, kinds, texts, refs, orders, start) -> None:
+        for sp in in_spans:
+            kind = sp.get("kind")
+            if kind == "text":
+                kinds.append("text")
+                texts.append(sp.get("text"))
+                refs.append(None)
+            elif kind == "media":
+                ref = sp.get("media_ref")
+                pdf_bytes = self.resolver(ref)
+                if pdf_bytes is None:
+                    raise KeyError(f"payload {ref!r} not found")
+                doc = Document(pdf_bytes)
+                interp = Interpreter(
+                    doc,
+                    collect_images=self.collect_images,
+                    font_cache=self.font_cache,
+                    apply_tounicode=self.apply_tounicode,
+                )
+                for page in doc.pages:
+                    interp._run_page(page)
+                for k, text, mref in interp.spans:
+                    kinds.append(k)
+                    texts.append(text)
+                    refs.append(mref)
+                interp.spans.clear()
+            else:
+                raise ValueError(f"bad input span kind {kind!r}")
+        orders.extend(range(len(kinds) - start))
+
+
+class ImageBlobStage(ExtractStage):
+    """Variant that emits the extracted image BLOBS instead of spans:
+    (media_ref, png). Downstream: dedupe on media_ref (content-addressed,
+    identical blobs collapse) and feed the multimodal stages or a blob
+    sink. Same actor-pool shape and error containment as ExtractStage."""
+
+    def __init__(self, payloads=None, payload_resolver=None):
+        super().__init__(
+            payloads=payloads,
+            payload_resolver=payload_resolver,
+            collect_images=True,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs: list[str] = []
+        blobs: list[bytes] = []
+        seen: set[str] = set()
+        for spans in batch.column("spans").to_pylist():
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                pdf_bytes = self.resolver(sp.get("media_ref"))
+                if pdf_bytes is None:
+                    continue
+                try:
                     doc = Document(pdf_bytes)
                     interp = Interpreter(
-                        doc,
-                        collect_images=self.collect_images,
-                        font_cache=self.font_cache,
-                        apply_tounicode=self.apply_tounicode,
+                        doc, collect_images=True, font_cache=self.font_cache
                     )
-                    for k, text, mref, _ in interp.run():
-                        out_spans.append(
-                            {"kind": k, "text": text, "media_ref": mref, "order": 0}
-                        )
-                else:
-                    raise ValueError(f"bad input span kind {kind!r}")
-            for i, sp in enumerate(out_spans):
-                sp["order"] = i
-            return {
-                "doc_id": doc_id,
-                "spans": out_spans,
-                "n_spans": len(out_spans),
-                "status": "ok",
-                "error": None,
+                    interp.run()
+                except Exception:
+                    continue  # poison rows contribute no blobs
+                for ref, png in interp.images.items():
+                    if ref not in seen:
+                        seen.add(ref)
+                        refs.append(ref)
+                        blobs.append(png)
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "png": pa.array(blobs, pa.large_binary()),
             }
-        except Exception as e:  # row-level containment
-            return {
-                "doc_id": doc_id,
-                "spans": [],
-                "n_spans": 0,
-                "status": "error",
-                "error": f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN],
-            }
+        )

@@ -1,0 +1,100 @@
+"""Multimodal stages: real PNG decode/feature/resize; stubbed audio/video
+with real Ray plumbing (schema, batch shape, determinism)."""
+
+import numpy as np
+import pyarrow as pa
+
+from pdf_ray.pdfcore.images import decode_png, encode_png
+from pdf_ray.stages.multimodal import (
+    AudioFeatureStage,
+    ImageFeatureStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+)
+
+
+def _png(w, h, seed=3):
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    return pixels, encode_png(w, h, pixels)
+
+
+def test_png_roundtrip():
+    pixels, png = _png(7, 5)
+    w, h, out = decode_png(png)
+    assert (w, h) == (7, 5)
+    assert out == pixels
+
+
+def test_image_feature_stage():
+    pixels, png = _png(4, 4)
+    batch = pa.table(
+        {"media_ref": ["img:x"], "png": pa.array([png], pa.large_binary())}
+    )
+    out = ImageFeatureStage()(batch)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, 3)
+    assert out.column("width").to_pylist() == [4]
+    assert out.column("height").to_pylist() == [4]
+    assert out.column("mean_r").to_pylist() == [int(arr[:, 0].mean())]
+
+
+def test_image_resize_stage():
+    _, png = _png(16, 8)
+    batch = pa.table(
+        {"media_ref": ["img:x"], "png": pa.array([png], pa.large_binary())}
+    )
+    out = ImageResizeStage(target_w=4, target_h=4)(batch)
+    w, h, pixels = decode_png(out.column("png").to_pylist()[0])
+    assert (w, h) == (4, 4)
+    assert len(pixels) == 4 * 4 * 3
+
+
+def test_audio_stage_is_deterministic_stub():
+    batch = pa.table(
+        {
+            "media_ref": ["a1", "a2"],
+            "audio": pa.array([b"payload-1", b"payload-2"], pa.large_binary()),
+        }
+    )
+    stage = AudioFeatureStage()
+    out1 = stage(batch)
+    out2 = stage(batch)
+    assert out1.equals(out2)
+    feats = out1.column("features").to_pylist()
+    assert len(feats[0]) == AudioFeatureStage.N_FEATURES
+    assert feats[0] != feats[1]
+
+
+def test_video_frame_sample_stage():
+    batch = pa.table(
+        {
+            "media_ref": ["v1"],
+            "video": pa.array([bytes(range(256)) * 64], pa.large_binary()),
+        }
+    )
+    out = VideoFrameSampleStage(n_frames=4)(batch)
+    assert out.num_rows == 4
+    assert out.column("frame_index").to_pylist() == [0, 1, 2, 3]
+    assert all(r.startswith("frame:") for r in out.column("frame_ref").to_pylist())
+
+
+def test_image_blob_pipeline(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pdf_ray.fixtures.tables import build_corpus
+    from pdf_ray.pipelines.extract import extract_image_blobs
+
+    docs, ptbl, golden, _ = build_corpus(replicas=2)
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    blobs = extract_image_blobs(
+        rd.from_arrow(docs), ray.put(payloads), concurrency=2
+    ).to_pandas()
+    # the corpus contains exactly one distinct image (f13's, also via f20)
+    from pdf_ray.fixtures.corpus import IMG_REF
+
+    assert list(blobs["media_ref"]) == [IMG_REF]
+    w, h, _pixels = decode_png(blobs["png"][0])
+    assert (w, h) == (4, 3)
