@@ -50,8 +50,11 @@ class ExtractStage:
         self.collect_images = collect_images
         self.apply_tounicode = apply_tounicode
         # font-program cache shared across all rows this actor processes
-        # (reference reloads fonts per draw_text call — SURVEY §2.5)
-        self.font_cache: dict = {}
+        # (reference reloads fonts per draw_text call — SURVEY §2.5);
+        # LRU-bounded so adversarial corpora can't grow the actor heap
+        from ..state.cache import LruCache
+
+        self.font_cache = LruCache(max_entries=4096)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Columnar batch assembly: per-doc span tuples land in flat
