@@ -55,8 +55,14 @@ class PdfBuilder:
         body = d + b"\nstream\n" + data + b"\nendstream"
         return self.add(num, body)
 
-    def build(self, root_num: int, use_xref_stream: bool = False) -> bytes:
+    def build(
+        self,
+        root_num: int,
+        use_xref_stream: bool = False,
+        extra_trailer: bytes = b"",
+    ) -> bytes:
         self.root_num = root_num
+        self.extra_trailer = extra_trailer
         if use_xref_stream:
             return self._build_xref_stream()
         return self._build_classic()
@@ -81,9 +87,10 @@ class PdfBuilder:
             else:
                 out += b"0000000000 00001 f \n"
         out += (
-            f"trailer\n<< /Size {maxnum + 1} /Root {self.root_num} 0 R >>\n"
-            f"startxref\n{xref_pos}\n%%EOF\n"
-        ).encode()
+            f"trailer\n<< /Size {maxnum + 1} /Root {self.root_num} 0 R ".encode()
+            + getattr(self, "extra_trailer", b"")
+            + f">>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+        )
         return bytes(out)
 
     def _build_xref_stream(self) -> bytes:

@@ -482,6 +482,98 @@ def f21_type3_font():
     return b.build(1), _t("abc")
 
 
+def _encrypted_fixture(aes: bool):
+    """Standard-security-handler fixture, empty user password. RC4 variant:
+    V=1/R=2/40-bit; AES variant: V=4/R=4/AESV2. The /O entry is computed
+    properly from an owner password; spec Algorithms 2/4/5 are exercised
+    end-to-end (reference: src/encryption.rs)."""
+    import hashlib
+
+    from ..pdfcore.encryption import (
+        PAD,
+        aes128_cbc_encrypt,
+        compute_encryption_key,
+        compute_u_entry,
+        object_key,
+        rc4,
+    )
+
+    text = "AES secret" if aes else "RC4 secret"
+    content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    file_id = bytes(range(0xA0, 0xB0))
+    owner_pw = b"owner-secret"
+    revision = 4 if aes else 2
+    key_bytes = 16 if aes else 5
+
+    # O entry (Algorithm 3, encrypt-side): RC4(md5(padded owner pw), padded
+    # user pw); R>=3 iterates the md5 50x and the RC4 19x with xored keys
+    okey = hashlib.md5((owner_pw + PAD)[:32]).digest()
+    if revision >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:key_bytes]).digest()
+    okey = okey[:key_bytes]
+    o_entry = rc4(okey, PAD)  # padded empty user password == PAD
+    if revision >= 3:
+        for i in range(1, 20):
+            o_entry = rc4(bytes(b ^ i for b in okey), o_entry)
+
+    p = -4  # all permission high bits set, print bit clear (arbitrary)
+    key = compute_encryption_key(b"", o_entry, p, file_id, key_bytes, revision)
+    u_entry = compute_u_entry(key, revision, file_id)
+
+    ckey = object_key(key, 4, 0, aes)
+    if aes:
+        enc_content = aes128_cbc_encrypt(ckey, bytes(range(0x10, 0x20)), content)
+    else:
+        enc_content = rc4(ckey, content)
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add(
+        4,
+        f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+        + enc_content
+        + b"\nendstream",
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if aes:
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <" + o_entry.hex().encode() + b"> "
+            b"/U <" + u_entry.hex().encode() + b"> "
+            b"/P " + str(p).encode() + b" >>"
+        )
+    else:
+        enc_dict = (
+            b"<< /Filter /Standard /V 1 /R 2 /Length 40 "
+            b"/O <" + o_entry.hex().encode() + b"> "
+            b"/U <" + u_entry.hex().encode() + b"> "
+            b"/P " + str(p).encode() + b" >>"
+        )
+    b.add(6, enc_dict)
+    trailer_extra = (
+        b"/Encrypt 6 0 R /ID [<" + file_id.hex().encode() + b"> <"
+        + file_id.hex().encode() + b">] "
+    )
+    return b.build(1, extra_trailer=trailer_extra), _t(text)
+
+
+def f22_encrypted_rc4():
+    return _encrypted_fixture(aes=False)
+
+
+def f23_encrypted_aes():
+    return _encrypted_fixture(aes=True)
+
+
 def f19a_poison_truncated():
     pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Will be cut) Tj ET")
     return pdf[: len(pdf) // 2], None
@@ -523,4 +615,6 @@ FIXTURES = {
     "f19a": f19a_poison_truncated,
     "f19b": f19b_poison_bad_xref,
     "f21": f21_type3_font,
+    "f22": f22_encrypted_rc4,
+    "f23": f23_encrypted_aes,
 }

@@ -35,8 +35,23 @@ class Document:
 
     def __init__(self, buf: bytes):
         self.buf = buf
+        self.security = None
+        self._encrypt_num = None
         self.xref, self.trailer = read_full_xref(buf)
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            # resolved while security is still None -> the /Encrypt dict
+            # itself is read undecrypted (it never is encrypted)
+            from .encryption import StandardSecurityHandler
+
+            enc_dict = self.resolve_dict(enc_ref)
+            ids = self.resolve(self.trailer.get("ID", NULL))
+            first_id = b""
+            if isinstance(ids, list) and ids and isinstance(ids[0], str):
+                first_id = bytes(ord(c) & 0xFF for c in ids[0])
+            self._encrypt_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+            self.security = StandardSecurityHandler(enc_dict, first_id)
         root = self.trailer.get("Root")
         if root is None:
             raise PdfParseError("trailer has no /Root")
@@ -54,11 +69,18 @@ class Document:
         reference resolves to NULL (src/lib.rs:405)."""
         seen = 0
         while isinstance(obj, Ref):
+            seen_ref = obj
             entry = self.xref.get(obj)
             if entry is None:
                 return NULL
             if isinstance(entry, InUse):
                 obj = self._lex_at(entry.offset)
+                # strings/streams of encrypted documents are decrypted with
+                # the per-object key; ObjStm members are covered by their
+                # container stream's decryption (PDF 32000-1 §7.6.2)
+                if self.security is not None and obj is not None:
+                    if self._encrypt_num != seen_ref.num:
+                        obj = self.security.decrypt_object(obj, seen_ref)
             elif isinstance(entry, Compressed):
                 obj = self._lex_from_objstm(entry)
             else:
