@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_unicode": p.pdf_extract_unicode,
         "pdf_extract_status": p.pdf_extract_status,
         "pdf_span_kind_counts": p.pdf_span_kind_counts,
+        "pdf_extract_metrics": p.pdf_extract_metrics,
         "pdf_image_features": p.pdf_image_features,
     }
     q.update(registry.QUERIES)

@@ -482,6 +482,35 @@ def f21_type3_font():
     return b.build(1), _t("abc")
 
 
+def f24_dct_image():
+    """DCT (JPEG) Image XObject: the codec is unavailable here, so the
+    engine passes the container through and refs it by content hash
+    (imgraw:sha256[:40] — formula restated here independently)."""
+    import hashlib
+
+    jpeg_like = b"\xff\xd8\xff\xe0" + bytes(range(64)) * 4 + b"\xff\xd9"
+    expected_ref = "imgraw:" + hashlib.sha256(jpeg_like).hexdigest()[:40]
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before jpeg) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length "
+                + str(len(jpeg_like)).encode()
+                + b" >>\nstream\n"
+                + jpeg_like
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before jpeg", None, 0),
+        ("image", None, expected_ref, 1),
+    ]
+
+
 def _encrypted_fixture(aes: bool):
     """Standard-security-handler fixture, empty user password. RC4 variant:
     V=1/R=2/40-bit; AES variant: V=4/R=4/AESV2. The /O entry is computed
@@ -617,4 +646,5 @@ FIXTURES = {
     "f21": f21_type3_font,
     "f22": f22_encrypted_rc4,
     "f23": f23_encrypted_aes,
+    "f24": f24_dct_image,
 }

@@ -108,6 +108,21 @@ def pdf_span_kind_counts(sf_dir: str | None = None):
     return out
 
 
+def pdf_extract_metrics(sf_dir: str | None = None):
+    """Job metrics rollup (SURVEY.md §2.8): per-status doc and span counts
+    — the numbers a lineage manifest aggregates per partition."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _load()
+        .groupby("status")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_spans", alias_name="total_spans"),
+        )
+    )
+
+
 GOLDEN = os.path.join(FIXTURES_DIR, "golden.parquet")
 
 GOLDEN_UNICODE = os.path.join(FIXTURES_DIR, "golden_unicode.parquet")
@@ -127,6 +142,11 @@ PDF_ORACLE_SQL = {
     """,
     "pdf_extract_status": f"""
         SELECT doc_id, n_spans, status FROM read_parquet('{GOLDEN}')
+    """,
+    "pdf_extract_metrics": f"""
+        SELECT status, count(*)::BIGINT AS n_docs,
+               sum(n_spans)::BIGINT AS total_spans
+        FROM read_parquet('{GOLDEN}') GROUP BY 1
     """,
     "pdf_span_kind_counts": f"""
         SELECT s.kind AS kind, count(*) AS n

@@ -83,6 +83,20 @@ def media_ref_for_pixels(w: int, h: int, rgb8: bytes) -> str:
     return f"img:{digest[:40]}"
 
 
+def media_ref_for_container(data: bytes) -> str:
+    """Content ref for image formats we pass through undecoded (DCT/JPX:
+    no codec in this environment; the reference shells out to a jpeg crate,
+    src/filter/dct.rs:10-20). Hashing the container keeps the ref
+    content-addressed and stable."""
+    return f"imgraw:{hashlib.sha256(data).hexdigest()[:40]}"
+
+
+def is_passthrough_image(stream: Stream, resolve) -> bool:
+    filt = resolve(stream.dict.get("Filter", stream.dict.get("F", NULL)))
+    names = filt if isinstance(filt, list) else [filt]
+    return any(str(resolve(n)) in ("DCTDecode", "DCT", "JPXDecode") for n in names)
+
+
 def decode_png(png: bytes) -> tuple[int, int, bytes]:
     """Decode an RGB8 PNG produced by ``encode_png`` (or any 8-bit
     truecolor PNG with the standard row filters) back to raw pixels."""

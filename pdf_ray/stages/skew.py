@@ -21,6 +21,32 @@ from ..pdfcore.interp import Interpreter
 _MAX_ERROR_LEN = 512
 
 
+def salted_groupby(ds, key: str, combiner, salt_buckets: int = 16):
+    """Two-phase groupby for hot keys (SURVEY.md §2.8 skew row): a salt
+    column ``hash(row) % salt_buckets`` splits each key's rows across
+    reducers; ``combiner`` (pandas group -> 1-row pandas frame, and
+    associative: combiner(combiner(A)+combiner(B)) == combiner(A+B)) runs
+    per (key, salt) sub-group and once more per key to merge."""
+    import pandas as pd
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salts = pa.array(
+            [hash((i, n)) % salt_buckets for i in range(n)], pa.int32()
+        )
+        return batch.append_column("__salt", salts)
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "__salt"])
+        .map_groups(
+            lambda g: combiner(g.drop(columns="__salt")),
+            batch_format="pandas",
+        )
+    )
+    return partial.groupby(key).map_groups(combiner, batch_format="pandas")
+
+
 def plan_page_ranges(docs_ds, payloads, pages_per_unit: int = 25):
     """Sizing pass: one cheap parse of each doc's page COUNT (xref + page
     tree only, no content decode) -> (doc_id, media_ref, page_lo, page_hi)

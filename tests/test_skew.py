@@ -68,3 +68,32 @@ def test_split_extraction_matches_unsplit(ray_session):
             for s in out["spans"][i]
         ]
         assert got == expected, out["doc_id"][i]
+
+
+def test_salted_groupby_matches_plain(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_ray.stages.skew import salted_groupby
+
+    rows = [{"k": f"key{i % 3}", "v": i} for i in range(300)]
+    ds = rd.from_items(rows)
+
+    # the combiner must be associative (sum of partial sums == total sum)
+    def combiner2(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "v": [int(g["v"].sum())]})
+
+    got = (
+        salted_groupby(ds, "k", combiner2, salt_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame(rows)
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == want.to_dict("records")
