@@ -84,6 +84,9 @@ def bench_extraction(num_cpus: int, n_docs: int):
     return dt, n_total
 
 
+SLOW_QUERIES = {"dedup_ngram_jaccard"}  # ~3 min at sf0.1; opt in via env
+
+
 def bench_table_queries(sf_dir: str) -> dict[str, float]:
     """Secondary: table pipelines over $GRAFT_SF_DIR."""
     out: dict[str, float] = {}
@@ -91,7 +94,10 @@ def bench_table_queries(sf_dir: str) -> dict[str, float]:
         from pdf_ray.ops import registry
     except Exception:
         return out
+    include_slow = bool(os.environ.get("GRAFT_BENCH_SLOW"))
     for name, fn in sorted(registry.QUERIES.items()):
+        if name in SLOW_QUERIES and not include_slow:
+            continue
         try:
             t0 = time.perf_counter()
             res = fn(sf_dir)

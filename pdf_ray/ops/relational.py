@@ -102,9 +102,15 @@ register(
 
 def top_customers_by_revenue(sf_dir: str):
     """Revenue per customer (orders ⋈ customer via broadcast of the small
-    dimension side — no shuffle join), top 10 by revenue then custkey."""
+    dimension side — no shuffle join), top 10 by revenue then custkey.
+
+    Final combine happens driver-side: the key cardinality is bounded by
+    the customer *dimension* table (which already fits on the driver as
+    the broadcast side), so a Ray groupby shuffle would move more data
+    than the partial results themselves. Large per-batch partials
+    (batch_size=64k) keep the partial row count ~= one row per key per
+    block."""
     import ray
-    from ray.data.aggregate import Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -114,15 +120,13 @@ def top_customers_by_revenue(sf_dir: str):
             p_rev=("o_totalprice", "sum"), p_orders=("o_orderkey", "count")
         )
 
-    per_cust = (
+    parts = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("p_rev", alias_name="revenue"),
-            Sum("p_orders", alias_name="n_orders"),
-        )
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
         .to_pandas()
+    )
+    per_cust = parts.groupby("o_custkey", as_index=False).agg(
+        revenue=("p_rev", "sum"), n_orders=("p_orders", "sum")
     )
     per_cust["revenue"] = _round2(per_cust["revenue"])
     per_cust["n_orders"] = per_cust["n_orders"].astype("int64")
