@@ -84,7 +84,7 @@ def bench_extraction(num_cpus: int, n_docs: int):
     return dt, n_total
 
 
-SLOW_QUERIES = {"dedup_ngram_jaccard"}  # ~3 min at sf0.1; opt in via env
+SLOW_QUERIES: set[str] = set()  # all queries currently fast at sf0.1
 
 
 def bench_table_queries(sf_dir: str) -> dict[str, float]:

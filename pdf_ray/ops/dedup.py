@@ -73,31 +73,41 @@ def _shingles(tokens: list[str], n: int = 3) -> set[str]:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
+N_SHINGLE_BUCKETS = 128
+
+
 def dedup_ngram_jaccard(sf_dir: str, tau: float = JACCARD_TAU):
     """Exact word-3-gram Jaccard pairs >= tau via an inverted-index join:
 
-      docs -> (shingle, doc_id) explode -> groupby(shingle) -> per-group
-      candidate pairs -> groupby(pair) count = |A∩B| -> jaccard with
-      |A|,|B| -> filter
+      docs -> (bucket=hash(shingle)%B, shingle, doc_id) explode
+           -> groupby(bucket): per-bucket *vectorized* pandas groupby over
+              its shingles, emitting co-occurrence pairs
+           -> groupby(pair-bucket): per-bucket pair counts = |A∩B|
+           -> jaccard with |A|,|B| -> filter
 
-    All-to-all cost is bounded by shingle co-occurrence, not n^2. At scale,
-    ultra-common shingles need a frequency cap / salting (documented
-    partitioning assumption); the sf corpora don't hit it.
-    Jaccard threshold compare uses integers (inter * 1 >= tau * union) to
-    stay float-stable vs the oracle."""
-    from ray.data.aggregate import Count
+    Bucketing by shingle hash (not per-shingle map_groups) keeps reducer
+    count fixed at B — one pandas call per bucket instead of one per
+    distinct shingle (~1M groups at sf0.1, which is per-group-overhead
+    death). All-to-all cost stays bounded by shingle co-occurrence, not
+    n^2; ultra-common shingles would need a frequency cap (documented
+    partitioning assumption — the sf corpora don't hit it). The jaccard
+    threshold compare is integer-only so it is float-stable vs the oracle."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, shingle_col, sizes_doc, sizes_n = [], [], [], []
+        doc_ids, shingle_col, buckets = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            sh = _shingles(text.lower().split(" "))
-            for s in sh:
+            for s in _shingles(text.lower().split(" ")):
                 doc_ids.append(doc_id)
                 shingle_col.append(s)
+                buckets.append(
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+                    % N_SHINGLE_BUCKETS
+                )
         return pa.table(
             {
+                "bucket": pa.array(buckets, pa.int32()),
                 "shingle": pa.array(shingle_col, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
@@ -106,20 +116,50 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = JACCARD_TAU):
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     inv = docs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp["doc_id"].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    raw_pairs = inv.groupby("bucket").map_groups(
+        pairs_of_bucket, batch_format="pandas"
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
+        return batch.append_column("pbucket", pa.array(pb))
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        return c
 
     pair_counts = (
-        inv.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: count_pairs(g.drop(columns="pbucket")),
+            batch_format="pandas",
+        )
     )
 
     # shingle-set sizes: small per-doc table, broadcast for the final filter
@@ -212,8 +252,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, bands, keys = [], [], []
-        shingle_map = {}
+        doc_ids, buckets, keys = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -221,30 +260,43 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
             sig = _minhash_sig(sh)
             r = _N_HASHES // _N_BANDS
             for b in range(_N_BANDS):
-                h = hashlib.md5(sig[b * r : (b + 1) * r].tobytes()).hexdigest()[:16]
+                h = hashlib.md5(
+                    bytes([b]) + sig[b * r : (b + 1) * r].tobytes()
+                ).hexdigest()[:16]
                 doc_ids.append(doc_id)
-                bands.append(b)
                 keys.append(h)
+                buckets.append(int(h[:4], 16) % N_SHINGLE_BUCKETS)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
+                "bucket": pa.array(buckets, pa.int32()),
                 "key": pa.array(keys, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
         )
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+        # one pandas call per hash-bucket of band-keys (fixed reducer
+        # count), not one per distinct LSH bucket
+        out_a, out_b = [], []
+        for _, grp in g.groupby("key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(set(grp["doc_id"].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+        return df.drop_duplicates()
 
     candidates = (
         docs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("bucket")
         .map_groups(pairs_of_bucket, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
