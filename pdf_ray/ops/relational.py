@@ -273,7 +273,9 @@ def events_hourly(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        hour = df["ts"].dt.floor("h")
+        # string-typed window key: engine-stable for value hashing
+        # (timestamp columns round-trip with different units/precisions)
+        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
         g = pd.DataFrame(
             {"event_type": df["event_type"], "hour": hour, "value": df["value"]}
         ).groupby(["event_type", "hour"], as_index=False).agg(
@@ -300,7 +302,8 @@ register(
     "events_hourly",
     events_hourly,
     """
-    SELECT event_type, date_trunc('hour', ts) AS hour,
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            count(*)::BIGINT AS n_events,
            ROUND(sum(value), 2) AS sum_value
     FROM events GROUP BY 1, 2

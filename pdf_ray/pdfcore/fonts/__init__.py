@@ -108,8 +108,24 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
         dw = float(doc.resolve(cidfont.get("DW", 1000)))
         widths = _cid_widths(cidfont.get("W", []), doc.resolve)
 
+        # /Encoding: Identity-H/V maps code==CID; an *embedded CMap stream*
+        # is interpreted from scratch (the reference only captures it,
+        # src/font/type0.rs:34-81)
+        cid_map = None
+        enc = font_dict.get("Encoding")
+        enc_resolved = doc.resolve(enc) if enc is not None else None
+        if isinstance(enc_resolved, Stream):
+            from .cmap import parse_cid_cmap
+
+            cid_map = _cached_parse(
+                cache, doc.decoded(enc_resolved), parse_cid_cmap
+            )
+
         def cid_width(code: int) -> float:
-            return widths.get(code, dw)
+            cid = cid_map.map_code(code) if cid_map is not None else code
+            if cid is None:
+                cid = 0
+            return widths.get(cid, dw)
 
         return FontInfo(subtype, 2, cid_width, tounicode, None)
 

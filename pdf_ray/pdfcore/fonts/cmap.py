@@ -56,6 +56,50 @@ def _add_to_codepoints(base: str, delta: int):
     return cps
 
 
+class CidCMap:
+    """code -> CID mapping from an embedded CMap stream (begincidchar /
+    begincidrange). The reference captures these streams without decoding
+    them (src/font/type0.rs:34-81); we interpret the spec subset."""
+
+    def __init__(self):
+        self.code_widths: set[int] = set()
+        self.single: dict[int, int] = {}
+        self.ranges: list[tuple[int, int, int]] = []  # (lo, hi, first_cid)
+
+    @property
+    def code_bytes(self) -> int:
+        return max(self.code_widths) if self.code_widths else 2
+
+    def map_code(self, code: int) -> int | None:
+        got = self.single.get(code)
+        if got is not None:
+            return got
+        for lo, hi, first in self.ranges:
+            if lo <= code <= hi:
+                return first + (code - lo)
+        return None
+
+
+_CIDCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDRANGE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+
+
+def parse_cid_cmap(data: bytes) -> CidCMap:
+    cmap = CidCMap()
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for t in _HEX_RE.findall(m.group(1)):
+            cmap.code_widths.add(len(t) // 2)
+    for m in re.finditer(rb"begincidchar(.*?)endcidchar", data, re.S):
+        for src, cid in _CIDCHAR_RE.findall(m.group(1)):
+            cmap.single[int(src, 16)] = int(cid)
+    for m in re.finditer(rb"begincidrange(.*?)endcidrange", data, re.S):
+        for lo, hi, cid in _CIDRANGE_RE.findall(m.group(1)):
+            cmap.ranges.append((int(lo, 16), int(hi, 16), int(cid)))
+    return cmap
+
+
 def parse_tounicode(data: bytes) -> ToUnicodeCMap:
     cmap = ToUnicodeCMap()
     i = 0

@@ -126,3 +126,22 @@ def test_font_cache_is_reused():
     assert n1 >= 1
     extract_spans(pdf, font_cache=cache, apply_tounicode=True)
     assert len(cache) == n1  # same stream -> cache hit, no new entries
+
+
+def test_cid_cmap_parse_and_widths():
+    from pdf_ray.pdfcore.fonts.cmap import parse_cid_cmap
+
+    data = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 begincidchar\n<0020> 1\n<0041> 34\nendcidchar\n"
+        b"1 begincidrange\n<0061> <007A> 100\nendcidrange\n"
+        b"endcmap\nend"
+    )
+    cm = parse_cid_cmap(data)
+    assert cm.code_bytes == 2
+    assert cm.map_code(0x20) == 1
+    assert cm.map_code(0x41) == 34
+    assert cm.map_code(0x61) == 100
+    assert cm.map_code(0x7A) == 125
+    assert cm.map_code(0x7B) is None
