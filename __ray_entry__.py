@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = {
         "pdf_extract_spans": p.pdf_extract_spans,
+        "pdf_extract_spans_split": p.pdf_extract_spans_split,
         "pdf_extract_unicode": p.pdf_extract_unicode,
         "pdf_extract_status": p.pdf_extract_status,
         "pdf_span_kind_counts": p.pdf_span_kind_counts,

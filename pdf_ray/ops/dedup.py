@@ -19,7 +19,7 @@ from .registry import register
 
 JACCARD_TAU = 0.2
 COSINE_TAU = 0.4
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 2
 
 
 def _read_documents(sf_dir: str, columns=None):
@@ -355,18 +355,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
 
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
+    token_bits: dict[str, np.ndarray] = {}  # per-actor token hash cache
+
+    def bits_of(tok: str) -> np.ndarray:
+        got = token_bits.get(tok)
+        if got is None:
+            h = hashlib.md5(tok.encode()).digest()[:8]
+            got = np.where(
+                np.unpackbits(np.frombuffer(h, dtype=np.uint8)) > 0, 1, -1
+            ).astype(np.int8)
+            token_bits[tok] = got
+        return got
+
     def simhash_of(text: str) -> int:
-        toks = text.lower().split(" ")
-        acc = np.zeros(64, dtype=np.int64)
-        for t in set(toks):
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            bits = np.unpackbits(
-                np.frombuffer(struct.pack("<Q", h), dtype=np.uint8)
-            )
-            acc += np.where(bits > 0, 1, -1)
-        return int(
-            np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
-        )
+        toks = set(text.lower().split(" "))
+        if not toks:
+            return 0
+        acc = np.sum([bits_of(t) for t in toks], axis=0)
+        return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -394,28 +400,33 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
 
     def candidates(_block: pd.DataFrame) -> pd.DataFrame:
         df = ray.get(ref)
-        seen = set()
-        out_a, out_b = [], []
+        pairs: set[tuple[int, int]] = set()
         for k in range(4):
             for _, grp in df.groupby(f"b{k}"):
-                ids = grp.sort_values("doc_id")
-                arr = ids[["doc_id", "simhash"]].to_numpy()
-                for i in range(len(arr)):
-                    for j in range(i + 1, len(arr)):
-                        a, sa = arr[i]
-                        b, sb = arr[j]
-                        if (a, b) in seen:
-                            continue
-                        seen.add((a, b))
-                        if bin(int(sa) ^ int(sb)).count("1") <= max_hamming:
-                            out_a.append(a)
-                            out_b.append(b)
+                if len(grp) < 2:
+                    continue
+                grp = grp.sort_values("doc_id")
+                ids = grp["doc_id"].to_numpy()
+                # vectorized pairwise hamming: bit matrix B in {0,1},
+                # hamming = 64 - ones_agree - zeros_agree
+                sh = grp["simhash"].to_numpy().astype(np.uint64)
+                bits = np.unpackbits(
+                    sh.view(np.uint8).reshape(len(sh), 8), axis=1
+                ).astype(np.float32)
+                ones = bits @ bits.T
+                zeros = (1 - bits) @ (1 - bits).T
+                hamming = 64 - ones - zeros
+                ii, jj = np.where(np.triu(hamming <= max_hamming, k=1))
+                for i, j in zip(ii, jj):
+                    a, b = int(ids[i]), int(ids[j])
+                    pairs.add((a, b) if a < b else (b, a))
+        out = sorted(pairs)
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
+                "doc_a": pd.Series([p[0] for p in out], dtype="int64"),
+                "doc_b": pd.Series([p[1] for p in out], dtype="int64"),
             }
-        ).sort_values(["doc_a", "doc_b"])
+        )
 
     return candidates(None)
 

@@ -56,6 +56,27 @@ def pdf_extract_unicode(sf_dir: str | None = None):
     return explode_spans(_load(apply_tounicode=True))
 
 
+def pdf_extract_spans_split(sf_dir: str | None = None):
+    """Extraction through the giant-doc SPLIT path (page-range work units
+    -> ordered reassembly, stages/skew.py) over the single-media fixture
+    docs — must be span-for-span identical to the direct path's golden."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.extract import explode_spans
+    from ..stages.skew import extract_split
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    out = extract_split(
+        docs, ray.put(payloads), pages_per_unit=30, concurrency=4, batch_size=16
+    )
+    return explode_spans(out)
+
+
 def pdf_extract_status(sf_dir: str | None = None):
     """Per-document status/row-count view (poison containment check)."""
     return _load().select_columns(["doc_id", "n_spans", "status"])
@@ -133,6 +154,13 @@ PDF_ORACLE_SQL = {
                s.media_ref AS media_ref, s."order" AS "order"
         FROM (SELECT doc_id, unnest(spans) AS s
               FROM read_parquet('{GOLDEN}'))
+    """,
+    "pdf_extract_spans_split": f"""
+        SELECT doc_id, s.kind AS kind, s.text AS text,
+               s.media_ref AS media_ref, s."order" AS "order"
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('{GOLDEN}')
+              WHERE doc_id NOT LIKE 'f20-%')
     """,
     "pdf_extract_unicode": f"""
         SELECT doc_id, s.kind AS kind, s.text AS text,

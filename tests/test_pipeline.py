@@ -108,3 +108,31 @@ def test_explode_spans(ray_session, corpus):
     )
     assert len(flat) == n_expected
     assert set(flat.columns) == {"doc_id", "kind", "text", "media_ref", "order"}
+
+
+def test_parallelism_level_invariance(ray_session, corpus):
+    """SURVEY §5 pyramid item 4: same corpus at two parallelism levels ->
+    bit-identical spans."""
+    docs, payload_tbl, _ = corpus
+    a = _extract_table(docs, payload_tbl)  # concurrency=2 (helper default)
+    import ray.data as rd
+
+    from pdf_ray.pipelines.extract import extract_dataset
+
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    b = (
+        extract_dataset(rd.from_arrow(docs), payloads, concurrency=1, batch_size=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for i in range(len(a)):
+        assert [tuple(s.values()) for s in a["spans"][i]] == [
+            tuple(s.values()) for s in b["spans"][i]
+        ]
