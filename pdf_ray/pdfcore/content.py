@@ -18,8 +18,14 @@ Mirrors the reference ``ContentLexer`` (src/content/mod.rs:38-139):
 
 from __future__ import annotations
 
-from .lexer import _DIGITS, WHITESPACE, Lexer
+import re
+
+from .lexer import WHITESPACE, Lexer
 from .objects import NULL, PdfParseError
+
+# operator token: alnum run possibly terminated (inclusively) by * ' " —
+# or a lone quote char (src/content/mod.rs:83-99)
+_OP_RUN = re.compile(rb"[A-Za-z0-9]*")
 
 OPERATORS = frozenset(
     """b B b* B* BDC BI BMC BT BX c cm CS cs d d0 d1 Do DP EI EMC ET EX f F
@@ -48,22 +54,21 @@ def tokenize(buf: bytes):
             or (ord("a") <= b <= ord("z"))
             or (ord("A") <= b <= ord("Z"))
         ):
-            start = lx.pos
-            while True:
-                c = lx.peek()
-                if c is None:
-                    break
-                if c in (ord("*"), ord("'"), ord('"')):
-                    lx.pos += 1
-                    break
-                if not (
-                    (ord("a") <= c <= ord("z"))
-                    or (ord("A") <= c <= ord("Z"))
-                    or c in _DIGITS
-                ):
-                    break
+            if b == ord("'") or b == ord('"'):
                 lx.pos += 1
-            s = buf[start : lx.pos].decode("latin-1")
+                s = chr(b)
+            else:
+                # alnum run; a following * ' " terminates inclusively.
+                # NB: quotes inside a run also terminate it (e.g. `ab'`);
+                # the regex stops at them and the check below consumes one.
+                m = _OP_RUN.match(buf, lx.pos)
+                lx.pos = m.end()
+                nxt = lx.peek()
+                if nxt in (ord("*"), ord("'"), ord('"')):
+                    lx.pos += 1
+                    s = (m.group() + buf[lx.pos - 1 : lx.pos]).decode("latin-1")
+                else:
+                    s = m.group().decode("latin-1")
             if s == "true":
                 yield (OBJ, True)
             elif s == "false":

@@ -19,10 +19,18 @@ parity, see SURVEY.md §7.4.1):
 
 from __future__ import annotations
 
+import re
+
 from .objects import NULL, Name, PdfParseError, Ref, Stream
 
 WHITESPACE = frozenset((0x00, 0x09, 0x0A, 0x0C, 0x0D, 0x20))
 DELIMITERS = frozenset(b"()<>[]{}/%")
+
+# regular (name) chars: not whitespace, not delimiter
+_NAME_RUN = re.compile(rb"[^\x00\x09\x0a\x0c\x0d\x20()<>\[\]{}/%]*")
+_DIGIT_RUN = re.compile(rb"[0-9]*")
+_WS_RUN = re.compile(rb"[\x00\x09\x0a\x0c\x0d\x20]+")
+_STRING_SPECIALS = re.compile(rb"[()\\]")
 _HEX = {
     **{ord("0") + i: i for i in range(10)},
     **{ord("a") + i: 10 + i for i in range(6)},
@@ -76,16 +84,19 @@ class Lexer:
 
     def skip_whitespace(self) -> None:
         buf, n = self.buf, len(self.buf)
-        while self.pos < n:
-            b = buf[self.pos]
-            if b in WHITESPACE:
-                self.pos += 1
+        pos = self.pos
+        ws = WHITESPACE
+        while pos < n:
+            b = buf[pos]
+            if b in ws:
+                pos += 1
             elif b == 0x25:  # '%' comment runs to EOL
-                self.pos += 1
-                while self.pos < n and buf[self.pos] not in (0x0D, 0x0A):
-                    self.pos += 1
+                pos += 1
+                while pos < n and buf[pos] not in (0x0D, 0x0A):
+                    pos += 1
             else:
                 break
+        self.pos = pos
 
     def expect_eol(self) -> None:
         b = self.next_byte()
@@ -98,11 +109,9 @@ class Lexer:
         raise PdfParseError(f"expected EOL, found {b!r}")
 
     def lex_whole_number(self) -> str:
-        start = self.pos
-        buf, n = self.buf, len(self.buf)
-        while self.pos < n and buf[self.pos] in _DIGITS:
-            self.pos += 1
-        return self.buf[start : self.pos].decode("ascii")
+        m = _DIGIT_RUN.match(self.buf, self.pos)
+        self.pos = m.end()
+        return m.group().decode("ascii")
 
     # -- object lexing (src/lex.rs:307-533) ---------------------------------
 
@@ -137,29 +146,40 @@ class Lexer:
 
     def lex_name(self) -> Name:
         self.expect(b"/")
+        m = _NAME_RUN.match(self.buf, self.pos)
+        run = m.group()
+        self.pos = m.end()
+        if b"#" not in run:
+            return Name(run.decode("latin-1"))
         out: list[str] = []
-        while True:
-            b = self.peek()
-            if b is None or not is_regular(b):
-                break
-            self.pos += 1
-            if b == ord("#"):
-                hi = self.next_byte()
-                lo = self.next_byte()
-                if hi not in _HEX or lo not in _HEX:
+        i = 0
+        while i < len(run):
+            b = run[i]
+            if b == 0x23:  # '#XX' hex escape
+                if i + 2 >= len(run) or run[i + 1] not in _HEX or run[i + 2] not in _HEX:
                     raise PdfParseError("bad #-escape in name")
-                out.append(chr(_HEX[hi] * 16 + _HEX[lo]))
+                out.append(chr(_HEX[run[i + 1]] * 16 + _HEX[run[i + 2]]))
+                i += 3
             else:
                 out.append(chr(b))
+                i += 1
         return Name("".join(out))
 
     def lex_string(self) -> str:
         """Literal string ``(...)`` -> codepoint-per-byte str
-        (src/lex.rs:222-287; this output IS the span text at parity)."""
+        (src/lex.rs:222-287; this output IS the span text at parity).
+        Plain byte runs are bulk-decoded; the per-byte loop only handles
+        the special bytes ``( ) \\``."""
         self.expect(b"(")
         out: list[str] = []
         depth = 0
+        buf = self.buf
+        specials = _STRING_SPECIALS
         while True:
+            m = specials.search(buf, self.pos)
+            if m is not None and m.start() > self.pos:
+                out.append(buf[self.pos : m.start()].decode("latin-1"))
+                self.pos = m.start()
             b = self.peek()
             if b is None:
                 break
