@@ -358,6 +358,41 @@ register(
 )
 
 
+def user_running_totals(sf_dir: str):
+    """Ordered per-key stateful computation: cumulative value per user in
+    ts order (``groupby(user).map_groups`` over the sorted group — the
+    batch expression of a keyed streaming accumulator; the ordering
+    assumption is per-partition ts order, stated per the brief)."""
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "running_value": _round2(g["value"].cumsum()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(cumsum, batch_format="pandas")
+    )
+
+
+register(
+    "user_running_totals",
+    user_running_totals,
+    """
+    SELECT event_id, user_id,
+           ROUND(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), 2) AS running_value
+    FROM events
+    """,
+)
+
+
 def orders_by_priority(sf_dir: str):
     """Simple grouped count (int-only output)."""
     from ray.data.aggregate import Count

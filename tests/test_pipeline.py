@@ -136,3 +136,43 @@ def test_parallelism_level_invariance(ray_session, corpus):
         assert [tuple(s.values()) for s in a["spans"][i]] == [
             tuple(s.values()) for s in b["spans"][i]
         ]
+
+
+def test_partial_resume(ray_session, corpus, tmp_path):
+    """Resume-after-interruption equivalence: a run over HALF the corpus
+    (simulating a killed job's completed partitions), then a resumed full
+    run, must extract each doc exactly once and cover everything."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from pdf_ray.pipelines.extract import completed_doc_ids, run_extract
+
+    docs, payload_tbl, golden = corpus
+    half = docs.slice(0, docs.num_rows // 2)
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    pref = ray.put(payloads)
+    half_path = str(tmp_path / "half.parquet")
+    full_path = str(tmp_path / "full.parquet")
+    out_dir = str(tmp_path / "out")
+    pq.write_table(half, half_path)
+    pq.write_table(docs, full_path)
+
+    s1 = run_extract(half_path, out_dir, pref, concurrency=2)
+    assert s1["n_ok"] + s1["n_err"] == half.num_rows
+    s2 = run_extract(full_path, out_dir, pref, concurrency=2)
+    assert s2["skipped"] == half.num_rows
+    assert s1["n_ok"] + s1["n_err"] + s2["n_ok"] + s2["n_err"] == docs.num_rows
+    assert completed_doc_ids(out_dir) == set(docs.column("doc_id").to_pylist())
+    total = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(f"{out_dir}/part-*.parquet")
+    )
+    assert total == docs.num_rows  # each doc exactly once

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) — SURVEY §5 notes the reference has
+none; these fuzz the parity-critical byte paths."""
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_ray.fixtures.builder import _a85_encode, _lzw_encode
+from pdf_ray.pdfcore.filters import (
+    ascii85_decode,
+    ascii_hex_decode,
+    flate_decode,
+    lzw_decode,
+    run_length_decode,
+)
+from pdf_ray.pdfcore.lexer import Lexer
+
+
+def escape_literal(data: bytes) -> bytes:
+    """Write arbitrary bytes as a PDF literal string body."""
+    out = bytearray()
+    for b in data:
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out += b"\\" + bytes([b])
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_literal_string_roundtrip(data):
+    """Any byte payload written as an escaped literal string lexes back to
+    the codepoint-per-byte str (the parity-defining mapping)."""
+    lexed = Lexer(b"(" + escape_literal(data) + b")").lex_object()
+    assert lexed.encode("latin-1") == data
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_hex_string_roundtrip(data):
+    if data[:2] in (b"\xfe\xff",):  # FEFF prefix switches to UTF-16 lexing
+        return
+    lexed = Lexer(b"<" + data.hex().encode() + b">").lex_object()
+    assert lexed.encode("latin-1") == data
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+@settings(max_examples=100, deadline=None)
+def test_integer_roundtrip(n):
+    assert Lexer(str(n).encode() + b" ").lex_object() == n
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(max_examples=100, deadline=None)
+def test_real_roundtrip(x):
+    s = f"{x:.6f}"
+    assert abs(Lexer(s.encode() + b" ").lex_object() - float(s)) < 1e-9
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_ascii85_roundtrip(data):
+    assert ascii85_decode(_a85_encode(data), None) == data
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_ascii_hex_roundtrip(data):
+    assert ascii_hex_decode(data.hex().encode() + b">", None) == data
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip(data):
+    assert lzw_decode(_lzw_encode(data), None) == data
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_flate_roundtrip(data):
+    assert flate_decode(zlib.compress(data), None) == data
+
+
+@given(st.lists(st.tuples(st.booleans(), st.binary(min_size=1, max_size=20)),
+                max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_run_length_roundtrip(runs):
+    """Encode literal/repeat runs per spec 7.4.5 and decode back."""
+    enc = bytearray()
+    expected = bytearray()
+    for is_repeat, payload in runs:
+        if is_repeat:
+            count = min(len(payload) + 1, 128)
+            enc.append(257 - count)
+            enc.append(payload[0])
+            expected += bytes([payload[0]]) * count
+        else:
+            chunk = payload[:128]
+            enc.append(len(chunk) - 1)
+            enc += chunk
+            expected += chunk
+    enc.append(128)  # EOD
+    assert run_length_decode(bytes(enc), None) == bytes(expected)
+
+
+@given(st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24),
+       st.randoms())
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip(w, h, rnd):
+    from pdf_ray.pdfcore.images import decode_png, encode_png
+
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    assert decode_png(encode_png(w, h, pixels)) == (w, h, pixels)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_show_text_end_to_end(text):
+    """Arbitrary ASCII text through a full PDF build+extract roundtrip."""
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.interp import extract_spans
+
+    body = escape_literal(text.encode("latin-1"))
+    pdf = simple_page_pdf(b"BT /F1 9 Tf 5 5 Td (" + body + b") Tj ET")
+    spans, _ = extract_spans(pdf)
+    assert spans == [("text", text, None, 0)]
