@@ -64,7 +64,7 @@ def lang_stats(sf_dir: str):
     """Per-language rollup. Partial aggregation happens inside map_batches
     (one row per lang per batch) before the small groupby — the
     pre-aggregate pattern that keeps the shuffle tiny at scale."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lang", as_index=False).agg(

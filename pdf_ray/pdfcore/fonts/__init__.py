@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import hashlib
 
-from ..filters import decode_stream
 from ..objects import NULL, Name, Stream
 from .cff import parse_cff
-from .cmap import ToUnicodeCMap, parse_tounicode
+from .cmap import parse_tounicode
 from .encodings import GLYPH_TO_UNICODE, encoding_from_dict
 from .truetype import parse_truetype
 from .type1 import parse_type1

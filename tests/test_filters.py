@@ -43,8 +43,6 @@ def test_ascii85_z_shorthand_and_framing():
 
 def test_ascii85_short_form():
     # 1 byte -> 2 digits
-    import struct
-
     enc = ascii85_decode  # decoding only; encode via fixtures builder
     from pdf_ray.fixtures.builder import _a85_encode
 
