@@ -414,6 +414,111 @@ register(
 )
 
 
+N_JOIN_BUCKETS = 32
+
+
+def order_lineitem_revenue(sf_dir: str):
+    """Large ⋈ large: lineitem ⋈ orders on orderkey, revenue per order
+    priority. Implemented as an explicit partitioned hash join (the
+    portable Ray pattern): both sides get ``bucket = orderkey %% B``, are
+    tagged and unioned, and each bucket group does a pandas merge — every
+    bucket holds both sides' rows for its key range, so the join is local
+    to the group. (Ray >= 2.46 also ships ``Dataset.join``; the explicit
+    pattern keeps B and skew handling in our hands per the brief.)"""
+    import pyarrow.compute as pc
+
+    def tag_lineitem(t):
+        import pyarrow as pa
+
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+
+        return pa.table(
+            {
+                "key": t.column("l_orderkey"),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t.column("l_orderkey"), N_JOIN_BUCKETS - 1),
+                    pa.int32(),
+                ),
+                "side": pa.array(["L"] * t.num_rows, pa.string()),
+                "rev": rev,
+                "prio": pa.array([None] * t.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "key": t.column("o_orderkey"),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t.column("o_orderkey"), N_JOIN_BUCKETS - 1),
+                    pa.int32(),
+                ),
+                "side": pa.array(["O"] * t.num_rows, pa.string()),
+                "rev": pa.array([0.0] * t.num_rows, pa.float64()),
+                "prio": t.column("o_orderpriority"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["key", "rev"]]
+        right = g[g["side"] == "O"][["key", "prio"]]
+        j = left.merge(right, on="key", how="inner")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype=object),
+                    "p_rev": pd.Series(dtype="float64"),
+                    "p_items": pd.Series(dtype="int64"),
+                }
+            )
+        out = j.groupby("prio", as_index=False).agg(
+            p_rev=("rev", "sum"), p_items=("key", "count")
+        )
+        return out.rename(columns={"prio": "o_orderpriority"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue"),
+            Sum("p_items", alias_name="n_items"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = _round2(out["revenue"])
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+register(
+    "order_lineitem_revenue",
+    order_lineitem_revenue,
+    """
+    SELECT o_orderpriority,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+
+
 def part_type_stats(sf_dir: str):
     """Grouped stats over part: count + min/max retail price per type."""
     from ray.data.aggregate import Count, Max, Min
