@@ -20,7 +20,7 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None):
 
 
 def _load_all():
-    from . import dedup, relational, simsearch, textstats  # noqa: F401
+    from . import dedup, relational, simsearch, sketches, textstats  # noqa: F401
 
 
 _load_all()

@@ -86,3 +86,19 @@ def test_knn_ivf_overlaps_brute(ray_session):
     a = {tuple(r) for r in ivf[["query_id", "neighbor_id"]].itertuples(index=False)}
     # multi-probe LSH should recover a majority of true neighbors
     assert len(a & b) >= 0.5 * len(b)
+
+
+def test_hll_error_bound(ray_session):
+    """HLL estimate within 5% of the exact distinct counts (p=12 gives
+    ~1.6% expected error; 5% is a safe deterministic bound for this data)."""
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+
+    exact = to_pandas(m.queries()["event_type_distinct_users"](SF))
+    approx = to_pandas(m.queries()["distinct_users_hll"](SF))
+    ex = dict(zip(exact["event_type"], exact["n_users"]))
+    for _, row in approx.iterrows():
+        if row["event_type"] == "__total__":
+            continue
+        e = ex[row["event_type"]]
+        assert abs(row["approx_users"] - e) <= max(2, 0.05 * e), row["event_type"]
