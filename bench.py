@@ -58,9 +58,11 @@ def bench_extraction(num_cpus: int, n_docs: int):
     docs_tbl, payloads = build_bench_corpus(n_docs=base)
     pref = ray.put(payloads)
 
-    # leave CPU headroom for the non-actor stages: a fixed actor pool that
-    # reserves every logical CPU starves task-pool operators (deadlock)
-    pool = max(2, num_cpus - 2)
+    # leave CPU headroom for the non-actor stages (a pool reserving every
+    # logical CPU starves task-pool operators — deadlock), scaled so the
+    # actor:core ratio is the same at every num_cpus (asymmetric headroom
+    # would distort the N vs 4N comparison)
+    pool = max(2, num_cpus - max(1, num_cpus // 16))
     # ~200-doc tasks: large enough to amortize dispatch, small enough that
     # the actor pool load-balances the 200-page outliers (straggler tail)
     batch_size = 200
@@ -142,7 +144,7 @@ def scaling():
     evidence for the N->4N cluster-size criterion (BASELINE.json). Uses a
     long corpus so steady-state throughput dominates actor-pool startup."""
     lo, hi = 8, 32
-    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "60000")
+    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "150000")
 
     def run(ncpu: int) -> dict:
         env = dict(
