@@ -128,6 +128,53 @@ def completed_doc_ids(output_dir: str) -> set[str]:
     return done
 
 
+class ExtractWriteStage:
+    """Fused extract+write sink: parses the batch AND writes its parquet
+    shard + lineage manifest from inside the actor, emitting only a tiny
+    stats row. The span tables never transit the object store — at 100 TB
+    that hop (serialize -> plasma -> downstream read) is pure overhead when
+    the next stop is storage anyway."""
+
+    def __init__(self, payloads=None, output_dir: str = "", **kw):
+        self.inner = ExtractStage(payloads=payloads, **kw)
+        self.output_dir = output_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        out = self.inner(batch)
+        if out.num_rows == 0:
+            return pa.table(
+                {"n_ok": pa.array([], pa.int64()), "n_err": pa.array([], pa.int64())}
+            )
+        task_id = uuid.uuid4().hex[:16]
+        part = os.path.join(self.output_dir, f"part-{task_id}.parquet")
+        pq.write_table(out, part + ".tmp")
+        os.replace(part + ".tmp", part)
+        n_err = pc.sum(
+            pc.cast(pc.equal(out.column("status"), "error"), pa.int64())
+        ).as_py() or 0
+        manifest = {
+            "doc_ids": out.column("doc_id").to_pylist(),
+            "n_ok": out.num_rows - n_err,
+            "n_err": n_err,
+            "file": os.path.basename(part),
+        }
+        mdir = _manifest_dir(self.output_dir)
+        mtmp = os.path.join(mdir, f"{task_id}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, mtmp[:-4])
+        return pa.table(
+            {
+                "n_ok": pa.array([manifest["n_ok"]], pa.int64()),
+                "n_err": pa.array([n_err], pa.int64()),
+            }
+        )
+
+
 def run_extract(
     input_path: str,
     output_dir: str,
@@ -135,6 +182,7 @@ def run_extract(
     concurrency=4,
     batch_size: int = 64,
     resume: bool = True,
+    fused: bool = True,
 ):
     """Run the flagship pipeline with per-partition lineage + resume.
 
@@ -142,6 +190,10 @@ def run_extract(
     ``output_dir/_lineage/<task>.json`` manifests ``{doc_ids, n_ok, n_err}``
     written atomically (tmp+rename) by the same task that wrote the rows —
     a doc_id appears in a manifest iff its row hit the output.
+
+    ``fused=True`` (default) writes shards from inside the extract actors
+    (ExtractWriteStage) so span tables never transit the object store;
+    ``fused=False`` keeps the two-stage extract -> write pipeline.
     """
     import ray
     import ray.data as rd
@@ -162,11 +214,29 @@ def run_extract(
 
         docs_ds = docs_ds.map_batches(not_done, batch_format="pyarrow")
 
+    os.makedirs(_manifest_dir(output_dir), exist_ok=True)
+
+    if fused:
+        pref = payloads if not isinstance(payloads, dict) else ray.put(payloads)
+        stats = docs_ds.map_batches(
+            ExtractWriteStage,
+            fn_constructor_kwargs={"payloads": pref, "output_dir": output_dir},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).to_pandas()
+        if "n_ok" not in stats.columns:
+            return {"n_ok": 0, "n_err": 0, "skipped": skipped}
+        return {
+            "n_ok": int(stats["n_ok"].sum()),
+            "n_err": int(stats["n_err"].sum()),
+            "skipped": skipped,
+        }
+
     extracted = extract_dataset(
         docs_ds, payloads, concurrency=concurrency, batch_size=batch_size
     )
-
-    os.makedirs(_manifest_dir(output_dir), exist_ok=True)
 
     def write_partition(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
