@@ -511,6 +511,40 @@ def f24_dct_image():
     ]
 
 
+PALETTE = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])  # 4 colors
+IDX_W, IDX_H = 4, 2
+IDX_INDICES = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+IDX_PIXELS = b"".join(
+    PALETTE[3 * i : 3 * i + 3] for i in IDX_INDICES
+)
+IDX_REF = media_ref_for_pixels(IDX_W, IDX_H, IDX_PIXELS)
+
+
+def f25_indexed_image():
+    """Indexed color space image (palette lookup) — reference canvas
+    todo!()s on non-device spaces (src/render/canvas.rs:420-480)."""
+    pdf = simple_page_pdf(
+        b"q /Im1 Do Q BT /F1 12 Tf 72 700 Td (After palette) Tj ET",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+                b"/ColorSpace [/Indexed /DeviceRGB 3 <"
+                + PALETTE.hex().encode()
+                + b">] /BitsPerComponent 8 /Length "
+                + str(len(IDX_INDICES)).encode()
+                + b" >>\nstream\n"
+                + IDX_INDICES
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("image", None, IDX_REF, 0),
+        ("text", "After palette", None, 1),
+    ]
+
+
 def _encrypted_fixture(aes: bool):
     """Standard-security-handler fixture, empty user password. RC4 variant:
     V=1/R=2/40-bit; AES variant: V=4/R=4/AESV2. The /O entry is computed
@@ -647,4 +681,5 @@ FIXTURES = {
     "f22": f22_encrypted_rc4,
     "f23": f23_encrypted_aes,
     "f24": f24_dct_image,
+    "f25": f25_indexed_image,
 }

@@ -38,8 +38,48 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
         raise PdfParseError("image missing Width/Height")
     bpc = resolve(d.get("BitsPerComponent", d.get("BPC", 8)))
     cs = resolve(d.get("ColorSpace", d.get("CS", NULL)))
-    cs_name = _abbrev(str(cs)) if cs is not NULL else "DeviceGray"
     data = decode_stream(stream, resolve=resolve)
+
+    # Indexed color space: [/Indexed base hival lookup] -> palette expand
+    # (PDF 32000-1 §8.6.6.3; the reference canvas todo!()s on it)
+    if isinstance(cs, list) and cs and _abbrev(str(resolve(cs[0]))) == "Indexed":
+        base = _abbrev(str(resolve(cs[1])))
+        lookup = resolve(cs[3])
+        if isinstance(lookup, Stream):
+            palette = decode_stream(lookup, resolve=resolve)
+        elif isinstance(lookup, str):
+            palette = bytes(ord(c) & 0xFF for c in lookup)
+        else:
+            raise PdfParseError("bad Indexed lookup")
+        ncomp = {"DeviceRGB": 3, "DeviceGray": 1}.get(base)
+        if ncomp is None:
+            raise PdfParseError(f"unsupported Indexed base {base}")
+        if bpc == 8:
+            indices = data[: w * h]
+        elif bpc in (1, 2, 4):
+            per_byte = 8 // bpc
+            mask = (1 << bpc) - 1
+            row_bytes = (w * bpc + 7) // 8
+            indices = bytearray()
+            for y in range(h):
+                row = data[y * row_bytes : (y + 1) * row_bytes]
+                for x in range(w):
+                    byte = row[x // per_byte]
+                    shift = 8 - bpc * (x % per_byte + 1)
+                    indices.append((byte >> shift) & mask)
+        else:
+            raise PdfParseError(f"unsupported Indexed bpc {bpc}")
+        out = bytearray(w * h * 3)
+        for i, idx in enumerate(indices[: w * h]):
+            off = idx * ncomp
+            if ncomp == 3:
+                out[3 * i : 3 * i + 3] = palette[off : off + 3]
+            else:
+                v = palette[off]
+                out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
+        return w, h, bytes(out)
+
+    cs_name = _abbrev(str(cs)) if cs is not NULL else "DeviceGray"
 
     if cs_name == "DeviceRGB" and bpc == 8:
         need = w * h * 3

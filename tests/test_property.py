@@ -127,3 +127,60 @@ def test_show_text_end_to_end(text):
     pdf = simple_page_pdf(b"BT /F1 9 Tf 5 5 Td (" + body + b") Tj ET")
     spans, _ = extract_spans(pdf)
     assert spans == [("text", text, None, 0)]
+
+
+# -- generative interpreter fuzz -------------------------------------------
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+)
+
+
+@st.composite
+def content_program(draw):
+    """Random content stream + its expected span texts, built together."""
+    ops: list[bytes] = []
+    expected: list[str] = []
+    n_segments = draw(st.integers(min_value=1, max_value=5))
+    for _ in range(n_segments):
+        if draw(st.booleans()):  # graphics noise between text objects
+            ops.append(b"q 0.5 0 0 0.5 10 10 cm 1 0 0 RG 2 w "
+                       b"5 5 100 50 re f Q")
+        ops.append(b"BT /F1 10 Tf")
+        n_shows = draw(st.integers(min_value=0, max_value=4))
+        for _ in range(n_shows):
+            kind = draw(st.integers(min_value=0, max_value=3))
+            if kind == 0:
+                t = draw(_ascii_text)
+                ops.append(b"(" + escape_literal(t.encode("latin-1")) + b") Tj")
+                expected.append(t)
+            elif kind == 1:
+                parts = draw(st.lists(_ascii_text, min_size=1, max_size=3))
+                arr = b" ".join(
+                    b"(" + escape_literal(p.encode("latin-1")) + b") "
+                    + str(draw(st.integers(-500, 500))).encode()
+                    for p in parts
+                )
+                ops.append(b"[" + arr + b"] TJ")
+                expected.append("".join(parts))
+            elif kind == 2:
+                t = draw(_ascii_text)
+                ops.append(b"14 TL (" + escape_literal(t.encode("latin-1")) + b") '")
+                expected.append(t)
+            else:  # positioning noise, no span
+                ops.append(b"1 0 0 1 50 700 Tm 12 TL 2 Tc 1 Tw 99 Tz T*")
+        ops.append(b"ET")
+    return b" ".join(ops), expected
+
+
+@given(content_program())
+@settings(max_examples=150, deadline=None)
+def test_random_content_streams(prog):
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.interp import extract_spans
+
+    content, expected = prog
+    spans, _ = extract_spans(simple_page_pdf(content))
+    assert spans == [
+        ("text", t, None, i) for i, t in enumerate(expected)
+    ]
