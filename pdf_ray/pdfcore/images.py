@@ -79,6 +79,11 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
                 out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
         return w, h, bytes(out)
 
+    # stencil masks: /ImageMask true implies 1-bit, no color space
+    # (painted with the current fill color; we emit it as 1-bit gray)
+    if resolve(d.get("ImageMask", d.get("IM", False))) is True:
+        cs, bpc = NULL, 1
+
     cs_name = _abbrev(str(cs)) if cs is not NULL else "DeviceGray"
 
     if cs_name == "DeviceRGB" and bpc == 8:

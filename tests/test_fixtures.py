@@ -80,3 +80,32 @@ def test_missing_font_is_an_error():
     pdf = simple_page_pdf(b"BT /NoSuchFont 9 Tf (x) Tj ET")
     with pytest.raises(PdfParseError):
         extract_spans(pdf)
+
+
+def test_image_mask_stencil():
+    """ImageMask true => 1-bit stencil, no ColorSpace (PDF §8.9.6.2)."""
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.images import media_ref_for_pixels
+
+    mask_data = bytes([0b10101010, 0b01010101])
+    pixels = bytearray()
+    for byte in mask_data:
+        for bit in range(8):
+            v = 255 if (byte >> (7 - bit)) & 1 else 0
+            pixels += bytes([v, v, v])
+    pdf = simple_page_pdf(
+        b"q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 8 /Height 2 "
+                b"/ImageMask true /Length 2 >>\nstream\n"
+                + mask_data
+                + b"\nendstream"
+            )
+        },
+    )
+    spans, _ = extract_spans(pdf)
+    assert spans == [
+        ("image", None, media_ref_for_pixels(8, 2, bytes(pixels)), 0)
+    ]
