@@ -511,6 +511,75 @@ def f24_dct_image():
     ]
 
 
+def f26_hybrid_xrefstm():
+    """Hybrid-reference file (PDF §7.5.8.4): the classic xref table marks
+    the font object FREE; only the /XRefStm stream maps it (into an
+    ObjStm). Readers must prefer the stream's entries within the section —
+    legacy readers would fail on this file."""
+    content = b"BT /F1 12 Tf 72 720 Td (Hybrid xref) Tj ET"
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    # ObjStm 6 holds object 5 (the font)
+    header = b"5 0 "
+    payload = header + font + b"\n"
+    first = len(header)
+    objstm_data = zlib.compress(payload, 9)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num, body in (
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+    ):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[4] = len(out)
+    out += (
+        f"4 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    offsets[6] = len(out)
+    out += (
+        f"6 0 obj\n<< /Type /ObjStm /N 1 /First {first} /Filter /FlateDecode "
+        f"/Length {len(objstm_data)} >>\nstream\n".encode()
+        + objstm_data
+        + b"\nendstream\nendobj\n"
+    )
+    # xref STREAM obj 7: maps 5 -> (ObjStm 6, idx 0); 6 and 7 type-1
+    stm_pos = len(out)
+    rows = bytearray()
+    rows += bytes([2]) + (6).to_bytes(4, "big") + (0).to_bytes(2, "big")  # obj 5
+    rows += bytes([1]) + offsets[6].to_bytes(4, "big") + b"\x00\x00"      # obj 6
+    rows += bytes([1]) + stm_pos.to_bytes(4, "big") + b"\x00\x00"         # obj 7
+    xdata = zlib.compress(bytes(rows), 9)
+    out += (
+        f"7 0 obj\n<< /Type /XRef /Size 8 /Index [5 3] /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode /Length {len(xdata)} >>\nstream\n"
+    ).encode()
+    out += xdata + b"\nendstream\nendobj\n"
+    # classic table: object 5 FREE (the hybrid hole)
+    xref_pos = len(out)
+    out += b"xref\n0 8\n"
+    out += b"0000000000 65535 f \n"
+    for num in range(1, 8):
+        if num == 5:
+            out += b"0000000000 00001 f \n"
+        elif num == 7:
+            out += f"{stm_pos:010d} 00000 n \n".encode()
+        else:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 8 /Root 1 0 R /XRefStm {stm_pos} >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out), _t("Hybrid xref")
+
+
 PALETTE = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])  # 4 colors
 IDX_W, IDX_H = 4, 2
 IDX_INDICES = bytes([0, 1, 2, 3, 3, 2, 1, 0])
@@ -682,4 +751,5 @@ FIXTURES = {
     "f23": f23_encrypted_aes,
     "f24": f24_dct_image,
     "f25": f25_indexed_image,
+    "f26": f26_hybrid_xrefstm,
 }

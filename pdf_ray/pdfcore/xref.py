@@ -167,19 +167,37 @@ def _parse_xref_stream(lx: Lexer):
     return Xref(objects), d
 
 
+def _parse_section(buf: bytes, offset: int):
+    """Parse one xref section INCLUDING its hybrid ``XRefStm``: in a
+    hybrid-reference file the classic table marks ObjStm-resident objects
+    free and the xref stream supplies their real locations, so the
+    stream's entries take precedence within the section (PDF 32000-1
+    §7.5.8.4)."""
+    xref, trailer = parse_xref_at(buf, offset)
+    stm_off = trailer.get("XRefStm")
+    if isinstance(stm_off, int):
+        try:
+            stm_xref, _ = parse_xref_at(buf, stm_off)
+        except PdfParseError:
+            stm_xref = None
+        if stm_xref is not None:
+            stm_xref.merge_previous(xref)  # stream entries win in-section
+            xref = stm_xref
+    return xref, trailer
+
+
 def read_full_xref(buf: bytes):
-    """Follow the complete ``Prev`` / ``XRefStm`` chain from startxref.
+    """Follow the complete ``Prev`` chain from startxref.
 
     Returns ``(xref, trailer_dict)`` where ``trailer_dict`` is the newest
     trailer (its Root/Info/Encrypt/ID win) and the xref has first-writer-wins
-    entries across all updates (src/lib.rs:441-467).
+    entries across all update sections (src/lib.rs:441-467); each section's
+    hybrid XRefStm is folded in by ``_parse_section``.
     """
     offset = find_startxref(buf)
-    xref, trailer = parse_xref_at(buf, offset)
+    xref, trailer = _parse_section(buf, offset)
     seen = {offset}
     frontier = []
-    if "XRefStm" in trailer:
-        frontier.append(trailer["XRefStm"])
     if "Prev" in trailer:
         frontier.append(trailer["Prev"])
     while frontier:
@@ -187,10 +205,8 @@ def read_full_xref(buf: bytes):
         if off in seen:
             continue
         seen.add(off)
-        prev_xref, prev_trailer = parse_xref_at(buf, off)
+        prev_xref, prev_trailer = _parse_section(buf, off)
         xref.merge_previous(prev_xref)
-        if "XRefStm" in prev_trailer:
-            frontier.append(prev_trailer["XRefStm"])
         if "Prev" in prev_trailer:
             frontier.append(prev_trailer["Prev"])
     return xref, trailer
