@@ -105,18 +105,30 @@ def pdf_image_features(sf_dir: str | None = None):
 
 def _image_features_oracle() -> str:
     # derived from the literal fixture pixels, not from engine code
-    from ..fixtures.corpus import IMG_H, IMG_PIXELS, IMG_REF, IMG_W
+    from ..fixtures.corpus import (
+        IDX_H,
+        IDX_PIXELS,
+        IDX_REF,
+        IDX_W,
+        IMG_H,
+        IMG_PIXELS,
+        IMG_REF,
+        IMG_W,
+    )
 
-    n = IMG_W * IMG_H
-    mean = [
-        int(sum(IMG_PIXELS[c::3]) / n) for c in range(3)
-    ]
-    return f"""
-        SELECT '{IMG_REF}' AS media_ref,
-               {IMG_W}::INT AS width, {IMG_H}::INT AS height,
-               {mean[0]}::INT AS mean_r, {mean[1]}::INT AS mean_g,
-               {mean[2]}::INT AS mean_b
-    """
+    rows = []
+    for ref, w, h, pixels in (
+        (IMG_REF, IMG_W, IMG_H, IMG_PIXELS),
+        (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
+    ):
+        n = w * h
+        mean = [int(sum(pixels[c::3]) / n) for c in range(3)]
+        rows.append(
+            f"SELECT '{ref}' AS media_ref, {w}::INT AS width, "
+            f"{h}::INT AS height, {mean[0]}::INT AS mean_r, "
+            f"{mean[1]}::INT AS mean_g, {mean[2]}::INT AS mean_b"
+        )
+    return " UNION ALL ".join(rows)
 
 
 def pdf_span_kind_counts(sf_dir: str | None = None):
