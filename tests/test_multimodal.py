@@ -89,12 +89,19 @@ def test_image_blob_pipeline(ray_session):
     payloads = dict(
         zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
     )
-    blobs = extract_image_blobs(
-        rd.from_arrow(docs), ray.put(payloads), concurrency=2
-    ).to_pandas()
-    # the corpus contains exactly one distinct image (f13's, also via f20)
-    from pdf_ray.fixtures.corpus import IMG_REF
+    blobs = (
+        extract_image_blobs(rd.from_arrow(docs), ray.put(payloads), concurrency=2)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    # two distinct decodable images: f13's RGB and f25's indexed
+    from pdf_ray.fixtures.corpus import IDX_REF, IMG_REF
 
-    assert list(blobs["media_ref"]) == [IMG_REF]
-    w, h, _pixels = decode_png(blobs["png"][0])
-    assert (w, h) == (4, 3)
+    assert sorted(blobs["media_ref"]) == sorted([IMG_REF, IDX_REF])
+    sizes = {
+        ref: decode_png(png)[:2]
+        for ref, png in zip(blobs["media_ref"], blobs["png"])
+    }
+    assert sizes[IMG_REF] == (4, 3)
+    assert sizes[IDX_REF] == (4, 2)
