@@ -27,6 +27,17 @@ from .objects import NULL, PdfParseError
 # or a lone quote char (src/content/mod.rs:83-99)
 _OP_RUN = re.compile(rb"[A-Za-z0-9]*")
 
+# number fast path: one regex grabs the whole numeric token. The slow
+# lex_object path is kept for the `n m R` indirect-reference lookahead
+# quirk (src/lex.rs:473-494) — triggered only when an integer is followed
+# by ws + digits (rare in content streams; `1 1 1 RG` stays fast because
+# the check below requires a capital R after the second integer).
+_NUM_FAST = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_LOOKAHEAD = re.compile(
+    rb"[\x00\x09\x0a\x0c\x0d\x20]+\d+[\x00\x09\x0a\x0c\x0d\x20]+R"
+    rb"[\x00\x09\x0a\x0c\x0d\x20()<>\[\]{}/%]"
+)
+
 OPERATORS = frozenset(
     """b B b* B* BDC BI BMC BT BX c cm CS cs d d0 d1 Do DP EI EMC ET EX f F
     f* G g gs h i ID j J K k l m M MP n q Q re RG rg ri s S SC sc SCN scn
@@ -108,5 +119,19 @@ def tokenize(buf: bytes):
                 continue
             else:
                 raise PdfParseError(f"unknown content operator {s!r}")
+        elif 0x2B <= b <= 0x39 and b != 0x2F and b != 0x2C:  # + - . 0-9
+            m = _NUM_FAST.match(buf, lx.pos)
+            if m is None:
+                yield (OBJ, lx.lex_object())
+                continue
+            tok = m.group()
+            if b"." in tok:
+                lx.pos = m.end()
+                yield (OBJ, float(tok))
+            elif _REF_LOOKAHEAD.match(buf, m.end()) is not None:
+                yield (OBJ, lx.lex_object())  # exact reference semantics
+            else:
+                lx.pos = m.end()
+                yield (OBJ, int(tok))
         else:
             yield (OBJ, lx.lex_object())

@@ -55,3 +55,15 @@ def test_inline_image_tokens():
 def test_numeric_operator_suffixes():
     assert toks(b"1 2 d0") == [(OBJ, 1), (OBJ, 2), (OP, "d0")]
     assert toks(b"0 Tr") == [(OBJ, 0), (OP, "Tr")]
+
+
+def test_number_fast_path_reference_quirk():
+    """`12 0 R` in a content stream lexes as an indirect-reference object
+    (reference lex_number semantics); `1 1 1 RG` must NOT."""
+    from pdf_ray.pdfcore.objects import Ref
+
+    assert toks(b"12 0 R ") == [(OBJ, Ref(12, 0))]
+    assert toks(b"1 1 1 RG") == [(OBJ, 1), (OBJ, 1), (OBJ, 1), (OP, "RG")]
+    assert toks(b"3.14 -0.5 .25 +7 Tc") == [
+        (OBJ, 3.14), (OBJ, -0.5), (OBJ, 0.25), (OBJ, 7), (OP, "Tc")
+    ]
