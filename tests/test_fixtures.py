@@ -109,3 +109,27 @@ def test_image_mask_stencil():
     assert spans == [
         ("image", None, media_ref_for_pixels(8, 2, bytes(pixels)), 0)
     ]
+
+
+def test_all_options_together():
+    """Option interplay: tounicode + image collection + position
+    computation enabled simultaneously must not disturb kind/order
+    structure on any fixture."""
+    for name, fn in FIXTURES.items():
+        pdf, golden = fn()
+        if golden is None:
+            continue
+        spans, images = extract_spans(
+            pdf,
+            collect_images=True,
+            font_cache={},
+            compute_positions=True,
+            apply_tounicode=True,
+        )
+        assert [(s[0], s[3]) for s in spans] == [
+            (g[0], g[3]) for g in golden
+        ], name
+        # image refs unchanged by the extra options
+        assert [s[2] for s in spans if s[0] == "image"] == [
+            g[2] for g in golden if g[0] == "image"
+        ], name
