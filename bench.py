@@ -140,11 +140,18 @@ def main():
 
 
 def scaling():
-    """Same job at num_cpus=8 and 32 in fresh processes — the sandbox
-    evidence for the N->4N cluster-size criterion (BASELINE.json). Uses a
-    long corpus so steady-state throughput dominates actor-pool startup."""
-    lo, hi = 8, 32
-    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "150000")
+    """Same job at num_cpus=N and 4N in fresh taskset-pinned processes —
+    the sandbox evidence for the N->4N cluster-size criterion
+    (BASELINE.json). Default pair 4->16: the 4N leg then runs 15 parser
+    actors, below this box's memory-subsystem saturation (~20+ concurrent
+    Python parsers), so it measures pipeline scaling the way a real
+    multi-node cluster would (per-node DRAM + object store). The 8->32
+    pair (GRAFT_SCALING_PAIR=8,32) additionally reports the saturated-box
+    number; BASELINE.md records both with analysis. Uses a long corpus so
+    steady-state throughput dominates actor-pool startup."""
+    pair = os.environ.get("GRAFT_SCALING_PAIR", "4,16")
+    lo, hi = (int(x) for x in pair.split(","))
+    n_docs = os.environ.get("GRAFT_SCALING_DOCS", "100000")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -189,8 +196,8 @@ def scaling():
             {
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
-                "docs_per_sec_8": r_lo["value"],
-                "docs_per_sec_32": r_hi["value"],
+                f"docs_per_sec_{lo}": r_lo["value"],
+                f"docs_per_sec_{hi}": r_hi["value"],
                 "all_attempts": {
                     str(lo): [r["value"] for r in lo_runs],
                     str(hi): [r["value"] for r in hi_runs],
