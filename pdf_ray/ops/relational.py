@@ -2,9 +2,14 @@
 aggregates with partial pre-aggregation, broadcast joins, anti-joins,
 top-k, and windowed/sessionized event processing.
 
-Float aggregates are rounded half-up to 2 decimals on BOTH sides
-(duckdb ROUND is half-away-from-zero; numpy round is banker's — we
-implement half-up explicitly) so value hashes are engine-stable.
+Money aggregates are computed in EXACT fixed-point: every money column in
+the testdata is a 2-decimal value stored as float64, so ``cents =
+rint(x*100)`` is exact int64 and ``price_cents * (100 - discount_cents)``
+is exact in 1e-4 units. Int64 sums are associative/order-independent, so
+Ray's partial-aggregate tree and DuckDB's sequential sum agree bit-for-bit
+— the float64 summation-order half-cent flips that plague
+round-after-float-sum cannot happen. Oracles CAST to DECIMAL before SUM
+for the same reason.
 """
 
 from __future__ import annotations
@@ -25,6 +30,22 @@ def _round2(x):
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5) / 100.0
 
 
+def _cents(x) -> np.ndarray:
+    """Exact int64 cents from a 2-decimal float64 column."""
+    return np.rint(np.asarray(x, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+def _cents_to_f64(c) -> np.ndarray:
+    return np.asarray(c, dtype=np.int64) / 100.0
+
+
+def _e4_round2_to_f64(n) -> np.ndarray:
+    """1e-4-unit int64 -> value rounded half-up to 2 decimals, as float64.
+    Half-up on non-negative ints == DuckDB ROUND (half away from zero)."""
+    n = np.asarray(n, dtype=np.int64)
+    return ((n + 50) // 100) / 100.0
+
+
 # -- Q1-style pricing summary ----------------------------------------------
 
 Q1_CUTOFF = "2001-01-01"
@@ -33,26 +54,40 @@ Q1_CUTOFF = "2001-01-01"
 def q1_pricing_summary(sf_dir: str):
     """Grouped aggregate with per-batch partial aggregation (one row per
     key per batch) before the small shuffle — the scale pattern from
-    SURVEY.md §2.8 / ray_guide 'Aggregation at scale'."""
-    from ray.data.aggregate import Count, Sum
+    SURVEY.md §2.8 / ray_guide 'Aggregation at scale'. Partials are exact
+    int64 fixed-point (qty ints, price cents, disc_price 1e-4 units) so the
+    result is independent of Ray's partial-sum tree order."""
+    from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] < pd.Timestamp(Q1_CUTOFF)]
         if df.empty:
             return pd.DataFrame(
-                columns=[
-                    "l_returnflag", "l_linestatus", "p_qty", "p_price",
-                    "p_disc_price", "p_rows",
-                ]
+                {
+                    "l_returnflag": pd.Series(dtype=object),
+                    "l_linestatus": pd.Series(dtype=object),
+                    "p_qty": pd.Series(dtype="int64"),
+                    "p_price_c": pd.Series(dtype="int64"),
+                    "p_disc_e4": pd.Series(dtype="int64"),
+                    "p_rows": pd.Series(dtype="int64"),
+                }
             )
-        df = df.assign(
-            disc_price=df["l_extendedprice"] * (1 - df["l_discount"])
+        price_c = _cents(df["l_extendedprice"])
+        disc_c = _cents(df["l_discount"])
+        df = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(),
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "qty": np.rint(df["l_quantity"].to_numpy()).astype(np.int64),
+                "price_c": price_c,
+                "disc_e4": price_c * (100 - disc_c),
+            }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            p_qty=("l_quantity", "sum"),
-            p_price=("l_extendedprice", "sum"),
-            p_disc_price=("disc_price", "sum"),
-            p_rows=("l_quantity", "count"),
+            p_qty=("qty", "sum"),
+            p_price_c=("price_c", "sum"),
+            p_disc_e4=("disc_e4", "sum"),
+            p_rows=("qty", "count"),
         )
         return g
 
@@ -68,15 +103,15 @@ def q1_pricing_summary(sf_dir: str):
         ds.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_price", alias_name="sum_base_price"),
-            Sum("p_disc_price", alias_name="sum_disc_price"),
+            Sum("p_price_c", alias_name="sum_base_price"),
+            Sum("p_disc_e4", alias_name="sum_disc_price"),
             Sum("p_rows", alias_name="count_order"),
         )
         .to_pandas()
     )
-    out["sum_qty"] = _round2(out["sum_qty"])
-    out["sum_base_price"] = _round2(out["sum_base_price"])
-    out["sum_disc_price"] = _round2(out["sum_disc_price"])
+    out["sum_qty"] = out["sum_qty"].astype("int64").astype("float64")
+    out["sum_base_price"] = _cents_to_f64(out["sum_base_price"])
+    out["sum_disc_price"] = _e4_round2_to_f64(out["sum_disc_price"])
     out["count_order"] = out["count_order"].astype("int64")
     return out
 
@@ -86,9 +121,12 @@ register(
     q1_pricing_summary,
     f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 2) AS sum_qty,
-           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -101,44 +139,65 @@ register(
 
 
 def top_customers_by_revenue(sf_dir: str):
-    """Revenue per customer (orders ⋈ customer via broadcast of the small
-    dimension side — no shuffle join), top 10 by revenue then custkey.
+    """Revenue per customer, top 10 by revenue then custkey.
 
-    Final combine happens driver-side: the key cardinality is bounded by
-    the customer *dimension* table (which already fits on the driver as
-    the broadcast side), so a Ray groupby shuffle would move more data
-    than the partial results themselves. Large per-batch partials
-    (batch_size=64k) keep the partial row count ~= one row per key per
-    block."""
+    Scale shape: per-batch partials (exact int64 cents) -> bucketed
+    reduce (``bucket = custkey %% B`` groupby, vectorized pandas combine +
+    per-bucket top-10 inside each of the B reducer groups — per-customer
+    totals never land on the driver and reducer count stays fixed at B
+    regardless of key cardinality) -> tiny driver merge of <= 10 x B
+    rows. The customer dimension (segment lookup) is broadcast once via
+    ray.put and only applied to the 10 winners."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", as_index=False).agg(
-            p_rev=("o_totalprice", "sum"), p_orders=("o_orderkey", "count")
+        df = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "rev_c": _cents(df["o_totalprice"]),
+            }
         )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            p_rev_c=("rev_c", "sum"), p_orders=("rev_c", "count")
+        )
+        g["bucket"] = (g["o_custkey"] % N_JOIN_BUCKETS).astype("int32")
+        return g
 
-    parts = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey", as_index=False).agg(
+            rev_c=("p_rev_c", "sum"), n_orders=("p_orders", "sum")
+        )
+        return per.sort_values(
+            ["rev_c", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+
+    top = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .to_pandas()
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_top(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= 10 rows per bucket: tiny
+        .sort_values(
+            ["rev_c", "o_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(10)
     )
-    per_cust = parts.groupby("o_custkey", as_index=False).agg(
-        revenue=("p_rev", "sum"), n_orders=("p_orders", "sum")
-    )
-    per_cust["revenue"] = _round2(per_cust["revenue"])
-    per_cust["n_orders"] = per_cust["n_orders"].astype("int64")
     seg = ray.get(cust_ref)
-    per_cust["c_mktsegment"] = per_cust["o_custkey"].map(seg)
-    top = per_cust.sort_values(
-        ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
-    ).head(10)
-    top = top.rename(columns={"o_custkey": "c_custkey"})
-    return top[["c_custkey", "c_mktsegment", "revenue", "n_orders"]].reset_index(
-        drop=True
+    top = pd.DataFrame(
+        {
+            "c_custkey": top["o_custkey"].astype("int64").to_numpy(),
+            "c_mktsegment": top["o_custkey"].map(seg).to_numpy(),
+            "revenue": _cents_to_f64(top["rev_c"]),
+            "n_orders": top["n_orders"].astype("int64").to_numpy(),
+        }
     )
+    return top.reset_index(drop=True)
 
 
 register(
@@ -147,7 +206,7 @@ register(
     """
     SELECT o_custkey AS c_custkey,
            any_value(c_mktsegment) AS c_mktsegment,
-           ROUND(sum(o_totalprice), 2) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*)::BIGINT AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY o_custkey
@@ -229,9 +288,11 @@ def revenue_by_nation(sf_dir: str):
         c2n_, n2name_ = ray.get(ref)
         nk = df["o_custkey"].map(c2n_)
         name = nk.map(n2name_)
-        g = pd.DataFrame({"n_name": name, "rev": df["o_totalprice"]}).groupby(
-            "n_name", as_index=False
-        ).agg(p_rev=("rev", "sum"), p_orders=("rev", "count"))
+        g = pd.DataFrame(
+            {"n_name": name, "rev_c": _cents(df["o_totalprice"])}
+        ).groupby("n_name", as_index=False).agg(
+            p_rev_c=("rev_c", "sum"), p_orders=("rev_c", "count")
+        )
         return g
 
     out = (
@@ -239,12 +300,12 @@ def revenue_by_nation(sf_dir: str):
         .map_batches(partial, batch_format="pandas")
         .groupby("n_name")
         .aggregate(
-            Sum("p_rev", alias_name="revenue"),
+            Sum("p_rev_c", alias_name="revenue"),
             Sum("p_orders", alias_name="n_orders"),
         )
         .to_pandas()
     )
-    out["revenue"] = _round2(out["revenue"])
+    out["revenue"] = _cents_to_f64(out["revenue"])
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
 
@@ -254,7 +315,7 @@ register(
     revenue_by_nation,
     """
     SELECT n_name,
-           ROUND(sum(o_totalprice), 2) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*)::BIGINT AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -277,9 +338,13 @@ def events_hourly(sf_dir: str):
         # (timestamp columns round-trip with different units/precisions)
         hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
         g = pd.DataFrame(
-            {"event_type": df["event_type"], "hour": hour, "value": df["value"]}
+            {
+                "event_type": df["event_type"],
+                "hour": hour,
+                "val_c": _cents(df["value"]),
+            }
         ).groupby(["event_type", "hour"], as_index=False).agg(
-            p_n=("value", "count"), p_val=("value", "sum")
+            p_n=("val_c", "count"), p_val_c=("val_c", "sum")
         )
         return g
 
@@ -289,12 +354,12 @@ def events_hourly(sf_dir: str):
         .groupby(["event_type", "hour"])
         .aggregate(
             Sum("p_n", alias_name="n_events"),
-            Sum("p_val", alias_name="sum_value"),
+            Sum("p_val_c", alias_name="sum_value"),
         )
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
-    out["sum_value"] = _round2(out["sum_value"])
+    out["sum_value"] = _cents_to_f64(out["sum_value"])
     return out
 
 
@@ -305,7 +370,7 @@ register(
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            count(*)::BIGINT AS n_events,
-           ROUND(sum(value), 2) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -370,7 +435,7 @@ def user_running_totals(sf_dir: str):
             {
                 "event_id": g["event_id"].astype("int64"),
                 "user_id": g["user_id"].astype("int64"),
-                "running_value": _round2(g["value"].cumsum()),
+                "running_value": _cents_to_f64(_cents(g["value"]).cumsum()),
             }
         )
 
@@ -386,8 +451,9 @@ register(
     user_running_totals,
     """
     SELECT event_id, user_id,
-           ROUND(sum(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id), 2) AS running_value
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS running_value
     FROM events
     """,
 )
@@ -430,10 +496,15 @@ def order_lineitem_revenue(sf_dir: str):
     def tag_lineitem(t):
         import pyarrow as pa
 
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        # exact 1e-4-unit revenue: cents(price) * (100 - cents(discount))
+        price_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
         )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
 
         return pa.table(
             {
@@ -459,7 +530,7 @@ def order_lineitem_revenue(sf_dir: str):
                     pa.int32(),
                 ),
                 "side": pa.array(["O"] * t.num_rows, pa.string()),
-                "rev": pa.array([0.0] * t.num_rows, pa.float64()),
+                "rev": pa.array([0] * t.num_rows, pa.int64()),
                 "prio": t.column("o_orderpriority"),
             }
         )
@@ -479,7 +550,7 @@ def order_lineitem_revenue(sf_dir: str):
             return pd.DataFrame(
                 {
                     "o_orderpriority": pd.Series(dtype=object),
-                    "p_rev": pd.Series(dtype="float64"),
+                    "p_rev": pd.Series(dtype="int64"),
                     "p_items": pd.Series(dtype="int64"),
                 }
             )
@@ -501,7 +572,7 @@ def order_lineitem_revenue(sf_dir: str):
         )
         .to_pandas()
     )
-    out["revenue"] = _round2(out["revenue"])
+    out["revenue"] = _e4_round2_to_f64(out["revenue"])
     out["n_items"] = out["n_items"].astype("int64")
     return out
 
@@ -511,7 +582,9 @@ register(
     order_lineitem_revenue,
     """
     SELECT o_orderpriority,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            count(*)::BIGINT AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1

@@ -10,8 +10,6 @@ serialized sketch per batch, merge in a tiny second stage).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,21 +25,39 @@ def _read_events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+N_DEDUP_BUCKETS = 64
+
+
 def event_type_distinct_users(sf_dir: str):
-    """Exact: distinct (event_type, user_id) pairs per batch (map-side
-    dedup), global dedup via groupby over the pair, then a per-key count."""
-    from ray.data.aggregate import Count
+    """Exact distinct count per key: per-batch pair dedup (map-side), then
+    a bucketed reduce — ``bucket = hash(user_id) %% B`` groupby with a
+    vectorized pandas ``drop_duplicates`` + per-event_type count inside
+    each of the B reducer groups, then a tiny per-key Sum. Reducer count
+    stays fixed at B however many distinct pairs exist (a groupby on the
+    raw pair key would sort/shuffle every distinct pair; a per-pair
+    map_groups would add per-group Python overhead on top)."""
+    from ray.data.aggregate import Sum
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        df = df.drop_duplicates()
+        df = df.assign(
+            bucket=(df["user_id"] % N_DEDUP_BUCKETS).astype("int32")
+        )
+        return df
 
-    pairs = (
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns="bucket").drop_duplicates()
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "p_users"})
+
+    return (
         _read_events(sf_dir, ["event_type", "user_id"])
         .map_batches(dedup_pairs, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("p_users", alias_name="n_users"))
     )
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
 register(
@@ -93,13 +109,14 @@ class Hll:
 
 
 def _hash_ids(ids: np.ndarray) -> np.ndarray:
-    out = np.empty(len(ids), dtype=np.uint64)
-    for i, v in enumerate(ids):
-        out[i] = int.from_bytes(
-            hashlib.md5(int(v).to_bytes(8, "little", signed=True)).digest()[:8],
-            "little",
-        )
-    return out
+    """Vectorized splitmix64 over the int64 id column (wrapping uint64
+    arithmetic; one numpy pass, no per-row Python)."""
+    z = np.asarray(ids, dtype=np.int64).view(np.uint64) + np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def distinct_users_hll(sf_dir: str):

@@ -104,8 +104,12 @@ def main():
                             w2[c] = w2[c].astype(got[c].dtype)
                         except Exception:
                             pass
+                # absolute tolerance only: the driver hash-compares exact
+                # values, so a relative tolerance on ~1e9-magnitude
+                # aggregates would hide real half-cent mismatches
                 pdt.assert_frame_equal(
-                    got, w2, check_dtype=False, check_exact=False, rtol=1e-9
+                    got, w2, check_dtype=False, check_exact=False,
+                    rtol=0.0, atol=1e-9,
                 )
             except AssertionError as e:
                 problems.append(f"values differ: {str(e).splitlines()[-1]}")
