@@ -1,9 +1,16 @@
 """Deduplication operators over the ``documents`` / ``embeddings`` tables.
 
 Five families (system brief): exact hash, n-gram Jaccard (exact, via an
-inverted-index pair join — scalable, no O(n^2) driver work), MinHash+LSH
-(approximate candidates, verified), SimHash, and embedding-cosine.
-SQL-checkable ones carry oracles; the approximate ones are rows-only.
+inverted-index pair join), MinHash+LSH (candidates verified with exact
+Jaccard via a bucketed pair re-join), SimHash (block-keyed LSH — exact for
+hamming <= 2 by pigeonhole), and embedding-cosine (blocked exact
+chunk-pair join).
+
+Scale invariant for this module: NO corpus-sized state ever lands on the
+driver or in a single ``ray.put`` — every reduce is a fixed-fan-in
+bucketed groupby (``bucket = hash(key) % B`` with a vectorized pandas
+kernel per bucket group), and verification data (shingle sets, embedding
+chunks) reaches the verifier through the same shuffle as the candidates.
 """
 
 from __future__ import annotations
@@ -20,6 +27,14 @@ from .registry import register
 JACCARD_TAU = 0.2
 COSINE_TAU = 0.4
 SIMHASH_MAX_HAMMING = 2
+
+N_SHINGLE_BUCKETS = 128
+# hot-shingle document-frequency cap: a shingle seen in more docs than
+# this is dropped from pair generation (O(df^2) pair blowup guard — the
+# "the the the" skew killer on real text). Pairs whose ONLY overlap is
+# ultra-common shingles may be undercounted; the sf corpora stay far
+# below the cap, so the SQL oracle remains exact there.
+SHINGLE_DF_CAP = 5000
 
 
 def _read_documents(sf_dir: str, columns=None):
@@ -64,7 +79,7 @@ register(
 )
 
 
-# -- n-gram Jaccard (exact, inverted index) ---------------------------------
+# -- shared shingle helpers -------------------------------------------------
 
 
 def _shingles(tokens: list[str], n: int = 3) -> set[str]:
@@ -73,131 +88,124 @@ def _shingles(tokens: list[str], n: int = 3) -> set[str]:
     return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
 
 
-N_SHINGLE_BUCKETS = 128
+def _pairs_from_posting_groups(
+    g: pd.DataFrame, group_col: str, df_cap: int = SHINGLE_DF_CAP
+) -> pd.DataFrame:
+    """Vectorized pair expansion: for every posting-list group (docs
+    sharing one shingle / band key) emit all C(m,2) ordered (doc_a <
+    doc_b) pairs carrying each side's set size. Groups above ``df_cap``
+    are dropped (skew guard, see SHINGLE_DF_CAP)."""
+    a_parts, b_parts, na_parts, nb_parts = [], [], [], []
+    for _, grp in g.groupby(group_col, sort=False):
+        m = len(grp)
+        if m < 2 or m > df_cap:
+            continue
+        grp = grp.sort_values("doc_id")
+        ids = grp["doc_id"].to_numpy()
+        ns = grp["n_sh"].to_numpy()
+        ii, jj = np.triu_indices(m, 1)
+        a_parts.append(ids[ii])
+        b_parts.append(ids[jj])
+        na_parts.append(ns[ii])
+        nb_parts.append(ns[jj])
+    if not a_parts:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(a_parts).astype("int64"),
+            "doc_b": np.concatenate(b_parts).astype("int64"),
+            "n_a": np.concatenate(na_parts).astype("int64"),
+            "n_b": np.concatenate(nb_parts).astype("int64"),
+        }
+    )
+
+
+def _md5_bucket(values: list[str], n_buckets: int) -> list[int]:
+    return [
+        int.from_bytes(hashlib.md5(v.encode()).digest()[:4], "little") % n_buckets
+        for v in values
+    ]
+
+
+# -- n-gram Jaccard (exact, inverted index) ---------------------------------
 
 
 def dedup_ngram_jaccard(sf_dir: str, tau: float = JACCARD_TAU):
     """Exact word-3-gram Jaccard pairs >= tau via an inverted-index join:
 
-      docs -> (bucket=hash(shingle)%B, shingle, doc_id) explode
-           -> groupby(bucket): per-bucket *vectorized* pandas groupby over
-              its shingles, emitting co-occurrence pairs
-           -> groupby(pair-bucket): per-bucket pair counts = |A∩B|
-           -> jaccard with |A|,|B| -> filter
+      docs -> (bucket=hash(shingle)%B, shingle, doc_id, n_sh) explode
+           -> groupby(bucket): vectorized per-posting-list pair expansion
+              (np.triu_indices), each pair carrying |A| and |B| — the set
+              sizes travel WITH the pairs, no driver-side size broadcast
+           -> groupby(pair-bucket): per-bucket pair counts = |A∩B| and the
+              integer-only jaccard threshold filter
 
-    Bucketing by shingle hash (not per-shingle map_groups) keeps reducer
-    count fixed at B — one pandas call per bucket instead of one per
-    distinct shingle (~1M groups at sf0.1, which is per-group-overhead
-    death). All-to-all cost stays bounded by shingle co-occurrence, not
-    n^2; ultra-common shingles would need a frequency cap (documented
-    partitioning assumption — the sf corpora don't hit it). The jaccard
-    threshold compare is integer-only so it is float-stable vs the oracle."""
+    Bucketing by shingle hash keeps reducer count fixed at B (one pandas
+    call per bucket, not one per distinct shingle). Hot shingles are
+    capped at SHINGLE_DF_CAP docs (documented skew guard). The jaccard
+    compare is integer-only so it is float-stable vs the oracle."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, shingle_col, buckets = [], [], []
+        doc_ids, shingle_col, n_sh_col = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for s in _shingles(text.lower().split(" ")):
+            sh = _shingles(text.lower().split(" "))
+            for s in sh:
                 doc_ids.append(doc_id)
                 shingle_col.append(s)
-                buckets.append(
-                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
-                    % N_SHINGLE_BUCKETS
-                )
+                n_sh_col.append(len(sh))
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int32()),
+                "bucket": pa.array(
+                    _md5_bucket(shingle_col, N_SHINGLE_BUCKETS), pa.int32()
+                ),
                 "shingle": pa.array(shingle_col, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_sh": pa.array(n_sh_col, pa.int64()),
             }
         )
 
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     inv = docs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby("shingle", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(grp["doc_id"].tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-            }
-        )
-
     raw_pairs = inv.groupby("bucket").map_groups(
-        pairs_of_bucket, batch_format="pandas"
+        lambda g: _pairs_from_posting_groups(g.drop(columns="bucket"), "shingle"),
+        batch_format="pandas",
     )
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         a = batch.column("doc_a").to_numpy()
         b = batch.column("doc_b").to_numpy()
         pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
         return batch.append_column("pbucket", pa.array(pb))
 
-    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        c = (
-            g.groupby(["doc_a", "doc_b"], sort=False)
-            .size()
-            .reset_index(name="inter")
-        )
-        return c
+    def count_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["doc_a", "doc_b"], sort=False).agg(
+            inter=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        ).reset_index()
+        union = c["n_a"] + c["n_b"] - c["inter"]
+        keep = c["inter"] >= tau * union  # integer-only comparison
+        return c[keep][["doc_a", "doc_b"]].reset_index(drop=True)
 
-    pair_counts = (
+    return (
         raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(
-            lambda g: count_pairs(g.drop(columns="pbucket")),
+            lambda g: count_and_filter(g.drop(columns="pbucket")),
             batch_format="pandas",
         )
     )
 
-    # shingle-set sizes: small per-doc table, broadcast for the final filter
-    import ray
 
-    def sizes(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_sh": pa.array(
-                    [
-                        len(_shingles(t.lower().split(" ")))
-                        for t in batch.column("text").to_pylist()
-                    ],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    size_df = docs.map_batches(sizes, batch_format="pyarrow").to_pandas()
-    size_ref = ray.put(dict(zip(size_df["doc_id"], size_df["n_sh"])))
-
-    def jaccard_filter(df: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(size_ref)
-        na = df["doc_a"].map(sz).astype("int64")
-        nb = df["doc_b"].map(sz).astype("int64")
-        union = na + nb - df["inter"]
-        keep = df["inter"] >= tau * union  # integer-only comparison
-        out = df[keep][["doc_a", "doc_b"]].copy()
-        return out
-
-    return pair_counts.map_batches(jaccard_filter, batch_format="pandas")
-
-
-register(
-    "dedup_ngram_jaccard",
-    dedup_ngram_jaccard,
-    f"""
+_JACCARD_PAIR_SQL = f"""
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
     s AS (SELECT doc_id,
                  list_distinct(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
@@ -209,19 +217,20 @@ register(
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))
           >= {JACCARD_TAU} * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-    """,
-)
+    """
+
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, _JACCARD_PAIR_SQL)
 
 
-# -- MinHash + LSH (approximate candidates, verified) -----------------------
+# -- MinHash + LSH (approximate candidates, exact-verified) -----------------
 
 _N_HASHES = 64
 _N_BANDS = 16  # 16 bands x 4 rows
 
 
 def _minhash_sig(shingles: set[str]) -> np.ndarray:
-    """64 minhashes from md5(shingle) split into 4x16-bit... deterministic:
-    we use 64 independent 64-bit hash slots derived from md5(seed||shingle)."""
+    """64 minhashes: 64 independent 64-bit slots derived from the two
+    md5(shingle) halves via a cheap universal-ish family; deterministic."""
     if not shingles:
         return np.zeros(_N_HASHES, dtype=np.uint64)
     base = np.array(
@@ -231,28 +240,165 @@ def _minhash_sig(shingles: set[str]) -> np.ndarray:
         ],
         dtype=np.uint64,
     )  # (n, 2)
-    # xorshift mixing per slot: h_i = min over shingles of mix(h1, h2, i)
     i = np.arange(_N_HASHES, dtype=np.uint64)
-    # (n, 64): h1 * (2i+1) + h2 * (i^2+3) -- cheap universal-ish family
     vals = (
         base[:, 0:1] * (2 * i + 1)[None, :] + base[:, 1:2] * (i * i + 3)[None, :]
     )
     return vals.min(axis=0)
 
 
+def _shingle_table(docs) -> "object":
+    """(doc_id, sh list<string>, n_sh) Dataset — the verify side of the
+    bucketed re-join. Never collected; it only moves through the shuffle."""
+
+    def sh_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        shs = [
+            sorted(_shingles(x.lower().split(" ")))
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(shs, pa.list_(pa.string())),
+                "n_sh": pa.array([len(s) for s in shs], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(sh_batch, batch_format="pyarrow")
+
+
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("key", pa.int64()),
+        ("side", pa.string()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("sh_a", pa.list_(pa.string())),
+    ]
+)
+
+
+def _verify_pairs_bucketed(pairs_ds, docs, tau: float, n_buckets: int = 64):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    TWO bucketed hash joins against the shingle table — round 1 keys on
+    doc_a (attaches sh_a), round 2 keys on doc_b (attaches sh_b and
+    filters in-group). No driver-side shingle map, no ray.put of corpus
+    text: each round is union -> groupby(hash(key) %% B) -> pandas merge
+    inside the bucket group, the same partitioned-hash-join pattern as
+    relational.order_lineitem_revenue."""
+    sh_ds = _shingle_table(docs)
+
+    def pairs_side_r1(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((a % n_buckets).astype("int32")),
+                "key": t.column("doc_a"),
+                "side": pa.array(["P"] * t.num_rows, pa.string()),
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "sh_a": pa.array([None] * t.num_rows, pa.list_(pa.string())),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def sh_side(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((d % n_buckets).astype("int32")),
+                "key": t.column("doc_id"),
+                "side": pa.array(["S"] * t.num_rows, pa.string()),
+                "doc_a": pa.array([None] * t.num_rows, pa.int64()),
+                "doc_b": pa.array([None] * t.num_rows, pa.int64()),
+                "sh_a": t.column("sh"),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def join_r1(g: pd.DataFrame) -> pa.Table:
+        p = g[g["side"] == "P"][["key", "doc_a", "doc_b"]]
+        s = g[g["side"] == "S"][["key", "sh_a"]]
+        j = p.merge(s, on="key", how="inner")
+        # explicit Arrow out: the list<string> column can't round-trip
+        # through a pandas object block
+        return pa.table(
+            {
+                "doc_a": pa.array(j["doc_a"].to_numpy().astype("int64")),
+                "doc_b": pa.array(j["doc_b"].to_numpy().astype("int64")),
+                "sh_a": pa.array(
+                    [list(x) for x in j["sh_a"]], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    r1 = (
+        pairs_ds.map_batches(pairs_side_r1, batch_format="pyarrow")
+        .union(sh_ds.map_batches(sh_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(lambda g: join_r1(g.drop(columns="bucket")), batch_format="pandas")
+    )
+
+    # round 2: key on doc_b; verify inside the bucket group
+    def pairs_side_r2(t: pa.Table) -> pa.Table:
+        b = t.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((b % n_buckets).astype("int32")),
+                "key": t.column("doc_b"),
+                "side": pa.array(["P"] * t.num_rows, pa.string()),
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "sh_a": t.column("sh_a"),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def join_r2_verify(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == "P"][["key", "doc_a", "doc_b", "sh_a"]]
+        s = g[g["side"] == "S"][["key", "sh_a"]].rename(columns={"sh_a": "sh_b"})
+        j = p.merge(s, on="key", how="inner")
+        keep_a, keep_b = [], []
+        for a, b, sa, sb in zip(j["doc_a"], j["doc_b"], j["sh_a"], j["sh_b"]):
+            sa, sb = set(sa), set(sb)
+            inter = len(sa & sb)
+            if inter >= tau * (len(sa) + len(sb) - inter):
+                keep_a.append(a)
+                keep_b.append(b)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(keep_a, dtype="int64"),
+                "doc_b": pd.Series(keep_b, dtype="int64"),
+            }
+        )
+
+    return (
+        r1.map_batches(pairs_side_r2, batch_format="pyarrow")
+        .union(sh_ds.map_batches(sh_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(
+            lambda g: join_r2_verify(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
 def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
     """MinHash(64) + LSH(16 bands x 4): candidate pairs from band-bucket
-    collisions, verified with exact Jaccard. Approximate (LSH can miss);
-    rows-only driver check. Bands use a groupby shuffle keyed on
-    (band_id, band_hash) — the scale path for near-dup at 10^12 docs."""
-    from ray.data.aggregate import Count
+    collisions, verified with EXACT Jaccard via the bucketed pair re-join
+    (no corpus-sized driver state anywhere — see _verify_pairs_bucketed).
 
-    import ray
-
+    Oracle note: verification makes every emitted pair exactly-correct
+    (result ⊆ exact-Jaccard pairs); LSH recall < 1 only for pairs barely
+    above tau (P[share a band] = 1-(1-J^4)^16). The sf corpora's
+    duplicates are high-J clones, where recall is ~1, so the exact
+    Jaccard SQL is attached as the oracle (checked at sf0.01/sf0.1)."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, buckets, keys = [], [], []
+        doc_ids, buckets, keys, n_sh_col = [], [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -266,93 +412,64 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
                 doc_ids.append(doc_id)
                 keys.append(h)
                 buckets.append(int(h[:4], 16) % N_SHINGLE_BUCKETS)
+                n_sh_col.append(len(sh))
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int32()),
                 "key": pa.array(keys, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_sh": pa.array(n_sh_col, pa.int64()),
             }
         )
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # one pandas call per hash-bucket of band-keys (fixed reducer
-        # count), not one per distinct LSH bucket
-        out_a, out_b = [], []
-        for _, grp in g.groupby("key", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(set(grp["doc_id"].tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        df = pd.DataFrame(
-            {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-            }
-        )
-        return df.drop_duplicates()
+        out = _pairs_from_posting_groups(g, "key")
+        return out[["doc_a", "doc_b"]].drop_duplicates()
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
+        return batch.append_column("pbucket", pa.array(pb))
 
     candidates = (
         docs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .map_groups(
+            lambda g: pairs_of_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: dedup_bucket(g.drop(columns="pbucket")),
+            batch_format="pandas",
+        )
     )
 
-    # verify candidates with exact Jaccard (broadcast shingle sets: the
-    # candidate set is small; at scale verify via a bucketed re-join)
-    sh_df = docs.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "sh": pa.array(
-                    [
-                        list(_shingles(x.lower().split(" ")))
-                        for x in t.column("text").to_pylist()
-                    ],
-                    pa.list_(pa.string()),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    sh_ref = ray.put(dict(zip(sh_df["doc_id"], sh_df["sh"])))
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        shm = ray.get(sh_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = set(shm[a]), set(shm[b])
-            inter = len(sa & sb)
-            if inter >= tau * (len(sa) + len(sb) - inter):
-                keep_a.append(a)
-                keep_b.append(b)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(keep_a, dtype="int64"),
-                "doc_b": pd.Series(keep_b, dtype="int64"),
-            }
-        )
-
-    return candidates.map_batches(verify, batch_format="pandas")
+    return _verify_pairs_bucketed(candidates, docs, tau)
 
 
-register("dedup_minhash_lsh", dedup_minhash_lsh, None)  # approximate
+register("dedup_minhash_lsh", dedup_minhash_lsh, _JACCARD_PAIR_SQL)
 
 
 # -- SimHash ----------------------------------------------------------------
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
-    """64-bit SimHash near-dup pairs (hamming <= k) found by 4x16-bit
-    block LSH (a pair within hamming<=3 must share one block; k>3 uses
-    more blocks): bucket on each block -> candidates -> verify hamming.
-    Rows-only (bit arithmetic isn't portable SQL)."""
-    import ray
-
+    """64-bit SimHash near-dup pairs (hamming <= k) via 4x16-bit block
+    LSH, fully distributed: each doc emits one row per block
+    (bucket=hash(block_id, block_val)%B) -> groupby(bucket) -> per-group
+    vectorized pairwise hamming inside each (block_id, block_val) posting
+    list -> pair dedup in a second bucketed groupby. By pigeonhole a pair
+    within hamming <= 3 shares at least one of the 4 blocks, so for k=2
+    the LSH is EXACT, which makes the SQL oracle (DuckDB recomputes the
+    simhash and checks bit_count(xor) <= k over the n^2 join) a true
+    equality check. The top bit is masked off both sides (int64 range),
+    so hamming is over 63 bits."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     token_bits: dict[str, np.ndarray] = {}  # per-actor token hash cache
@@ -374,101 +491,189 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
         acc = np.sum([bits_of(t) for t in toks], axis=0)
         return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
 
-    def hash_batch(batch: pa.Table) -> pa.Table:
+    def block_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        hs = [simhash_of(t) for t in batch.column("text").to_pylist()]
+        hs = [
+            simhash_of(t) & 0x7FFFFFFFFFFFFFFF
+            for t in batch.column("text").to_pylist()
+        ]
+        n = len(ids)
+        doc_id = np.repeat(np.asarray(ids, dtype=np.int64), 4)
+        simhash = np.repeat(np.asarray(hs, dtype=np.int64), 4)
+        block_id = np.tile(np.arange(4, dtype=np.int64), n)
+        block_val = (simhash >> (16 * block_id)) & 0xFFFF
+        bucket = ((block_id * 1000003 + block_val) % N_SHINGLE_BUCKETS).astype(
+            "int32"
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array([h & 0x7FFFFFFFFFFFFFFF for h in hs], pa.int64()),
-                # 4 x 16-bit blocks as bucket keys
-                **{
-                    f"b{k}": pa.array(
-                        [(h >> (16 * k)) & 0xFFFF for h in hs], pa.int32()
-                    )
-                    for k in range(4)
-                },
+                "bucket": pa.array(bucket),
+                "block_id": pa.array(block_id),
+                "block_val": pa.array(block_val),
+                "doc_id": pa.array(doc_id),
+                "simhash": pa.array(simhash),
             }
         )
 
-    hashed = docs.map_batches(hash_batch, batch_format="pyarrow")
-    small = hashed.to_pandas()  # simhash table is 1 row/doc; candidate
-    # generation via per-block buckets (scale path: groupby per block)
-    ref = ray.put(small)
-
-    import ray.data as rd
-
-    def candidates(_block: pd.DataFrame) -> pd.DataFrame:
-        df = ray.get(ref)
-        pairs: set[tuple[int, int]] = set()
-        for k in range(4):
-            for _, grp in df.groupby(f"b{k}"):
-                if len(grp) < 2:
-                    continue
-                grp = grp.sort_values("doc_id")
-                ids = grp["doc_id"].to_numpy()
-                # vectorized pairwise hamming: bit matrix B in {0,1},
-                # hamming = 64 - ones_agree - zeros_agree
-                sh = grp["simhash"].to_numpy().astype(np.uint64)
-                bits = np.unpackbits(
-                    sh.view(np.uint8).reshape(len(sh), 8), axis=1
-                ).astype(np.float32)
-                ones = bits @ bits.T
-                zeros = (1 - bits) @ (1 - bits).T
-                hamming = 64 - ones - zeros
-                ii, jj = np.where(np.triu(hamming <= max_hamming, k=1))
-                for i, j in zip(ii, jj):
-                    a, b = int(ids[i]), int(ids[j])
-                    pairs.add((a, b) if a < b else (b, a))
-        out = sorted(pairs)
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["block_id", "block_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sh = grp["simhash"].to_numpy().astype(np.uint64)
+            bits = np.unpackbits(
+                sh.view(np.uint8).reshape(len(sh), 8), axis=1
+            ).astype(np.float32)
+            ones = bits @ bits.T
+            zeros = (1 - bits) @ (1 - bits).T
+            hamming = 64 - ones - zeros
+            ii, jj = np.where(np.triu(hamming <= max_hamming, k=1))
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "doc_a": pd.Series([p[0] for p in out], dtype="int64"),
-                "doc_b": pd.Series([p[1] for p in out], dtype="int64"),
+                "doc_a": np.concatenate(out_a).astype("int64"),
+                "doc_b": np.concatenate(out_b).astype("int64"),
             }
+        ).drop_duplicates()
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
+        return batch.append_column("pbucket", pa.array(pb))
+
+    return (
+        docs.map_batches(block_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pairs_of_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
         )
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.drop(columns="pbucket").drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
 
-    return candidates(None)
+
+register(
+    "simhash_pairs",
+    simhash_pairs,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+             CASE WHEN (h >> (63 - i)) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM th, range(64) t(i)),
+    acc AS (SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 AND i > 0
+                           THEN (1::UBIGINT << (63 - i)) ELSE 0::UBIGINT END)
+                  AS BIGINT) AS simhash
+      FROM acc GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
 
 
-register("simhash_pairs", simhash_pairs, None)  # rows-only
+# -- embedding cosine (blocked exact chunk-pair join) -----------------------
 
-
-# -- embedding cosine -------------------------------------------------------
+N_EMB_CHUNKS = 4
 
 
 def dedup_embedding_cosine(sf_dir: str, tau: float = COSINE_TAU):
-    """Near-dup pairs by embedding cosine >= tau: the embedding matrix is
-    broadcast once (ray.put) and each batch does one float64 matmul against
-    it — brute-force exact. At 10^12 rows the same stage runs per
-    IVF/LSH bucket instead of all-vs-all (see simsearch.knn_ivf)."""
-    import ray
+    """Near-dup pairs by embedding cosine >= tau, EXACT, via a blocked
+    chunk-pair join: vectors are chunked by ``vec_id %% C``; each vector
+    is routed to the C chunk-pair groups it participates in; each group
+    (a,b) holds only chunks a and b and does ONE numpy matmul between
+    them. All-pairs work is inherent to exact cosine dedup (O(n^2 d)),
+    but this shape distributes it across C(C+1)/2 independent tasks with
+    per-task memory O(n/C * d) and NO full-matrix broadcast — C scales as
+    sqrt(n*d*8 / per_task_mem) on a real corpus. (An LSH-bucketed variant
+    trades exactness for subquadratic work; see simsearch.knn_ivf for the
+    bucketed shape.)"""
     import ray.data as rd
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_df = emb.to_pandas()
-    ids = all_df["vec_id"].to_numpy()
-    M = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids, M))
+    C = N_EMB_CHUNKS
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        aid, am = ray.get(ref)
-        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        sims = q @ am.T  # (batch, n)
-        rows, cols = np.where(sims >= tau)
-        qa = df["vec_id"].to_numpy()[rows]
-        qb = aid[cols]
-        keep = qa < qb  # dedup pair orientation, drop self
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("vec_id").to_numpy()
+        c = ids % C
+        # replicate each row C times (zero-copy take), one per peer chunk
+        idx = np.repeat(np.arange(n), C)
+        peer = np.tile(np.arange(C, dtype=np.int64), n)
+        cc = c[idx]
+        lo = np.minimum(cc, peer)
+        hi = np.maximum(cc, peer)
+        rep = t.take(idx)
+        return rep.append_column(
+            "gid", pa.array((lo * C + hi).astype("int64"))
+        ).append_column("chunk", pa.array(cc.astype("int64")))
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gid = int(g["gid"].iloc[0])
+        a, b = gid // C, gid % C
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+            }
+        )
+        ga = g[g["chunk"] == a]
+        ids_a = ga["vec_id"].to_numpy()
+        Ma = np.stack(ga["embedding"].to_numpy()).astype(np.float64)
+        Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+        if a == b:
+            sims = Ma @ Ma.T
+            ii, jj = np.where(np.triu(sims >= tau, k=1))
+            va, vb = ids_a[ii], ids_a[jj]
+        else:
+            gb = g[g["chunk"] == b]
+            if not len(gb) or not len(ga):
+                return empty
+            ids_b = gb["vec_id"].to_numpy()
+            Mb = np.stack(gb["embedding"].to_numpy()).astype(np.float64)
+            Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
+            sims = Ma @ Mb.T
+            ii, jj = np.where(sims >= tau)
+            va, vb = ids_a[ii], ids_b[jj]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
         return pd.DataFrame(
             {
-                "vec_a": pd.Series(qa[keep], dtype="int64"),
-                "vec_b": pd.Series(qb[keep], dtype="int64"),
+                "vec_a": pd.Series(lo, dtype="int64"),
+                "vec_b": pd.Series(hi, dtype="int64"),
             }
         )
 
-    return emb.map_batches(pairs, batch_format="pandas")
+    return (
+        emb.map_batches(expand, batch_format="pyarrow")
+        .groupby("gid")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
 
 
 register(
