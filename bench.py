@@ -40,6 +40,17 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # Ray 2.49 warns "Failed to hash the schemas (for deduplication):
+    # unhashable type: 'dict'" once per parquet read at PLAN time — the
+    # pandas metadata blob on the file schema breaks pa.Schema.__hash__
+    # inside ray's unify_schemas fast path. Benign and not caused by any
+    # pipeline here (reproduces on a bare read_parquet().unique()).
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
 
 BASE_CORPUS = 2000  # distinct docs; replicated as blocks up to n_docs
 

@@ -57,27 +57,24 @@ def extract_dataset(
 
 def explode_spans(extracted_ds):
     """Flatten (doc_id, spans[...]) -> one row per span: the relational
-    view used by the correctness oracle."""
+    view used by the correctness oracle. Pure-Arrow flatten — this path
+    runs once per span in the corpus, so it never round-trips through
+    Python objects: ``list_parent_indices`` + ``flatten`` + struct-field
+    extraction, all zero-copy kernels."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids = []
-        kinds, texts, refs, orders = [], [], [], []
-        for doc_id, spans in zip(
-            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
-        ):
-            for sp in spans or []:
-                doc_ids.append(doc_id)
-                kinds.append(sp["kind"])
-                texts.append(sp["text"])
-                refs.append(sp["media_ref"])
-                orders.append(sp["order"])
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.string()),
-                "kind": pa.array(kinds, pa.string()),
-                "text": pa.array(texts, pa.string()),
-                "media_ref": pa.array(refs, pa.string()),
-                "order": pa.array(orders, pa.int32()),
+                "doc_id": batch.column("doc_id").take(parent),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "order": flat.field("order"),
             }
         )
 

@@ -172,31 +172,47 @@ def extract_split(
         num_cpus=1,
     )
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+    from ..schema import EXTRACTED
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        """Arrow out with the explicit list<struct> span type (same
+        construction as ExtractStage.__call__): per-span Python dicts in
+        a pandas object column force object-dtype blocks and break Ray's
+        block schema hashing ('unhashable type: dict' spam)."""
         g = g.sort_values(["page_lo", "local_order"], kind="mergesort")
         doc_id = g["doc_id"].iloc[0]
         err = g["error"].dropna()
         if len(err):
-            return pd.DataFrame(
-                {
-                    "doc_id": [doc_id], "spans": [[]], "n_spans": [0],
-                    "status": ["error"], "error": [err.iloc[0]],
-                }
-            )
-        spans = [
-            {"kind": k, "text": t, "media_ref": r, "order": i}
-            for i, (k, t, r) in enumerate(
-                zip(g["kind"], g["text"], g["media_ref"])
-            )
-        ]
-        return pd.DataFrame(
-            {
-                "doc_id": [doc_id],
-                "spans": [spans],
-                "n_spans": [len(spans)],
-                "status": ["ok"],
-                "error": [None],
-            }
+            n = 0
+            kinds, texts, refs = [], [], []
+            status, error = "error", err.iloc[0]
+        else:
+            n = len(g)
+            kinds = g["kind"].tolist()
+            texts = g["text"].tolist()
+            refs = [None if pd.isna(r) else r for r in g["media_ref"]]
+            status, error = "ok", None
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, pa.string()),
+                pa.array([None if pd.isna(t) else t for t in texts], pa.string()),
+                pa.array(refs, pa.string()),
+                pa.array(range(n), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "order"],
+        )
+        spans_col = pa.ListArray.from_arrays(
+            pa.array([0, n], pa.int32()), span_struct
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([doc_id], pa.string()),
+                spans_col,
+                pa.array([n], pa.int32()),
+                pa.array([status], pa.string()),
+                pa.array([error], pa.string()),
+            ],
+            schema=EXTRACTED,
         )
 
     return rows.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
