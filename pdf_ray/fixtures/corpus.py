@@ -482,32 +482,66 @@ def f21_type3_font():
     return b.build(1), _t("abc")
 
 
-def f24_dct_image():
-    """DCT (JPEG) Image XObject: the codec is unavailable here, so the
-    engine passes the container through and refs it by content hash
-    (imgraw:sha256[:40] — formula restated here independently)."""
+# DCT fixture (f24): a real baseline JPEG whose decode is EXACT by
+# construction, so the pixel golden is hand-derivable without running the
+# engine's decoder. Two uniform 8x8 gray blocks, values 160 and 96:
+# R=G=B=v gives Y=v, Cb=Cr=128 exactly (the JFIF weights sum to 1 / 0);
+# a uniform block's only DCT coefficient is DC = 8*(v-128) = ±256, which
+# the flat quant table q=16 divides exactly (256/16 = 16), so the decoded
+# pixels are exactly (v,v,v) again. DC differential coding across blocks
+# and the chroma planes' all-zero blocks are also exercised.
+DCT_W, DCT_H = 16, 8
+DCT_PIXELS = bytes(
+    ([160, 160, 160] * 8 + [96, 96, 96] * 8) * DCT_H
+)
+
+
+def _dct_ref() -> str:
     import hashlib
 
-    jpeg_like = b"\xff\xd8\xff\xe0" + bytes(range(64)) * 4 + b"\xff\xd9"
-    expected_ref = "imgraw:" + hashlib.sha256(jpeg_like).hexdigest()[:40]
+    return (
+        "img:"
+        + hashlib.sha256(
+            f"{DCT_W}x{DCT_H}:rgb8:".encode() + DCT_PIXELS
+        ).hexdigest()[:40]
+    )
+
+
+DCT_REF = _dct_ref()
+
+
+def f24_dct_image():
+    """DCT (JPEG) Image XObject, decoded to REAL pixels (the reference
+    uses the jpeg-decoder crate, src/filter/dct.rs:10-20; our decoder is
+    pdfcore/jpeg.py). The media_ref is the pixel content hash — the
+    golden above is derived by hand from JPEG arithmetic, not from the
+    engine."""
+    import numpy as np
+
+    from .jpegenc import encode_jpeg
+
+    img = np.empty((DCT_H, DCT_W, 3), dtype=np.uint8)
+    img[:, :8, :] = 160
+    img[:, 8:, :] = 96
+    jpeg = encode_jpeg(img, qtable=16)
     pdf = simple_page_pdf(
         b"BT /F1 12 Tf 72 720 Td (Before jpeg) Tj ET q /Im1 Do Q",
         extra_resources=b"/XObject << /Im1 9 0 R >>",
         extra_objects={
             9: (
-                b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+                b"<< /Type /XObject /Subtype /Image /Width 16 /Height 8 "
                 b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
                 b"/Filter /DCTDecode /Length "
-                + str(len(jpeg_like)).encode()
+                + str(len(jpeg)).encode()
                 + b" >>\nstream\n"
-                + jpeg_like
+                + jpeg
                 + b"\nendstream"
             )
         },
     )
     return pdf, [
         ("text", "Before jpeg", None, 0),
-        ("image", None, expected_ref, 1),
+        ("image", None, DCT_REF, 1),
     ]
 
 

@@ -29,6 +29,12 @@ def _abbrev(name: str) -> str:
     }.get(name, name)
 
 
+def _filter_names(stream: Stream, resolve) -> list[str]:
+    filt = resolve(stream.dict.get("Filter", stream.dict.get("F", NULL)))
+    names = filt if isinstance(filt, list) else [filt]
+    return [str(resolve(n)) for n in names]
+
+
 def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
     """Decode an Image XObject to ``(width, height, rgb8_bytes)``."""
     d = stream.dict
@@ -39,6 +45,21 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
     bpc = resolve(d.get("BitsPerComponent", d.get("BPC", 8)))
     cs = resolve(d.get("ColorSpace", d.get("CS", NULL)))
     data = decode_stream(stream, resolve=resolve)
+
+    # DCT (JPEG): decode_stream passes the container through; decode it
+    # to real pixels (the reference consumes jpeg-decoder output the same
+    # way, src/filter/dct.rs:10-20). The JPEG's own geometry/components
+    # win over the dict (matching the reference's use of the codec info).
+    if any(n in ("DCTDecode", "DCT") for n in _filter_names(stream, resolve)):
+        import numpy as np
+
+        from .jpeg import decode_jpeg
+
+        jw, jh, ncomp, px = decode_jpeg(data)
+        if ncomp == 3:
+            return jw, jh, px
+        gray = np.frombuffer(px, dtype=np.uint8)
+        return jw, jh, np.repeat(gray, 3).tobytes()
 
     # Indexed color space: [/Indexed base hival lookup] -> palette expand
     # (PDF 32000-1 §8.6.6.3; the reference canvas todo!()s on it)
@@ -129,17 +150,15 @@ def media_ref_for_pixels(w: int, h: int, rgb8: bytes) -> str:
 
 
 def media_ref_for_container(data: bytes) -> str:
-    """Content ref for image formats we pass through undecoded (DCT/JPX:
-    no codec in this environment; the reference shells out to a jpeg crate,
-    src/filter/dct.rs:10-20). Hashing the container keeps the ref
+    """Content ref for image formats we pass through undecoded (JPX only:
+    baseline JPEG now decodes to pixels via pdfcore.jpeg; JPEG 2000 has no
+    decoder in this environment). Hashing the container keeps the ref
     content-addressed and stable."""
     return f"imgraw:{hashlib.sha256(data).hexdigest()[:40]}"
 
 
 def is_passthrough_image(stream: Stream, resolve) -> bool:
-    filt = resolve(stream.dict.get("Filter", stream.dict.get("F", NULL)))
-    names = filt if isinstance(filt, list) else [filt]
-    return any(str(resolve(n)) in ("DCTDecode", "DCT", "JPXDecode") for n in names)
+    return any(n == "JPXDecode" for n in _filter_names(stream, resolve))
 
 
 def decode_png(png: bytes) -> tuple[int, int, bytes]:

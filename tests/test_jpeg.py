@@ -1,0 +1,100 @@
+"""Baseline JPEG decoder tests (pdfcore/jpeg.py) against the fixture
+encoder (fixtures/jpegenc.py). The uniform-block cases are EXACT by
+construction (flat q=16 divides the only nonzero DCT coefficient), which
+is also what makes f24's hand-written pixel golden valid."""
+
+import numpy as np
+import pytest
+
+from pdf_ray.fixtures.jpegenc import encode_jpeg
+from pdf_ray.pdfcore.jpeg import decode_jpeg
+from pdf_ray.pdfcore.objects import PdfParseError
+
+
+def _roundtrip(img, **kw):
+    w, h, nc, px = decode_jpeg(encode_jpeg(img, **kw))
+    shape = (h, w) if nc == 1 else (h, w, 3)
+    return np.frombuffer(px, np.uint8).reshape(shape)
+
+
+def test_uniform_gray_exact():
+    img = np.full((16, 8), 160, np.uint8)
+    assert np.array_equal(_roundtrip(img, qtable=16), img)
+
+
+def test_two_block_gray_exact_dc_diff():
+    img = np.empty((8, 16), np.uint8)
+    img[:, :8], img[:, 8:] = 160, 96
+    assert np.array_equal(_roundtrip(img, qtable=16), img)
+
+
+def test_uniform_rgb_exact():
+    # R=G=B=160 -> Y=160, Cb=Cr=128 exactly; decode is exact
+    img = np.full((16, 8, 3), 160, np.uint8)
+    assert np.array_equal(_roundtrip(img, qtable=16), img)
+
+
+def test_gradient_gray_tolerance():
+    img = (np.arange(64 * 48).reshape(48, 64) % 251).astype(np.uint8)
+    got = _roundtrip(img, qtable=8).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 16
+
+
+def test_rgb_444_tolerance():
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    got = _roundtrip(img, qtable=4).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 8
+
+
+def test_rgb_420_subsampled_and_restart():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    got = _roundtrip(img, qtable=4, subsample=True).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 16
+    # restart markers must not change the decode
+    got_dri = _roundtrip(
+        img, qtable=4, subsample=True, restart_interval=2
+    ).astype(int)
+    assert np.array_equal(got, got_dri)
+
+
+def test_non_multiple_of_8_dims():
+    img = np.full((5, 11), 96, np.uint8)
+    got = _roundtrip(img, qtable=16)
+    assert got.shape == (5, 11)
+    assert np.array_equal(got, img)
+
+
+def test_progressive_rejected():
+    d = encode_jpeg(np.full((8, 8), 128, np.uint8))
+    # swap SOF0 for SOF2
+    d = d.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(PdfParseError):
+        decode_jpeg(d)
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(PdfParseError):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_f24_golden_pixels_match_hand_derivation():
+    """The committed f24 golden (DCT_PIXELS/DCT_REF) equals what the
+    decoder actually produces for the fixture JPEG."""
+    from pdf_ray.fixtures.corpus import DCT_H, DCT_PIXELS, DCT_W, f24_dct_image
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.images import decode_image_pixels
+    from pdf_ray.pdfcore.objects import Stream
+
+    pdf, golden = f24_dct_image()
+    doc = Document(pdf)
+    xobjs = doc.resolve(doc.resolve(doc.pages[0].resources)["XObject"])
+    stream = doc.resolve_stream(xobjs["Im1"])
+    w, h, rgb = decode_image_pixels(stream, doc.resolve)
+    assert (w, h) == (DCT_W, DCT_H)
+    assert rgb == DCT_PIXELS

@@ -95,10 +95,10 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # two distinct decodable images: f13's RGB and f25's indexed
-    from pdf_ray.fixtures.corpus import IDX_REF, IMG_REF
+    # three distinct decodable images: f13's RGB, f25's indexed, f24's DCT
+    from pdf_ray.fixtures.corpus import DCT_REF, IDX_REF, IMG_REF
 
-    assert sorted(blobs["media_ref"]) == sorted([IMG_REF, IDX_REF])
+    assert sorted(blobs["media_ref"]) == sorted([IMG_REF, IDX_REF, DCT_REF])
     sizes = {
         ref: decode_png(png)[:2]
         for ref, png in zip(blobs["media_ref"], blobs["png"])
