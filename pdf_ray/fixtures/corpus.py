@@ -752,11 +752,52 @@ def f19b_poison_bad_xref():
     return pdf[:idx] + b"startxref\n999999999\n" + pdf[end:], None
 
 
+def f27_type0_predefined_ucs2():
+    """Type0 with a PREDEFINED CJK CMap name (/UniJIS-UCS2-H — names
+    enumerated by the reference at src/font/cjk.rs:1-190, data never
+    shipped). Raw span parity is lexer-level as always: hex string bytes
+    00 48 00 69 4E 2D -> "\\x00H\\x00iN-". The unicode enrichment uses the
+    UCS2 code space directly (codes 0048 0069 4E2D -> "Hi\\u4e2d") with NO
+    ToUnicode stream present — the capability the predefined registry
+    adds."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td <004800694E2D> Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCJK "
+        b"/Encoding /UniJIS-UCS2-H /DescendantFonts [6 0 R] >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCJK "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 6 >> /FontDescriptor 7 0 R /DW 1000 "
+        b"/CIDToGIDMap /Identity >>",
+    )
+    b.add(
+        7,
+        b"<< /Type /FontDescriptor /FontName /FixtureCJK /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 >>",
+    )
+    return b.build(1), _t("\x00H\x00iN-")
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
+# f27: UCS2 codes 0048/0069/4E2D -> "Hi中" via the predefined CMap's
+# UCS-2 code space (no ToUnicode stream in the fixture).
 UNICODE_OVERRIDES: dict[str, list] = {
     "f12": [("text", "Hi", None, 0)],
+    "f27": [("text", "Hi中", None, 0)],
 }
 
 FIXTURES = {
@@ -786,4 +827,5 @@ FIXTURES = {
     "f24": f24_dct_image,
     "f25": f25_indexed_image,
     "f26": f26_hybrid_xrefstm,
+    "f27": f27_type0_predefined_ucs2,
 }

@@ -107,9 +107,11 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
         dw = float(doc.resolve(cidfont.get("DW", 1000)))
         widths = _cid_widths(cidfont.get("W", []), doc.resolve)
 
-        # /Encoding: Identity-H/V maps code==CID; an *embedded CMap stream*
-        # is interpreted from scratch (the reference only captures it,
-        # src/font/type0.rs:34-81)
+        # /Encoding: an *embedded CMap stream* is interpreted from scratch
+        # (the reference only captures it, src/font/type0.rs:34-81); NAME
+        # encodings go through the predefined registry — Identity-H/V and
+        # the UCS2/UTF16 families map code==CID, legacy table-backed names
+        # raise (row-level error; see cmap.predefined_cid_cmap)
         cid_map = None
         enc = font_dict.get("Encoding")
         enc_resolved = doc.resolve(enc) if enc is not None else None
@@ -119,6 +121,10 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
             cid_map = _cached_parse(
                 cache, doc.decoded(enc_resolved), parse_cid_cmap
             )
+        elif enc_resolved is not None and enc_resolved is not NULL:
+            from .cmap import predefined_cid_cmap
+
+            predefined_cid_cmap(str(enc_resolved))  # validates; 2-byte identity
 
         def cid_width(code: int) -> float:
             cid = cid_map.map_code(code) if cid_map is not None else code

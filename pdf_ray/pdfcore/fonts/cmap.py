@@ -80,6 +80,66 @@ class CidCMap:
         return None
 
 
+# -- predefined CMaps (names from the reference's enum,
+#    /root/reference/src/font/cjk.rs:1-190; the reference ships names only,
+#    no mapping data) -----------------------------------------------------
+#
+# The UCS2/UTF16 families have a UCS-2 / UTF-16BE *code space* (public
+# spec, PDF 32000-1 §9.7.5.2 + Adobe CMap resources docs): the 2-byte code
+# IS the Unicode BMP code point. We treat CID = code for them — an
+# explicit approximation (Adobe's real Uni* CMaps map Unicode to
+# ROS-specific CIDs via licensed tables), which affects only WIDTH lookup:
+# span text comes from the string lexer (parity anchor, SURVEY §2.4 C12)
+# and unicode enrichment chr(code) is exactly right for the BMP.
+# Legacy multi-byte encodings (RKSJ/EUC/B5/GBK/UHC/...) cannot be decoded
+# without Adobe's tables -> row-level error, same containment as
+# CCITT/JBIG2.
+
+_PREDEFINED_UCS2_UTF16 = frozenset(
+    base + suffix
+    for base in (
+        "UniGB-UCS2", "UniGB-UTF16",
+        "UniCNS-UCS2", "UniCNS-UTF16",
+        "UniJIS-UCS2", "UniJIS-UTF16", "UniJIS-UCS2-HW",
+        "UniKS-UCS2", "UniKS-UTF16",
+    )
+    for suffix in ("-H", "-V")
+)
+
+_PREDEFINED_LEGACY = frozenset(
+    {
+        "GB-EUC-H", "GB-EUC-V", "GBpc-EUC-H", "GBpc-EUC-V",
+        "GBK-EUC-H", "GBK-EUC-V", "GBKp-EUC-H", "GBKp-EUC-V",
+        "GBK2K-H", "GBK2K-V",
+        "B5pc-H", "B5pc-V", "HKscs-B5-H", "HKscs-B5-V",
+        "ETen-B5-H", "ETen-B5-V", "ETenms-B5-H", "ETenms-B5-V",
+        "CNS-EUC-H", "CNS-EUC-V",
+        "83pv-RKSJ-H", "90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H",
+        "90msp-RKSJ-V", "90pv-RKSJ-H", "Add-RKSJ-H", "Add-RKSJ-V",
+        "EUC-H", "EUC-V", "Ext-RKSJ-H", "Ext-RKSJ-V", "H", "V",
+        "KSC-EUC-H", "KSC-EUC-V", "KSCms-UHC-H", "KSCms-UHC-V",
+        "KSCms-UHC-HW-H", "KSCms-UHC-HW-V", "KSCpc-EUC-H",
+    }
+)
+
+
+def predefined_cid_cmap(name: str) -> int:
+    """Resolve a predefined CMap NAME to its code byte-width with
+    CID = code semantics (Identity + UCS2/UTF16 families). Raises for
+    names that require Adobe's mapping tables."""
+    from ..objects import PdfParseError
+
+    if name in ("Identity-H", "Identity-V"):
+        return 2
+    if name in _PREDEFINED_UCS2_UTF16:
+        return 2
+    if name in _PREDEFINED_LEGACY:
+        raise PdfParseError(
+            f"predefined CMap {name!r} requires external mapping data"
+        )
+    raise PdfParseError(f"unknown predefined CMap {name!r}")
+
+
 _CIDCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
 _CIDRANGE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
 

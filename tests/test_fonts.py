@@ -145,3 +145,41 @@ def test_cid_cmap_parse_and_widths():
     assert cm.map_code(0x61) == 100
     assert cm.map_code(0x7A) == 125
     assert cm.map_code(0x7B) is None
+
+
+def test_predefined_cmap_registry():
+    import pytest
+
+    from pdf_ray.pdfcore.fonts.cmap import predefined_cid_cmap
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    assert predefined_cid_cmap("Identity-H") == 2
+    assert predefined_cid_cmap("UniJIS-UCS2-H") == 2
+    assert predefined_cid_cmap("UniGB-UTF16-V") == 2
+    assert predefined_cid_cmap("UniKS-UCS2-V") == 2
+    # table-backed legacy encodings are row-level errors
+    with pytest.raises(PdfParseError):
+        predefined_cid_cmap("90ms-RKSJ-H")
+    with pytest.raises(PdfParseError):
+        predefined_cid_cmap("GBK-EUC-H")
+    with pytest.raises(PdfParseError):
+        predefined_cid_cmap("NoSuchCMap")
+
+
+def test_f27_predefined_ucs2_unicode_enrichment():
+    from pdf_ray.fixtures.corpus import f27_type0_predefined_ucs2
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    pdf, golden = f27_type0_predefined_ucs2()
+    doc = Document(pdf)
+    interp = Interpreter(doc)
+    interp.run()
+    assert [(k, t, r) for k, t, r in interp.spans] == [
+        (k, t, r) for k, t, r, _ in golden
+    ]
+    # unicode variant: predefined UCS2 code space, no ToUnicode stream
+    doc2 = Document(pdf)
+    interp2 = Interpreter(doc2, apply_tounicode=True)
+    interp2.run()
+    assert interp2.spans[0][1] == "Hi中"
