@@ -278,14 +278,24 @@ class StandardSecurityHandler:
         self.v = enc_dict.get("V", 0)
         self.revision = enc_dict.get("R", 2)
         self.length_bytes = int(enc_dict.get("Length", 40)) // 8
-        self.aes = False
         if self.v == 4:
+            # V=4: stream and string crypt filters are tracked SEPARATELY
+            # (PDF 32000-1 §7.6.5); StmF/StrF default to Identity, and
+            # Identity means pass-through (never RC4-"decrypt" plaintext)
             cf = enc_dict.get("CF", {})
-            stmf = str(enc_dict.get("StmF", "Identity"))
-            cfm = str(cf.get(stmf, {}).get("CFM", "V2")) if stmf != "Identity" else "V2"
-            self.aes = cfm == "AESV2"
-            if self.aes:
+
+            def cfm_of(fname) -> str:
+                fname = str(fname)
+                if fname == "Identity":
+                    return "Identity"
+                return str(cf.get(fname, {}).get("CFM", "V2"))
+
+            self.stm_cfm = cfm_of(enc_dict.get("StmF", "Identity"))
+            self.str_cfm = cfm_of(enc_dict.get("StrF", "Identity"))
+            if "AESV2" in (self.stm_cfm, self.str_cfm):
                 self.length_bytes = 16
+        else:
+            self.stm_cfm = self.str_cfm = "V2"
         o_entry = enc_dict.get("O", "")
         self.o_bytes = bytes(ord(c) & 0xFF for c in o_entry)
         self.u_bytes = bytes(ord(c) & 0xFF for c in enc_dict.get("U", ""))
@@ -299,25 +309,29 @@ class StandardSecurityHandler:
             self.revision,
         )
 
-    def decrypt_bytes(self, data: bytes, ref: Ref) -> bytes:
-        key = object_key(self.file_key, ref.num, ref.gen, self.aes)
-        if self.aes:
+    def decrypt_bytes(self, data: bytes, ref: Ref, cfm: str) -> bytes:
+        if cfm == "Identity":
+            return data
+        aes = cfm == "AESV2"
+        key = object_key(self.file_key, ref.num, ref.gen, aes)
+        if aes:
             return aes128_cbc_decrypt(key, data)
         return rc4(key, data)
 
     def decrypt_object(self, obj, ref: Ref):
         """Recursively decrypt strings and stream bytes of one indirect
-        object (names/numbers are never encrypted)."""
+        object (names/numbers are never encrypted). Streams use StmF's
+        crypt filter, strings StrF's."""
         if isinstance(obj, Stream):
             return Stream(
                 self.decrypt_object(obj.dict, ref),
-                self.decrypt_bytes(obj.raw, ref),
+                self.decrypt_bytes(obj.raw, ref, self.stm_cfm),
             )
         if isinstance(obj, Name):
             return obj
         if isinstance(obj, str):
             raw = bytes(ord(c) & 0xFF for c in obj)
-            return self.decrypt_bytes(raw, ref).decode("latin-1")
+            return self.decrypt_bytes(raw, ref, self.str_cfm).decode("latin-1")
         if isinstance(obj, list):
             return [self.decrypt_object(x, ref) for x in obj]
         if isinstance(obj, dict):

@@ -90,9 +90,20 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
                     indices.append((byte >> shift) & mask)
         else:
             raise PdfParseError(f"unsupported Indexed bpc {bpc}")
+        hival = resolve(cs[2])
         out = bytearray(w * h * 3)
         for i, idx in enumerate(indices[: w * h]):
             off = idx * ncomp
+            # out-of-range indices must FAIL the row: a short slice on the
+            # RHS would silently resize the bytearray and misalign every
+            # later pixel (corrupted pixels -> wrong media_ref)
+            if (isinstance(hival, int) and idx > hival) or off + ncomp > len(
+                palette
+            ):
+                raise PdfParseError(
+                    f"Indexed palette index {idx} out of range "
+                    f"(hival={hival}, palette={len(palette)}B)"
+                )
             if ncomp == 3:
                 out[3 * i : 3 * i + 3] = palette[off : off + 3]
             else:

@@ -111,18 +111,64 @@ def _manifest_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_lineage")
 
 
-def completed_doc_ids(output_dir: str) -> set[str]:
-    """Read doc_ids recorded by prior (partial) runs' manifests."""
+def _read_manifests(output_dir: str) -> list[dict]:
     mdir = _manifest_dir(output_dir)
-    done: set[str] = set()
     if not os.path.isdir(mdir):
-        return done
-    for name in os.listdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
         if name.endswith(".json"):
             with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-            done.update(m["doc_ids"])
+                out.append(json.load(f))
+    return out
+
+
+def completed_doc_ids(output_dir: str) -> set[str]:
+    """Read doc_ids recorded by prior (partial) runs' manifests."""
+    done: set[str] = set()
+    for m in _read_manifests(output_dir):
+        done.update(m["doc_ids"])
     return done
+
+
+def committed_part_files(output_dir: str) -> list[str]:
+    """The manifests ARE the commit record: only part files listed in a
+    manifest are committed output. A crash between shard publish and
+    manifest write leaves an orphan shard — consumers must not read it
+    (and resume garbage-collects it, see gc_orphan_shards)."""
+    return sorted(
+        os.path.join(output_dir, m["file"])
+        for m in _read_manifests(output_dir)
+        if os.path.exists(os.path.join(output_dir, m["file"]))
+    )
+
+
+def read_extracted(output_dir: str):
+    """Read the COMMITTED extraction output as a Ray Dataset (manifest-
+    listed part files only)."""
+    import ray.data as rd
+
+    return rd.read_parquet(committed_part_files(output_dir))
+
+
+def gc_orphan_shards(output_dir: str) -> int:
+    """Delete part files not listed in any manifest (shards published by
+    a task that died before writing its commit record). Their doc_ids are
+    absent from the manifests, so resume re-extracts them — without GC the
+    output dir would hold duplicate rows for those docs."""
+    committed = {os.path.basename(p) for p in committed_part_files(output_dir)}
+    n = 0
+    if not os.path.isdir(output_dir):
+        return 0
+    for name in os.listdir(output_dir):
+        if (
+            name.startswith("part-")
+            and name.endswith(".parquet")
+            and name not in committed
+        ):
+            os.remove(os.path.join(output_dir, name))
+            n += 1
+    return n
 
 
 class ExtractWriteStage:
@@ -184,9 +230,13 @@ def run_extract(
     """Run the flagship pipeline with per-partition lineage + resume.
 
     Output layout: ``output_dir/part-*.parquet`` plus
-    ``output_dir/_lineage/<task>.json`` manifests ``{doc_ids, n_ok, n_err}``
-    written atomically (tmp+rename) by the same task that wrote the rows —
-    a doc_id appears in a manifest iff its row hit the output.
+    ``output_dir/_lineage/<task>.json`` manifests ``{doc_ids, n_ok, n_err,
+    file}``. The MANIFEST is the commit record: the shard is published
+    first, then the manifest (both atomically via tmp+rename), so a crash
+    between the two leaves an orphan shard that no manifest lists. Resume
+    garbage-collects orphans and re-extracts their doc_ids; consumers read
+    committed output via ``read_extracted`` (manifest-listed files only),
+    which together give exactly-once output semantics.
 
     ``fused=True`` (default) writes shards from inside the extract actors
     (ExtractWriteStage) so span tables never transit the object store;
@@ -196,7 +246,10 @@ def run_extract(
     import ray.data as rd
 
     docs_ds = rd.read_parquet(input_path)
-    done = completed_doc_ids(output_dir) if resume else set()
+    done: set[str] = set()
+    if resume:
+        gc_orphan_shards(output_dir)
+        done = completed_doc_ids(output_dir)
     skipped = 0
     if done:
         skipped = len(done)

@@ -65,3 +65,32 @@ def test_encrypted_string_decryption():
     assert doc.security is not None
     # page content already proves stream decryption; check the key length
     assert len(doc.security.file_key) == 5
+
+
+def test_v4_identity_stmf_passthrough():
+    """StmF=Identity must pass stream bytes through untouched while
+    StrF=StdCF still decrypts strings (separate crypt filters)."""
+    from pdf_ray.pdfcore.encryption import StandardSecurityHandler
+
+    enc = {
+        "Filter": "Standard",
+        "V": 4,
+        "R": 4,
+        "Length": 128,
+        "CF": {"StdCF": {"CFM": "V2", "Length": 16}},
+        "StmF": "Identity",
+        "StrF": "StdCF",
+        "O": "x" * 32,
+        "U": "y" * 32,
+        "P": -4,
+    }
+    h = StandardSecurityHandler(enc, b"fileid")
+    assert h.stm_cfm == "Identity"
+    assert h.str_cfm == "V2"
+
+    class Ref:
+        num, gen = 7, 0
+
+    plain = b"stream bytes stay as-is"
+    assert h.decrypt_bytes(plain, Ref, h.stm_cfm) == plain
+    assert h.decrypt_bytes(plain, Ref, h.str_cfm) != plain

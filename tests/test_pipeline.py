@@ -176,3 +176,56 @@ def test_partial_resume(ray_session, corpus, tmp_path):
         for p in glob.glob(f"{out_dir}/part-*.parquet")
     )
     assert total == docs.num_rows  # each doc exactly once
+
+
+def test_orphan_shard_gc_and_committed_read(ray_session, corpus, tmp_path):
+    """A shard published WITHOUT its manifest (crash between the two
+    writes) is an orphan: committed readers must skip it and resume must
+    GC it, then re-extract its docs exactly once."""
+    import glob
+
+    import ray
+
+    from pdf_ray.pipelines.extract import (
+        committed_part_files,
+        completed_doc_ids,
+        gc_orphan_shards,
+        read_extracted,
+        run_extract,
+    )
+
+    docs, payload_tbl, golden = corpus
+    in_path = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "out")
+    pq.write_table(docs, in_path)
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    pref = ray.put(payloads)
+    run_extract(in_path, out_dir, pref, concurrency=2)
+
+    # simulate the crash: drop one manifest, keeping its (now-orphan) shard
+    import json
+    import os
+
+    mdir = os.path.join(out_dir, "_lineage")
+    victim = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, victim)) as f:
+        lost = json.load(f)
+    os.remove(os.path.join(mdir, victim))
+
+    all_parts = set(glob.glob(f"{out_dir}/part-*.parquet"))
+    committed = set(committed_part_files(out_dir))
+    assert os.path.join(out_dir, lost["file"]) in all_parts - committed
+    assert set(lost["doc_ids"]).isdisjoint(completed_doc_ids(out_dir))
+
+    # resume: orphan GC'd, lost docs re-extracted, output exactly-once
+    stats = run_extract(in_path, out_dir, pref, concurrency=2)
+    assert stats["skipped"] == docs.num_rows - len(lost["doc_ids"])
+    assert stats["n_ok"] + stats["n_err"] == len(lost["doc_ids"])
+    out = read_extracted(out_dir).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(docs.column("doc_id").to_pylist())
+    assert gc_orphan_shards(out_dir) == 0
