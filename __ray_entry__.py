@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_span_kind_counts": p.pdf_span_kind_counts,
         "pdf_extract_metrics": p.pdf_extract_metrics,
         "pdf_image_features": p.pdf_image_features,
+        "pdf_annotations": p.pdf_annotations,
     }
     q.update(registry.QUERIES)
     return q

@@ -790,6 +790,66 @@ def f27_type0_predefined_ucs2():
     return b.build(1), _t("\x00H\x00iN-")
 
 
+# f28 annotation golden, written down from the annotation dicts authored
+# below (array order; Widget text = field /V, Parent-chain inherited)
+F28_ANNOTS = [
+    # (annot_index, subtype, text, field_name)
+    (0, "FreeText", "Approved by QA", None),
+    (1, "Text", "Sticky note", None),
+    (2, "Widget", "typed value", "name1"),
+    (3, "Link", None, None),
+    (4, "Widget", "parent value", "parentfield"),
+]
+
+
+def f28_annotations():
+    """Page with /Annots: FreeText + Text (sticky) + merged-field Widget
+    + Link (no text) + Widget inheriting /T and /V from its field
+    /Parent (reference model: src/annotation/mod.rs:251-300,
+    src/acro_form.rs). Content-stream golden is the usual lexer-level
+    span; annotation text is surfaced by the separate pdf_annotations
+    query."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+        b"/Annots [8 0 R 9 0 R 10 0 R 11 0 R 12 0 R] >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Body text) Tj ET")
+    b.add(
+        5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    b.add(
+        8,
+        b"<< /Type /Annot /Subtype /FreeText /Rect [10 600 200 650] "
+        b"/Contents (Approved by QA) /DA (/Helv 12 Tf 0 g) >>",
+    )
+    b.add(
+        9,
+        b"<< /Type /Annot /Subtype /Text /Rect [0 0 20 20] "
+        b"/Contents (Sticky note) >>",
+    )
+    b.add(
+        10,
+        b"<< /Type /Annot /Subtype /Widget /Rect [50 50 150 70] "
+        b"/FT /Tx /T (name1) /V (typed value) >>",
+    )
+    b.add(11, b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] >>")
+    b.add(
+        12,
+        b"<< /Type /Annot /Subtype /Widget /Rect [50 100 150 120] "
+        b"/Parent 13 0 R >>",
+    )
+    b.add(
+        13,
+        b"<< /FT /Tx /T (parentfield) /V (parent value) /Kids [12 0 R] >>",
+    )
+    return b.build(1), _t("Body text")
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
@@ -828,4 +888,5 @@ FIXTURES = {
     "f25": f25_indexed_image,
     "f26": f26_hybrid_xrefstm,
     "f27": f27_type0_predefined_ucs2,
+    "f28": f28_annotations,
 }

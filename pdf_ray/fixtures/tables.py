@@ -18,6 +18,10 @@ import pyarrow as pa
 from ..schema import DOCS, EXTRACTED, PAYLOADS
 from .corpus import FIXTURES, UNICODE_OVERRIDES
 
+# replica count of the COMMITTED fixtures_data/ corpus (build.py);
+# oracles that enumerate per-replica rows key off this
+DEFAULT_REPLICAS = 5
+
 
 def _fixture_cache():
     out = {}

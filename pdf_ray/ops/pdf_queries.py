@@ -136,6 +136,50 @@ def _image_features_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def pdf_annotations(sf_dir: str | None = None):
+    """Annotation text extraction (FreeText/Text /Contents + Widget field
+    values with /Parent inheritance): actor-pool AnnotationStage over the
+    fixture corpus. Oracle: the hand-written F28_ANNOTS golden expanded
+    per replica."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import AnnotationStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        AnnotationStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _annotations_oracle() -> str:
+    # hand-written golden (corpus.F28_ANNOTS) x the committed replica
+    # count; only f28 docs carry /Annots
+    from ..fixtures.corpus import F28_ANNOTS
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for ai, subtype, text, fname in F28_ANNOTS:
+            t = "NULL" if text is None else f"'{text}'"
+            f = "NULL" if fname is None else f"'{fname}'"
+            rows.append(
+                f"SELECT 'f28-{r:04d}' AS doc_id, 0::INT AS page_index, "
+                f"{ai}::INT AS annot_index, '{subtype}' AS subtype, "
+                f"{t}::VARCHAR AS text, {f}::VARCHAR AS field_name"
+            )
+    return " UNION ALL ".join(rows)
+
+
 def pdf_span_kind_counts(sf_dir: str | None = None):
     """Aggregate over extraction output: spans per kind (Ray groupby)."""
     from ray.data.aggregate import Count
@@ -200,3 +244,4 @@ PDF_ORACLE_SQL = {
     """,
 }
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
+PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()

@@ -137,6 +137,53 @@ class ExtractStage:
         orders.extend(range(len(kinds) - start))
 
 
+class AnnotationStage(ExtractStage):
+    """Variant that emits ANNOTATION text rows (doc_id, page_index,
+    annot_index, subtype, text, field_name) — FreeText/Text /Contents and
+    Widget field values, the content a reader misses if only content
+    streams are extracted (reference model: src/annotation/mod.rs).
+    Same actor-pool shape and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.annotations import page_annotations
+
+        rows: dict[str, list] = {
+            "doc_id": [], "page_index": [], "annot_index": [],
+            "subtype": [], "text": [], "field_name": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for pi, page in enumerate(doc.pages):
+                        for ai, a in enumerate(page_annotations(doc, page)):
+                            rows["doc_id"].append(doc_id)
+                            rows["page_index"].append(pi)
+                            rows["annot_index"].append(ai)
+                            rows["subtype"].append(a["subtype"])
+                            rows["text"].append(a["text"])
+                            rows["field_name"].append(a["field_name"])
+                except Exception:
+                    continue  # poison rows contribute no annotation rows
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "page_index": pa.array(rows["page_index"], pa.int32()),
+                "annot_index": pa.array(rows["annot_index"], pa.int32()),
+                "subtype": pa.array(rows["subtype"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+                "field_name": pa.array(rows["field_name"], pa.string()),
+            }
+        )
+
+
 class ImageBlobStage(ExtractStage):
     """Variant that emits the extracted image BLOBS instead of spans:
     (media_ref, png). Downstream: dedupe on media_ref (content-addressed,

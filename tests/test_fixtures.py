@@ -133,3 +133,22 @@ def test_all_options_together():
         assert [s[2] for s in spans if s[0] == "image"] == [
             g[2] for g in golden if g[0] == "image"
         ], name
+
+
+def test_f28_annotations_parse():
+    from pdf_ray.fixtures.corpus import F28_ANNOTS, f28_annotations
+    from pdf_ray.pdfcore.annotations import page_annotations
+    from pdf_ray.pdfcore.document import Document
+
+    pdf, golden = f28_annotations()
+    doc = Document(pdf)
+    got = page_annotations(doc, doc.pages[0])
+    assert [
+        (a["subtype"], a["text"], a["field_name"]) for a in got
+    ] == [(s, t, f) for _, s, t, f in F28_ANNOTS]
+    # content-stream spans are unaffected by annotations
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    interp = Interpreter(doc)
+    interp.run()
+    assert interp.spans == [("text", "Body text", None)]
