@@ -126,7 +126,12 @@ def bench_table_queries(sf_dir: str) -> dict[str, float]:
 def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+    # 100k docs (~25s at 32 cpus): a fresh Ray session pays ~5s of fixed
+    # actor-pool spawn + control-plane ramp before steady state (measured
+    # r2 — see BASELINE.md "Fixed-cost decomposition"); a 20k run spends
+    # 60% of its wall time there and under-reports steady-state throughput
+    # by ~2x. Larger runs amortize it; per-task size stays 200 docs.
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
     _init_ray(num_cpus)
 
     dt, n_total = bench_extraction(num_cpus, n_docs)

@@ -288,7 +288,12 @@ def _verify_pairs_bucketed(pairs_ds, docs, tau: float, n_buckets: int = 64):
     text: each round is union -> groupby(hash(key) %% B) -> pandas merge
     inside the bucket group, the same partitioned-hash-join pattern as
     relational.order_lineitem_revenue."""
-    sh_ds = _shingle_table(docs)
+    # the shingle table feeds BOTH join rounds; without materialize() the
+    # whole shingling stage re-executes per consumer. This is a bounded,
+    # spillable object-store intermediate (one row per doc), not driver
+    # state — the deliberate cache-at-reuse-point exception to the
+    # no-mid-pipeline-materialize rule.
+    sh_ds = _shingle_table(docs).materialize()
 
     def pairs_side_r1(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy()
@@ -319,7 +324,11 @@ def _verify_pairs_bucketed(pairs_ds, docs, tau: float, n_buckets: int = 64):
         )
 
     def join_r1(g: pd.DataFrame) -> pa.Table:
-        p = g[g["side"] == "P"][["key", "doc_a", "doc_b"]]
+        # candidate pairs may arrive multiple times (one per colliding LSH
+        # band); every copy of a pair has the same doc_a, hence the same
+        # bucket — so this in-group drop_duplicates is a GLOBAL pair dedup
+        # (saves the dedicated dedup shuffle a separate stage would cost)
+        p = g[g["side"] == "P"][["key", "doc_a", "doc_b"]].drop_duplicates()
         s = g[g["side"] == "S"][["key", "sh_a"]]
         j = p.merge(s, on="key", how="inner")
         # explicit Arrow out: the list<string> column can't round-trip
@@ -426,26 +435,14 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
         out = _pairs_from_posting_groups(g, "key")
         return out[["doc_a", "doc_b"]].drop_duplicates()
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
-        return batch.append_column("pbucket", pa.array(pb))
-
+    # no dedicated global pair-dedup shuffle: duplicates surviving across
+    # band-buckets are removed inside the verify's first join (all copies
+    # of a pair share doc_a -> same join bucket; see join_r1)
     candidates = (
         docs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
             lambda g: pairs_of_bucket(g.drop(columns="bucket")),
-            batch_format="pandas",
-        )
-        .map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(
-            lambda g: dedup_bucket(g.drop(columns="pbucket")),
             batch_format="pandas",
         )
     )
