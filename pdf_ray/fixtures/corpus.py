@@ -790,6 +790,60 @@ def f27_type0_predefined_ucs2():
     return b.build(1), _t("\x00H\x00iN-")
 
 
+# CCITT fixture (f29): Group 4 fax image, LOSSLESS — the pixel golden is
+# the bitmap itself, written down here (left 8 columns black, right 8
+# white, 4 rows). Default CCITT coding: white = 1 bits = DeviceGray white.
+CCITT_W, CCITT_H = 16, 4
+CCITT_PIXELS = bytes(([0, 0, 0] * 8 + [255, 255, 255] * 8) * CCITT_H)
+
+
+def _ccitt_ref() -> str:
+    import hashlib
+
+    return (
+        "img:"
+        + hashlib.sha256(
+            f"{CCITT_W}x{CCITT_H}:rgb8:".encode() + CCITT_PIXELS
+        ).hexdigest()[:40]
+    )
+
+
+CCITT_REF = _ccitt_ref()
+
+
+def f29_ccitt_image():
+    """CCITTFaxDecode (Group 4) Image XObject — the filter the reference
+    todo!()s (src/filter/mod.rs:51). Lossless bitonal decode, so the
+    media_ref golden is derived by hand from the authored bitmap."""
+    import numpy as np
+
+    from .ccittenc import encode_g4
+
+    img = np.zeros((CCITT_H, CCITT_W), dtype=bool)
+    img[:, :8] = True  # True = black
+    data = encode_g4(img)
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before fax) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 16 /Height 4 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode "
+                b"/DecodeParms << /K -1 /Columns 16 /Rows 4 >> /Length "
+                + str(len(data)).encode()
+                + b" >>\nstream\n"
+                + data
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before fax", None, 0),
+        ("image", None, CCITT_REF, 1),
+    ]
+
+
 # f28 annotation golden, written down from the annotation dicts authored
 # below (array order; Widget text = field /V, Parent-chain inherited)
 F28_ANNOTS = [
@@ -889,4 +943,5 @@ FIXTURES = {
     "f26": f26_hybrid_xrefstm,
     "f27": f27_type0_predefined_ucs2,
     "f28": f28_annotations,
+    "f29": f29_ccitt_image,
 }

@@ -106,6 +106,10 @@ def pdf_image_features(sf_dir: str | None = None):
 def _image_features_oracle() -> str:
     # derived from the literal fixture pixels, not from engine code
     from ..fixtures.corpus import (
+        CCITT_H,
+        CCITT_PIXELS,
+        CCITT_REF,
+        CCITT_W,
         DCT_H,
         DCT_PIXELS,
         DCT_REF,
@@ -125,6 +129,7 @@ def _image_features_oracle() -> str:
         (IMG_REF, IMG_W, IMG_H, IMG_PIXELS),
         (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
         (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
+        (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]

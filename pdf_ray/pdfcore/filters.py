@@ -14,8 +14,10 @@ throughout (SURVEY.md §7.4.2):
 - LZWDecode: TIFF/PDF LZW with EarlyChange (reference todo!(),
   src/filter/mod.rs:43)
 - RunLengthDecode: spec 7.4.5
-- DCTDecode: raw JPEG bytes are passed through (pixel decode is the image
-  stage's concern; no JPEG codec is assumed in this environment)
+- CCITTFaxDecode: Group 3 (1-D and mixed) + Group 4 from scratch
+  (reference todo!()s it, src/filter/mod.rs:51) — see ccitt.py
+- DCTDecode: raw JPEG bytes are passed through here; the image stage
+  decodes them with the from-scratch baseline decoder (jpeg.py)
 """
 
 from __future__ import annotations
@@ -191,6 +193,12 @@ def lzw_decode(data: bytes, parms: dict | None) -> bytes:
     return bytes(out)
 
 
+def ccitt_decode(data: bytes, parms: dict | None) -> bytes:
+    from .ccitt import ccitt_fax_decode
+
+    return ccitt_fax_decode(data, parms)
+
+
 def run_length_decode(data: bytes, parms: dict | None) -> bytes:
     out = bytearray()
     i = 0
@@ -219,6 +227,8 @@ FILTERS = {
     "LZW": lzw_decode,
     "RunLengthDecode": run_length_decode,
     "RL": run_length_decode,
+    "CCITTFaxDecode": ccitt_decode,
+    "CCF": ccitt_decode,
     "DCTDecode": lambda data, parms: data,  # raw JPEG passthrough
     "DCT": lambda data, parms: data,
 }

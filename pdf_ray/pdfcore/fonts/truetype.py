@@ -1,7 +1,8 @@
 """TrueType (sfnt) parser: table directory + head/maxp/hhea/hmtx and cmap
-formats 0/4/6 — the width path only (the reference's ~1,600-LoC table
-parser and the 1,835-LoC hinting VM have no effect on span text,
-SURVEY.md §2.5 T11/T12)."""
+formats 0/2/4/6/12 — the width path only (the reference's ~1,600-LoC table
+parser, src/font/true_type/parse.rs, and the 1,835-LoC hinting VM have no
+effect on span text, SURVEY.md §2.5 T11/T12). Format 12 covers
+supplementary-plane fonts; format 2 the high-byte CJK legacy layout."""
 
 from __future__ import annotations
 
@@ -67,6 +68,44 @@ def _parse_cmap_subtable(data: bytes, off: int) -> dict[int, int]:
         for i, gid in enumerate(gids):
             if gid:
                 table[first + i] = gid
+    elif fmt == 2:
+        # high-byte mapping: 256 subHeaderKeys (x8) pick a subHeader of
+        # (firstCode, entryCount, idDelta, idRangeOffset); key 0 maps
+        # single bytes, others 2-byte codes (OpenType spec 'cmap' fmt 2)
+        sub_keys = struct.unpack_from(">256H", data, off + 6)
+        sh_base = off + 6 + 512
+        for high in range(256):
+            sh_off = sh_base + sub_keys[high]  # key is subHeader index *8
+            first, count, delta, range_off = struct.unpack_from(
+                ">HHhH", data, sh_off
+            )
+            # idRangeOffset is relative to its own field position
+            glyph_base = sh_off + 6 + range_off
+            for i in range(count):
+                gid = struct.unpack_from(">H", data, glyph_base + 2 * i)[0]
+                if gid:
+                    gid = (gid + delta) & 0xFFFF
+                if not gid:
+                    continue
+                if sub_keys[high] == 0:
+                    if high == 0:  # single-byte codes via subHeader 0
+                        table[first + i] = gid
+                else:
+                    table[(high << 8) | (first + i)] = gid
+    elif fmt == 12:
+        # segmented coverage: sequential 32-bit groups (startChar, endChar,
+        # startGlyph) — supplementary-plane capable
+        n_groups = struct.unpack_from(">I", data, off + 12)[0]
+        for g in range(n_groups):
+            start, end, start_gid = struct.unpack_from(
+                ">III", data, off + 16 + 12 * g
+            )
+            for code in range(start, end + 1):
+                gid = start_gid + (code - start)
+                if gid:
+                    table[code] = gid
+                if len(table) > 262144:  # adversarial-range guard
+                    return table
     # other formats: unsupported -> empty (caller falls back to defaults)
     return table
 
@@ -106,9 +145,11 @@ def parse_truetype(data: bytes) -> TrueTypeFont:
             plat, enc, sub_off = struct.unpack_from(
                 ">HHI", data, cm_off + 4 + 8 * i
             )
-            score = {(3, 1): 3, (0, 3): 3, (3, 0): 2, (1, 0): 1}.get(
-                (plat, enc), 0
-            )
+            # prefer full-Unicode (fmt 12) subtables, then BMP, then legacy
+            score = {
+                (3, 10): 4, (0, 4): 4, (0, 6): 4,
+                (3, 1): 3, (0, 3): 3, (3, 0): 2, (1, 0): 1,
+            }.get((plat, enc), 0)
             if best is None or score > best[0]:
                 best = (score, cm_off + sub_off)
         if best is not None:

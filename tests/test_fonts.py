@@ -183,3 +183,46 @@ def test_f27_predefined_ucs2_unicode_enrichment():
     interp2 = Interpreter(doc2, apply_tounicode=True)
     interp2.run()
     assert interp2.spans[0][1] == "Hi中"
+
+
+def test_cmap_format12():
+    import struct
+
+    from pdf_ray.pdfcore.fonts.truetype import _parse_cmap_subtable
+
+    groups = [(0x41, 0x43, 100), (0x1F600, 0x1F602, 500)]
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    for s, e, g in groups:
+        sub += struct.pack(">III", s, e, g)
+    t = _parse_cmap_subtable(sub, 0)
+    assert t[0x41] == 100 and t[0x43] == 102
+    assert t[0x1F600] == 500 and t[0x1F602] == 502  # supplementary plane
+
+
+def test_cmap_format2():
+    import struct
+
+    from pdf_ray.pdfcore.fonts.truetype import _parse_cmap_subtable
+
+    # layout: header(6) + keys(512) + subHeader0(8) + subHeader1(8) + glyphs
+    keys = [0] * 256
+    keys[0x81] = 8  # high byte 0x81 -> subHeader 1
+    sh_base = 6 + 512
+    glyphs_off = sh_base + 16
+    # subHeader0: single-byte codes 'A'..'B' -> glyphs[0..1]
+    sh0_range = glyphs_off - (sh_base + 6)
+    sh0 = struct.pack(">HHhH", 0x41, 2, 0, sh0_range)
+    # subHeader1: codes 0x8140..0x8142 -> glyphs[2..4] with idDelta 5
+    sh1_range = (glyphs_off + 4) - (sh_base + 8 + 6)
+    sh1 = struct.pack(">HHhH", 0x40, 3, 5, sh1_range)
+    glyphs = struct.pack(">5H", 10, 11, 20, 21, 22)
+    sub = (
+        struct.pack(">HHH", 2, 6 + 512 + 16 + len(glyphs), 0)
+        + struct.pack(">256H", *keys)
+        + sh0
+        + sh1
+        + glyphs
+    )
+    t = _parse_cmap_subtable(sub, 0)
+    assert t[0x41] == 10 and t[0x42] == 11
+    assert t[0x8140] == 25 and t[0x8142] == 27  # (gid + idDelta) & 0xFFFF

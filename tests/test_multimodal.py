@@ -95,10 +95,12 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # three distinct decodable images: f13's RGB, f25's indexed, f24's DCT
-    from pdf_ray.fixtures.corpus import DCT_REF, IDX_REF, IMG_REF
+    # four distinct decodable images: f13 RGB, f25 indexed, f24 DCT, f29 CCITT
+    from pdf_ray.fixtures.corpus import CCITT_REF, DCT_REF, IDX_REF, IMG_REF
 
-    assert sorted(blobs["media_ref"]) == sorted([IMG_REF, IDX_REF, DCT_REF])
+    assert sorted(blobs["media_ref"]) == sorted(
+        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF]
+    )
     sizes = {
         ref: decode_png(png)[:2]
         for ref, png in zip(blobs["media_ref"], blobs["png"])
