@@ -740,6 +740,76 @@ def f23_encrypted_aes():
     return _encrypted_fixture(aes=True)
 
 
+def f30_encrypted_aes256():
+    """V=5 / R=6 (PDF 2.0) AES-256 encryption — beyond the reference,
+    which stops at AES-128 (src/encryption.rs). Built per ISO 32000-2:
+    U = hash2B(pwd, vsalt) || vsalt || ksalt, UE = AES-256-CBC(ik,
+    iv=0, file_key) with ik = hash2B(pwd, ksalt); streams/strings use
+    the file key directly with a random IV prefix. Empty user password."""
+    import hashlib as _hl
+
+    from ..pdfcore.encryption import (
+        aes128_cbc_encrypt,
+        aes_cbc_encrypt_nopad,
+        hash_2b,
+    )
+
+    text = "AES-256 text"
+    content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    file_key = _hl.sha256(b"fixture-aes256-file-key").digest()
+    vsalt = b"VSALT#30"
+    ksalt = b"KSALT#30"
+    u_entry = hash_2b(b"", vsalt) + vsalt + ksalt
+    ik = hash_2b(b"", ksalt)
+    ue_entry = aes_cbc_encrypt_nopad(ik, b"\x00" * 16, file_key)
+    # owner entries: spec-shaped but unused by the empty-user-pwd path
+    o_entry = _hl.sha256(b"owner").digest() + b"OSALT#30" + b"OKSLT#30"
+    oe_entry = b"\x00" * 32
+    p = -4
+    # /Perms: AES-256-ECB(file_key, P || 0xFFFFFFFF || 'T' || 'adb' || pad)
+    perms_plain = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"0123"
+    )
+    perms = aes_cbc_encrypt_nopad(file_key, b"\x00" * 16, perms_plain)
+    iv = _hl.md5(b"fixture-aes256-iv").digest()
+    enc_content = aes128_cbc_encrypt(file_key, iv, content)
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add(
+        4,
+        f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+        + enc_content
+        + b"\nendstream",
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        6,
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <" + o_entry.hex().encode() + b"> "
+        b"/U <" + u_entry.hex().encode() + b"> "
+        b"/OE <" + oe_entry.hex().encode() + b"> "
+        b"/UE <" + ue_entry.hex().encode() + b"> "
+        b"/Perms <" + perms.hex().encode() + b"> "
+        b"/P " + str(p).encode() + b" >>",
+    )
+    file_id = _hl.md5(b"fixture-aes256-id").digest()
+    trailer_extra = (
+        b"/Encrypt 6 0 R /ID [<" + file_id.hex().encode() + b"> <"
+        + file_id.hex().encode() + b">] "
+    )
+    return b.build(1, extra_trailer=trailer_extra), _t(text)
+
+
 def f19a_poison_truncated():
     pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (Will be cut) Tj ET")
     return pdf[: len(pdf) // 2], None
@@ -944,4 +1014,5 @@ FIXTURES = {
     "f27": f27_type0_predefined_ucs2,
     "f28": f28_annotations,
     "f29": f29_ccitt_image,
+    "f30": f30_encrypted_aes256,
 }

@@ -1,10 +1,12 @@
-"""PDF standard security handler: RC4 and AES-128-CBC decryption with the
-Algorithm-2 key derivation (PDF 32000-1 §7.6.2-7.6.3; reference:
-src/encryption.rs:255-337, wired at src/lib.rs:469-477).
+"""PDF standard security handler: RC4, AES-128-CBC (V<=4, Algorithm 2 key
+derivation, PDF 32000-1 §7.6.2-7.6.3; reference: src/encryption.rs:255-337,
+wired at src/lib.rs:469-477) and AES-256 (V=5 R5/R6, ISO 32000-2
+Algorithms 2.A/2.B — beyond the reference, which stops at AES-128).
 
 Primitives are implemented from their public specs (RC4 per the classic
-KSA/PRGA description; AES inverse cipher per FIPS-197) and pinned by
-published test vectors in tests/test_encryption.py.
+KSA/PRGA description; AES per FIPS-197 for both 128- and 256-bit key
+schedules) and pinned by published test vectors in
+tests/test_encryption.py (incl. FIPS-197 appendix C.3 for AES-256).
 """
 
 from __future__ import annotations
@@ -91,19 +93,25 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key expansion, any Nk (AES-128: 44 words, AES-256: 60)."""
+    nk = len(key) // 4
+    rounds = nk + 6
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     return words
 
 
-def _aes128_decrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
-    # state in column-major order per FIPS-197
+def _aes_decrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
+    # state in column-major order per FIPS-197; round count from key size
+    rounds = len(round_keys) // 4 - 1
     s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
     def add_round_key(rnd):
@@ -129,8 +137,8 @@ def _aes128_decrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
             s[2][c] = _gmul(a[0], 13) ^ _gmul(a[1], 9) ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
             s[3][c] = _gmul(a[0], 11) ^ _gmul(a[1], 13) ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
 
-    add_round_key(10)
-    for rnd in range(9, 0, -1):
+    add_round_key(rounds)
+    for rnd in range(rounds - 1, 0, -1):
         inv_shift_rows()
         inv_sub_bytes()
         add_round_key(rnd)
@@ -150,7 +158,7 @@ def aes128_cbc_decrypt(key: bytes, data: bytes, strip_padding: bool = True) -> b
     prev = iv
     for i in range(16, len(data), 16):
         block = data[i : i + 16]
-        plain = _aes128_decrypt_block(block, rk)
+        plain = _aes_decrypt_block(block, rk)
         out += bytes(p ^ v for p, v in zip(plain, prev))
         prev = block
     if strip_padding and out:
@@ -163,7 +171,8 @@ def aes128_cbc_decrypt(key: bytes, data: bytes, strip_padding: bool = True) -> b
 # -- AES-128 forward cipher (fixture generation only) -----------------------
 
 
-def _aes128_encrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
+def _aes_encrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
+    rounds = len(round_keys) // 4 - 1
     s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
     def add_round_key(rnd):
@@ -190,14 +199,14 @@ def _aes128_encrypt_block(block: bytes, round_keys: list[list[int]]) -> bytes:
             s[3][c] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
 
     add_round_key(0)
-    for rnd in range(1, 10):
+    for rnd in range(1, rounds):
         sub_bytes()
         shift_rows()
         mix_columns()
         add_round_key(rnd)
     sub_bytes()
     shift_rows()
-    add_round_key(10)
+    add_round_key(rounds)
     return bytes(s[r][c] for c in range(4) for r in range(4))
 
 
@@ -209,10 +218,123 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(p ^ v for p, v in zip(data[i : i + 16], prev))
-        enc = _aes128_encrypt_block(block, rk)
+        enc = _aes_encrypt_block(block, rk)
         out += enc
         prev = enc
     return bytes(out)
+
+
+# T-table forward cipher: the R6 Algorithm-2.B hash encrypts ~25k blocks
+# per derivation, so the list-of-lists reference implementation (5+ s per
+# hash) needs a fast path. Standard Te-table construction (one round =
+# four table lookups + xor per column); verified against the reference
+# implementation and the FIPS-197 vectors in tests.
+_TE0 = []
+for _x in range(256):
+    _s = _SBOX[_x]
+    _s2 = _xtime(_s)
+    _TE0.append((_s2 << 24) | (_s << 16) | (_s << 8) | (_s ^ _s2))
+_TE1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE0]
+_TE2 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE1]
+_TE3 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE2]
+
+
+def _expand_key_words(key: bytes) -> list[int]:
+    return [
+        (w[0] << 24) | (w[1] << 16) | (w[2] << 8) | w[3]
+        for w in _expand_key(key)
+    ]
+
+
+def _aes_encrypt_block_fast(block: bytes, rk: list[int]) -> bytes:
+    rounds = len(rk) // 4 - 1
+    s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    for r in range(1, rounds):
+        k = 4 * r
+        t0 = (te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF]
+              ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ rk[k])
+        t1 = (te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF]
+              ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ rk[k + 1])
+        t2 = (te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF]
+              ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ rk[k + 2])
+        t3 = (te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF]
+              ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ rk[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = 4 * rounds
+    sb = _SBOX
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16)
+          | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ rk[k]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16)
+          | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ rk[k + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16)
+          | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ rk[k + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16)
+          | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ rk[k + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt: no padding, IV not prepended (Algorithm 2.B and
+    UE/OE wrapping use exact-multiple-of-16 payloads)."""
+    rk = _expand_key_words(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(p ^ v for p, v in zip(data[i : i + 16], prev))
+        enc = _aes_encrypt_block_fast(block, rk)
+        out += enc
+        prev = enc
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        plain = _aes_decrypt_block(block, rk)
+        out += bytes(p ^ v for p, v in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+# -- PDF 2.0 / AES-256 key derivation (Algorithms 2.A / 2.B) ----------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 hardened hash (iterated
+    SHA-256/384/512 selected by an AES-CBC round). R5 files use the plain
+    first SHA-256 (pass rounds=False via revision in the caller)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _r5plus_hash(password: bytes, salt: bytes, udata: bytes, revision: int) -> bytes:
+    if revision >= 6:
+        return hash_2b(password, salt, udata)
+    return hashlib.sha256(password + salt + udata).digest()
 
 
 # -- key derivation (Algorithm 2) -------------------------------------------
@@ -267,6 +389,10 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
+# unwrapped V5 file keys per (U, UE, R) — see StandardSecurityHandler
+_V5_FILE_KEYS: dict[tuple[bytes, bytes, int], bytes] = {}
+
+
 class StandardSecurityHandler:
     """Decrypts strings and stream bytes given the /Encrypt dict and the
     first element of the trailer /ID (empty user password)."""
@@ -278,8 +404,8 @@ class StandardSecurityHandler:
         self.v = enc_dict.get("V", 0)
         self.revision = enc_dict.get("R", 2)
         self.length_bytes = int(enc_dict.get("Length", 40)) // 8
-        if self.v == 4:
-            # V=4: stream and string crypt filters are tracked SEPARATELY
+        if self.v >= 4:
+            # V>=4: stream and string crypt filters are tracked SEPARATELY
             # (PDF 32000-1 §7.6.5); StmF/StrF default to Identity, and
             # Identity means pass-through (never RC4-"decrypt" plaintext)
             cf = enc_dict.get("CF", {})
@@ -288,7 +414,8 @@ class StandardSecurityHandler:
                 fname = str(fname)
                 if fname == "Identity":
                     return "Identity"
-                return str(cf.get(fname, {}).get("CFM", "V2"))
+                default = "AESV3" if self.v == 5 else "V2"
+                return str(cf.get(fname, {}).get("CFM", default))
 
             self.stm_cfm = cfm_of(enc_dict.get("StmF", "Identity"))
             self.str_cfm = cfm_of(enc_dict.get("StrF", "Identity"))
@@ -300,18 +427,47 @@ class StandardSecurityHandler:
         self.o_bytes = bytes(ord(c) & 0xFF for c in o_entry)
         self.u_bytes = bytes(ord(c) & 0xFF for c in enc_dict.get("U", ""))
         self.p = int(enc_dict.get("P", -1))
-        self.file_key = compute_encryption_key(
-            b"",  # empty user password
-            self.o_bytes,
-            self.p,
-            file_id,
-            self.length_bytes,
-            self.revision,
-        )
+        if self.v == 5:
+            # AES-256 (R5 legacy / R6 PDF 2.0): the file key is unwrapped
+            # from UE with the intermediate key derived from the empty
+            # user password (ISO 32000-2 Algorithm 2.A; neither V=5
+            # revision exists in the reference, src/encryption.rs).
+            # The R6 hash (Algorithm 2.B) is deliberately slow; a corpus
+            # shares few distinct /Encrypt dicts, so the unwrapped key is
+            # cached per (U, UE, R) for the worker's lifetime.
+            ue = bytes(ord(c) & 0xFF for c in enc_dict.get("UE", ""))
+            if len(self.u_bytes) < 48 or len(ue) != 32:
+                raise PdfParseError("bad V5 /U or /UE entry")
+            cache_key = (self.u_bytes, ue, self.revision)
+            cached = _V5_FILE_KEYS.get(cache_key)
+            if cached is not None:
+                self.file_key = cached
+                return
+            vsalt = self.u_bytes[32:40]
+            ksalt = self.u_bytes[40:48]
+            if _r5plus_hash(b"", vsalt, b"", self.revision) != self.u_bytes[:32]:
+                raise PdfParseError("encrypted document requires a password")
+            ik = _r5plus_hash(b"", ksalt, b"", self.revision)
+            self.file_key = aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue)
+            if len(_V5_FILE_KEYS) > 1024:  # adversarial-corpus bound
+                _V5_FILE_KEYS.clear()
+            _V5_FILE_KEYS[cache_key] = self.file_key
+        else:
+            self.file_key = compute_encryption_key(
+                b"",  # empty user password
+                self.o_bytes,
+                self.p,
+                file_id,
+                self.length_bytes,
+                self.revision,
+            )
 
     def decrypt_bytes(self, data: bytes, ref: Ref, cfm: str) -> bytes:
         if cfm == "Identity":
             return data
+        if cfm == "AESV3":
+            # AES-256 uses the file key directly — no per-object salt
+            return aes128_cbc_decrypt(self.file_key, data)
         aes = cfm == "AESV2"
         key = object_key(self.file_key, ref.num, ref.gen, aes)
         if aes:

@@ -5,8 +5,8 @@ from pdf_ray.pdfcore.encryption import (
     aes128_cbc_decrypt,
     aes128_cbc_encrypt,
     rc4,
-    _aes128_decrypt_block,
-    _aes128_encrypt_block,
+    _aes_decrypt_block,
+    _aes_encrypt_block,
     _expand_key,
 )
 
@@ -32,8 +32,8 @@ def test_aes128_fips197_vector():
     plain = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
     cipher = bytes.fromhex("3925841d02dc09fbdc118597196a0b32")
     rk = _expand_key(key)
-    assert _aes128_encrypt_block(plain, rk) == cipher
-    assert _aes128_decrypt_block(cipher, rk) == plain
+    assert _aes_encrypt_block(plain, rk) == cipher
+    assert _aes_decrypt_block(cipher, rk) == plain
 
 
 def test_aes_cbc_roundtrip():
@@ -94,3 +94,60 @@ def test_v4_identity_stmf_passthrough():
     plain = b"stream bytes stay as-is"
     assert h.decrypt_bytes(plain, Ref, h.stm_cfm) == plain
     assert h.decrypt_bytes(plain, Ref, h.str_cfm) != plain
+
+
+def test_aes256_fips_c3_vector():
+    from pdf_ray.pdfcore.encryption import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _expand_key,
+    )
+
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _expand_key(key)
+    ct = _aes_encrypt_block(pt, rk)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"  # FIPS-197 C.3
+    assert _aes_decrypt_block(ct, rk) == pt
+
+
+def test_v5_r6_fixture_roundtrip():
+    from pdf_ray.fixtures.corpus import f30_encrypted_aes256
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    pdf, golden = f30_encrypted_aes256()
+    doc = Document(pdf)
+    interp = Interpreter(doc)
+    interp.run()
+    assert interp.spans == [("text", "AES-256 text", None)]
+
+
+def test_v5_wrong_password_raises():
+    import pytest
+
+    from pdf_ray.fixtures.corpus import f30_encrypted_aes256
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    pdf, _ = f30_encrypted_aes256()
+    # corrupt the validation hash inside /U (first hex digit pair of <U>)
+    import re
+
+    m = re.search(rb"/U <([0-9a-f]{96})>", pdf)
+    assert m
+    u = bytearray(m.group(1))
+    u[0:2] = b"00" if u[0:2] != b"00" else b"ff"
+    broken = pdf[: m.start(1)] + bytes(u) + pdf[m.end(1) :]
+    with pytest.raises(PdfParseError):
+        Document(broken)
+
+
+def test_hash_2b_deterministic_and_sensitive():
+    from pdf_ray.pdfcore.encryption import hash_2b
+
+    a = hash_2b(b"", b"saltsalt")
+    assert len(a) == 32
+    assert a == hash_2b(b"", b"saltsalt")
+    assert a != hash_2b(b"", b"SALTSALT")
+    assert a != hash_2b(b"x", b"saltsalt")
