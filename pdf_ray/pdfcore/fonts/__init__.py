@@ -188,6 +188,17 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
 
             return FontInfo(subtype, 1, cff_width, tounicode, encoding)
 
+    # unembedded font with no /Widths: base-14 metrics when the BaseFont
+    # name matches the standard alias table (reference keeps the same
+    # table but ships no font data, src/font/mod.rs:53-97)
+    base_font = font_dict.get("BaseFont")
+    if base_font is not None:
+        from .base14 import base14_width_fn
+
+        b14 = base14_width_fn(str(doc.resolve(base_font)))
+        if b14 is not None:
+            return FontInfo(subtype, 1, b14, tounicode, encoding)
+
     def default_width(code: int) -> float:
         return 500.0
 

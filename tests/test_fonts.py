@@ -105,13 +105,14 @@ def test_compute_positions_advances_tm():
     doc = Document(pdf)
     interp = Interpreter(doc, compute_positions=True, font_cache={})
     interp.run()
-    # default width 0.5 em x 10pt x 3 chars = 15 units of x-advance,
+    # F1 is unembedded Helvetica -> base-14 advance 0.556 em:
+    # 10pt x 3 chars x 0.556 = 16.68 units of x-advance,
     # measured via ET having reset... use a fresh run capturing before ET
     pdf2 = simple_page_pdf(b"BT /F1 10 Tf 0 0 Td (AAA) Tj")
     doc2 = Document(pdf2)
     i2 = Interpreter(doc2, compute_positions=True, font_cache={})
     i2.run()
-    assert abs(i2.ts.tm[4] - 15.0) < 1e-9
+    assert abs(i2.ts.tm[4] - 16.68) < 1e-9
 
 
 def test_font_cache_is_reused():
@@ -226,3 +227,31 @@ def test_cmap_format2():
     t = _parse_cmap_subtable(sub, 0)
     assert t[0x41] == 10 and t[0x42] == 11
     assert t[0x8140] == 25 and t[0x8142] == 27  # (gid + idDelta) & 0xFFFF
+
+
+def test_base14_family_and_widths():
+    from pdf_ray.pdfcore.fonts.base14 import base14_family, base14_width_fn
+
+    assert base14_family("Courier-BoldOblique") == "Courier"
+    assert base14_family("ABCDEF+Helvetica") == "Helvetica"
+    assert base14_family("ArialMT") == "Helvetica"
+    assert base14_family("TimesNewRomanPS-BoldItalicMT") == "Times"
+    assert base14_family("NotAFont") is None
+    w = base14_width_fn("Courier")
+    assert w(ord("W")) == 600.0 and w(ord(" ")) == 600.0  # monospaced exact
+    hw = base14_width_fn("Helvetica")
+    assert hw(ord(" ")) == 278.0
+    assert base14_width_fn("SomeCustomFont") is None
+
+
+def test_base14_used_for_unembedded_font(ray_session):
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.fonts import width_function
+
+    pdf = simple_page_pdf(b"BT /F1 12 Tf 72 720 Td (mono) Tj ET")
+    doc = Document(pdf)
+    fonts = doc.resolve(doc.resolve(doc.pages[0].resources)["Font"])
+    wf = width_function(doc, doc.resolve_dict(fonts["F1"]))
+    # simple_page_pdf's F1 is Helvetica -> space = 0.278 text units
+    assert wf(0x20) == 0.278
