@@ -146,12 +146,10 @@ def top_customers_by_revenue(sf_dir: str):
     per-bucket top-10 inside each of the B reducer groups — per-customer
     totals never land on the driver and reducer count stays fixed at B
     regardless of key cardinality) -> tiny driver merge of <= 10 x B
-    rows. The customer dimension (segment lookup) is broadcast once via
-    ray.put and only applied to the 10 winners."""
-    import ray
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    rows. The customer dimension is touched only AFTER the winners are
+    known: a filtered read of exactly 10 keys — no dimension-table
+    broadcast at any scale."""
+    n_buckets = _join_buckets(sf_dir, "orders")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -163,7 +161,7 @@ def top_customers_by_revenue(sf_dir: str):
         g = df.groupby("o_custkey", as_index=False).agg(
             p_rev_c=("rev_c", "sum"), p_orders=("rev_c", "count")
         )
-        g["bucket"] = (g["o_custkey"] % N_JOIN_BUCKETS).astype("int32")
+        g["bucket"] = (g["o_custkey"] % n_buckets).astype("int32")
         return g
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
@@ -188,7 +186,20 @@ def top_customers_by_revenue(sf_dir: str):
         )
         .head(10)
     )
-    seg = ray.get(cust_ref)
+    import pyarrow.parquet as pq
+
+    winners = [int(k) for k in top["o_custkey"]]
+    seg_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_custkey", "in", winners)],
+    )
+    seg = dict(
+        zip(
+            seg_tbl.column("c_custkey").to_pylist(),
+            seg_tbl.column("c_mktsegment").to_pylist(),
+        )
+    )
     top = pd.DataFrame(
         {
             "c_custkey": top["o_custkey"].astype("int64").to_numpy(),
@@ -481,6 +492,25 @@ register(
 
 
 N_JOIN_BUCKETS = 32
+_ROWS_PER_JOIN_BUCKET = 1_000_000  # target bucket-group size for the merge
+
+
+def _join_buckets(sf_dir: str, table: str) -> int:
+    """Size the partitioned-join bucket count from the big side's parquet
+    row count (cheap: footer metadata only) so one bucket group stays
+    ~_ROWS_PER_JOIN_BUCKET rows whatever the input scale — a FIXED B
+    caps reducer parallelism and grows per-group memory linearly with the
+    corpus. Power of two in [N_JOIN_BUCKETS, 65536]."""
+    import pyarrow.parquet as pq
+
+    try:
+        rows = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    except Exception:
+        rows = 0
+    b = N_JOIN_BUCKETS
+    while b < 65536 and rows / b > _ROWS_PER_JOIN_BUCKET:
+        b *= 2
+    return b
 
 
 def order_lineitem_revenue(sf_dir: str):
@@ -489,9 +519,13 @@ def order_lineitem_revenue(sf_dir: str):
     portable Ray pattern): both sides get ``bucket = orderkey %% B``, are
     tagged and unioned, and each bucket group does a pandas merge — every
     bucket holds both sides' rows for its key range, so the join is local
-    to the group. (Ray >= 2.46 also ships ``Dataset.join``; the explicit
-    pattern keeps B and skew handling in our hands per the brief.)"""
+    to the group. B is sized from the big side's row count
+    (_join_buckets), not a constant. (Ray >= 2.46 also ships
+    ``Dataset.join``; the explicit pattern keeps B and skew handling in
+    our hands per the brief.)"""
     import pyarrow.compute as pc
+
+    n_buckets = _join_buckets(sf_dir, "lineitem")
 
     def tag_lineitem(t):
         import pyarrow as pa
@@ -510,7 +544,7 @@ def order_lineitem_revenue(sf_dir: str):
             {
                 "key": t.column("l_orderkey"),
                 "bucket": pc.cast(
-                    pc.bit_wise_and(t.column("l_orderkey"), N_JOIN_BUCKETS - 1),
+                    pc.bit_wise_and(t.column("l_orderkey"), n_buckets - 1),
                     pa.int32(),
                 ),
                 "side": pa.array(["L"] * t.num_rows, pa.string()),
@@ -526,7 +560,7 @@ def order_lineitem_revenue(sf_dir: str):
             {
                 "key": t.column("o_orderkey"),
                 "bucket": pc.cast(
-                    pc.bit_wise_and(t.column("o_orderkey"), N_JOIN_BUCKETS - 1),
+                    pc.bit_wise_and(t.column("o_orderkey"), n_buckets - 1),
                     pa.int32(),
                 ),
                 "side": pa.array(["O"] * t.num_rows, pa.string()),

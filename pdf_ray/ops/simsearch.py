@@ -29,12 +29,14 @@ def _read_embeddings(sf_dir: str):
 
 def _query_matrix(sf_dir: str):
     import pyarrow.parquet as pq
-    import pyarrow.compute as pc
 
+    # filter pushed into the read: only matching row groups leave storage
+    # (a full-table read here would be a driver-side scan at scale)
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
-    t = t.filter(pc.less(t.column("vec_id"), N_QUERIES))
     df = t.to_pandas().sort_values("vec_id")
     Q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
