@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_metrics": p.pdf_extract_metrics,
         "pdf_image_features": p.pdf_image_features,
         "pdf_annotations": p.pdf_annotations,
+        "pdf_outlines": p.pdf_outlines,
     }
     q.update(registry.QUERIES)
     return q

@@ -974,6 +974,47 @@ def f28_annotations():
     return b.build(1), _t("Body text")
 
 
+# f31 outline golden, written down from the tree authored below
+# (depth-first display order)
+F31_OUTLINES = [
+    # (order, level, title)
+    (0, 0, "Chapter One"),
+    (1, 1, "Section 1.1"),
+    (2, 1, "Section 1.2"),
+    (3, 0, "Chapter Two"),
+]
+
+
+def f31_outlines():
+    """Document outline tree (catalog /Outlines, First/Next/Count sibling
+    chains — reference model src/catalog.rs): two chapters, the first
+    with two child sections. Content-stream golden is the usual span;
+    titles surface via the separate pdf_outlines query."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 8 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Outlined doc) Tj ET")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        8,
+        b"<< /Type /Outlines /First 9 0 R /Last 12 0 R /Count 4 >>",
+    )
+    b.add(
+        9,
+        b"<< /Title (Chapter One) /Parent 8 0 R /Next 12 0 R "
+        b"/First 10 0 R /Last 11 0 R /Count 2 >>",
+    )
+    b.add(10, b"<< /Title (Section 1.1) /Parent 9 0 R /Next 11 0 R >>")
+    b.add(11, b"<< /Title (Section 1.2) /Parent 9 0 R /Prev 10 0 R >>")
+    b.add(12, b"<< /Title (Chapter Two) /Parent 8 0 R /Prev 9 0 R >>")
+    return b.build(1), _t("Outlined doc")
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
@@ -1015,4 +1056,5 @@ FIXTURES = {
     "f28": f28_annotations,
     "f29": f29_ccitt_image,
     "f30": f30_encrypted_aes256,
+    "f31": f31_outlines,
 }

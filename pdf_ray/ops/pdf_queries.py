@@ -185,6 +185,44 @@ def _annotations_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def pdf_outlines(sf_dir: str | None = None):
+    """Outline/bookmark extraction (depth-first title hierarchy):
+    actor-pool OutlineStage over the fixture corpus. Oracle: the
+    hand-written F31_OUTLINES golden expanded per replica."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import OutlineStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        OutlineStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _outlines_oracle() -> str:
+    from ..fixtures.corpus import F31_OUTLINES
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for order, level, title in F31_OUTLINES:
+            rows.append(
+                f"SELECT 'f31-{r:04d}' AS doc_id, {order}::INT AS \"order\", "
+                f"{level}::INT AS level, '{title}' AS title"
+            )
+    return " UNION ALL ".join(rows)
+
+
 def pdf_span_kind_counts(sf_dir: str | None = None):
     """Aggregate over extraction output: spans per kind (Ray groupby)."""
     from ray.data.aggregate import Count
@@ -250,3 +288,4 @@ PDF_ORACLE_SQL = {
 }
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
+PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()

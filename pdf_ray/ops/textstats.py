@@ -225,3 +225,131 @@ register(
     token_count_total,
     "SELECT sum(len(string_split(text,' ')))::BIGINT AS total_tokens FROM documents",
 )
+
+
+def repetition_filter(sf_dir: str):
+    """Repetition-based quality filter (the Gopher-style duplicate-ngram
+    signal, public knowledge): per doc, the number of duplicated word
+    BIGRAMS. ``keep`` = duplicated-bigram fraction <= 20%%, compared in
+    integers (n_dup * 5 <= n_bigrams) so the oracle hash is float-free."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        n_bg = np.empty(len(df), dtype=np.int64)
+        n_dup = np.empty(len(df), dtype=np.int64)
+        for i, text in enumerate(df["text"]):
+            toks = text.lower().split(" ")
+            if len(toks) < 2:
+                n_bg[i] = 0
+                n_dup[i] = 0
+                continue
+            bigrams = [
+                toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
+            ]
+            n_bg[i] = len(bigrams)
+            n_dup[i] = len(bigrams) - len(set(bigrams))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bigrams": n_bg,
+                "n_dup_bigrams": n_dup,
+                "keep": n_dup * 5 <= n_bg,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+register(
+    "repetition_filter",
+    repetition_filter,
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+    b AS (SELECT doc_id,
+                 CASE WHEN len(tk) < 2 THEN []
+                      ELSE list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                 END bg
+          FROM t)
+    SELECT doc_id,
+           len(bg)::BIGINT AS n_bigrams,
+           (len(bg) - len(list_distinct(bg)))::BIGINT AS n_dup_bigrams,
+           ((len(bg) - len(list_distinct(bg))) * 5 <= len(bg)) AS keep
+    FROM b
+    """,
+)
+
+
+TOP_NGRAMS_K = 20
+N_NGRAM_BUCKETS = 64
+
+
+def top_bigrams(sf_dir: str, k: int = TOP_NGRAMS_K):
+    """Corpus-wide top-k bigram frequencies — the bucketed top-k pattern:
+    explode bigrams with ``bucket = hash(bigram) %% B`` -> one vectorized
+    value_counts + local top-k per bucket group (each bigram lives in
+    exactly ONE bucket, so per-bucket top-k is lossless) -> tiny driver
+    merge of k x B rows. Ties break on the bigram string ascending."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split(" ")
+            grams.extend(
+                toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
+            )
+        buckets = [
+            int.from_bytes(_hl.md5(g.encode()).digest()[:4], "little")
+            % N_NGRAM_BUCKETS
+            for g in grams
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int32()),
+                "bigram": pa.array(grams, pa.string()),
+            }
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["bigram"].value_counts()
+        out = pd.DataFrame(
+            {"bigram": c.index, "n": c.to_numpy().astype("int64")}
+        )
+        return out.sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    top = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_topk(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= k rows per bucket
+        .sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return top
+
+
+register(
+    "top_bigrams",
+    top_bigrams,
+    f"""
+    WITH t AS (SELECT string_split(lower(text), ' ') tk FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])) bg
+          FROM t WHERE len(tk) >= 2)
+    SELECT bg AS bigram, count(*)::BIGINT AS n
+    FROM b GROUP BY bg
+    ORDER BY n DESC, bigram
+    LIMIT {TOP_NGRAMS_K}
+    """,
+)

@@ -184,6 +184,46 @@ class AnnotationStage(ExtractStage):
         )
 
 
+class OutlineStage(ExtractStage):
+    """Variant that emits document OUTLINE rows (doc_id, order, level,
+    title) — the bookmark hierarchy in depth-first display order
+    (reference model: src/catalog.rs /Outlines). Same actor-pool shape
+    and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.outlines import document_outlines
+
+        rows: dict[str, list] = {
+            "doc_id": [], "order": [], "level": [], "title": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for o in document_outlines(doc):
+                        rows["doc_id"].append(doc_id)
+                        rows["order"].append(o["order"])
+                        rows["level"].append(o["level"])
+                        rows["title"].append(o["title"])
+                except Exception:
+                    continue  # poison rows contribute no outline rows
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "order": pa.array(rows["order"], pa.int32()),
+                "level": pa.array(rows["level"], pa.int32()),
+                "title": pa.array(rows["title"], pa.string()),
+            }
+        )
+
+
 class ImageBlobStage(ExtractStage):
     """Variant that emits the extracted image BLOBS instead of spans:
     (media_ref, png). Downstream: dedupe on media_ref (content-addressed,

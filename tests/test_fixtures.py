@@ -152,3 +152,19 @@ def test_f28_annotations_parse():
     interp = Interpreter(doc)
     interp.run()
     assert interp.spans == [("text", "Body text", None)]
+
+
+def test_f31_outlines_parse():
+    from pdf_ray.fixtures.corpus import F31_OUTLINES, f31_outlines
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.outlines import document_outlines
+
+    pdf, golden = f31_outlines()
+    doc = Document(pdf)
+    got = document_outlines(doc)
+    assert [(o["order"], o["level"], o["title"]) for o in got] == F31_OUTLINES
+    # no /Outlines -> empty
+    from pdf_ray.fixtures.builder import simple_page_pdf
+
+    doc2 = Document(simple_page_pdf(b"BT /F1 9 Tf 0 0 Td (x) Tj ET"))
+    assert document_outlines(doc2) == []
