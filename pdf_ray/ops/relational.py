@@ -656,3 +656,200 @@ register(
     FROM part GROUP BY 1
     """,
 )
+
+
+# -- as-of join (custom operator: Ray Data lacks it) -------------------------
+
+N_ASOF_BUCKETS = 64
+
+
+def purchase_view_asof(sf_dir: str):
+    """AS-OF JOIN (an operator Ray Data lacks; composed per the brief's
+    custom-operator recipe): for every 'purchase' event, the latest
+    'view' event by the SAME user at-or-before the purchase time.
+
+    Shape: both sides filtered at the read -> bucket = user_id %% B ->
+    per-bucket pandas ``merge_asof(by=user_id, on=ts)`` — the sort-merge
+    as-of kernel runs inside each of B fixed reducer groups, so the only
+    shuffle is the bucket exchange and per-group memory is bounded by the
+    bucket's rows. Partitioning assumption (documented): all rows of one
+    user land in one bucket — guaranteed by keying the bucket on user_id.
+    Tie-break on equal ts: highest view event_id (views sorted by
+    (ts, event_id), merge_asof backward takes the last <=). Gap reported
+    in exact integer MICROSECONDS (epoch_us both sides) so the oracle
+    hash is float-free."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    def side(event_type: str, cols):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=cols,
+            filter=pads.field("event_type") == event_type,
+        )
+
+    def tag(side_name: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "bucket": (df["user_id"] % N_ASOF_BUCKETS).astype("int32"),
+                    "side": side_name,
+                    "event_id": df["event_id"].astype("int64"),
+                    "user_id": df["user_id"].astype("int64"),
+                    "ts": df["ts"],
+                }
+            )
+
+        return fn
+
+    purchases = side("purchase", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        tag("P"), batch_format="pandas"
+    )
+    views = side("view", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        tag("V"), batch_format="pandas"
+    )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == "P"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        v = g[g["side"] == "V"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {
+                "purchase_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "view_id": pd.Series(dtype="int64"),
+                "gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if p.empty:
+            return empty
+        if v.empty:
+            j = p.assign(view_ts=pd.NaT, view_id=np.nan)
+        else:
+            j = pd.merge_asof(
+                p[["ts", "event_id", "user_id"]],
+                v[["ts", "event_id", "user_id"]].rename(
+                    columns={"event_id": "view_id", "ts": "view_ts"}
+                ),
+                left_on="ts",
+                right_on="view_ts",
+                by="user_id",
+                direction="backward",
+            )
+        gap = (j["ts"] - j["view_ts"]).dt.total_seconds() * 1e6
+        return pd.DataFrame(
+            {
+                "purchase_id": j["event_id"].astype("int64"),
+                "user_id": j["user_id"].astype("int64"),
+                "view_id": j["view_id"].fillna(-1).astype("int64"),
+                "gap_us": gap.fillna(-1).round().astype("int64"),
+            }
+        )
+
+    return (
+        purchases.union(views)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: asof_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "purchase_view_asof",
+    purchase_view_asof,
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             (SELECT v.event_id FROM v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id,
+             (SELECT epoch_us(p.ts) - epoch_us(v.ts) FROM v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS gap_us
+      FROM p)
+    SELECT purchase_id, user_id,
+           COALESCE(view_id, -1)::BIGINT AS view_id,
+           COALESCE(gap_us, -1)::BIGINT AS gap_us
+    FROM j
+    """,
+)
+
+
+# -- sliding-window aggregate ------------------------------------------------
+
+SLIDE_MIN = 15
+WINDOW_MIN = 60
+
+
+def events_sliding_window(sf_dir: str):
+    """SLIDING-window aggregate (60-min windows every 15 min): each event
+    feeds the 4 windows covering it — the flat-map-to-window-keys
+    composition for an operator Ray Data lacks. Partials are exact int64
+    cents per (window, type) per batch; the shuffle moves only the tiny
+    pre-aggregated rows (4x the per-batch key count, NOT 4x the events)."""
+    from ray.data.aggregate import Sum
+
+    k = WINDOW_MIN // SLIDE_MIN
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{SLIDE_MIN}min")
+        frames = []
+        for i in range(k):
+            ws = (base - pd.Timedelta(minutes=SLIDE_MIN * i)).dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": ws,
+                        "event_type": df["event_type"],
+                        "val_c": _cents(df["value"]),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_start", "event_type"], as_index=False)
+            .agg(p_n=("val_c", "count"), p_val_c=("val_c", "sum"))
+        )
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("p_n", alias_name="n_events"),
+            Sum("p_val_c", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = _cents_to_f64(out["sum_value"])
+    return out
+
+
+register(
+    "events_sliding_window",
+    events_sliding_window,
+    f"""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL {SLIDE_MIN} MINUTE, ts) AS tb,
+             event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    w AS (
+      SELECT tb - (k * INTERVAL {SLIDE_MIN} MINUTE) AS ws, event_type, v
+      FROM e, unnest([0, 1, 2, 3]) t(k))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
