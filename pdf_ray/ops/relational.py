@@ -853,3 +853,118 @@ register(
     FROM w GROUP BY 1, 2
     """,
 )
+
+
+# -- per-group discrete percentiles ------------------------------------------
+
+
+def event_value_percentiles(sf_dir: str):
+    """Per-type DISCRETE percentiles (p50/p95 = the element at index
+    ceil(q*n)-1 of the sorted values): picking an actual element keeps the
+    comparison float-free — interpolated quantiles re-introduce the
+    summation-order class of last-bit flips. Key cardinality is tiny
+    (event types), so ``groupby(key).map_groups`` holds one key's values
+    per group; at high-cardinality/100 TB the same query runs on mergeable
+    t-digest sketches per batch (the HLL pattern in ops/sketches.py)."""
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(_cents(g["value"]))
+        n = len(v)
+
+        def disc(q: float) -> float:
+            return float(v[max(0, int(np.ceil(q * n)) - 1)]) / 100.0
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": np.array([n], dtype="int64"),
+                "p50": [disc(0.50)],
+                "p95": [disc(0.95)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(pct, batch_format="pandas")
+    )
+
+
+register(
+    "event_value_percentiles",
+    event_value_percentiles,
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
+             count(*) OVER (PARTITION BY event_type) cnt
+      FROM events)
+    SELECT event_type,
+           max(cnt)::BIGINT AS n,
+           CAST(max(CASE WHEN rn = greatest(1, ceil(0.50 * cnt))
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS p50,
+           CAST(max(CASE WHEN rn = greatest(1, ceil(0.95 * cnt))
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS p95
+    FROM r GROUP BY event_type
+    """,
+)
+
+
+# -- deterministic hash split ------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder is test
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment by content-independent key
+    hash (md5 of the stringified doc_id): reproducible across runs,
+    machines and engines, no RNG state to ship. A standard training-data
+    pipeline op; the bucket value is the first 4 md5 hex digits read as an
+    integer out of 65536."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        h = np.array(
+            [
+                int(_hl.md5(str(int(d)).encode()).hexdigest()[:4], 16)
+                for d in df["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        pct = h * 100 // 65536
+        split = np.where(
+            pct < SPLIT_TRAIN_PCT,
+            "train",
+            np.where(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val", "test"),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "split": split})
+
+    return _read_documents_rel(sf_dir).map_batches(assign, batch_format="pandas")
+
+
+def _read_documents_rel(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+register(
+    "dataset_split",
+    dataset_split,
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS hv
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN hv * 100 // 65536 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN hv * 100 // 65536 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
