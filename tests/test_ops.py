@@ -26,6 +26,13 @@ SUBSET = [
     "user_sessions",
     "events_hourly",
     "token_count_total",
+    "purchase_view_asof",
+    "events_sliding_window",
+    "event_value_percentiles",
+    "dataset_split",
+    "repetition_filter",
+    "top_bigrams",
+    "simhash_pairs",
 ]
 
 
