@@ -92,27 +92,63 @@ def _encode_2d_row(bw: _BitWriter, cur: list[int], ref: list[int],
             a0 = a2
 
 
-def encode_g4(img: np.ndarray, eofb: bool = True) -> bytes:
-    """img: 2-D bool/0-1 array, True/1 = BLACK. Returns T.6 (K<0) data."""
+def encode_g4(
+    img: np.ndarray, eofb: bool = True, byte_align: bool = False
+) -> bytes:
+    """img: 2-D bool/0-1 array, True/1 = BLACK. Returns T.6 (K<0) data.
+    ``byte_align``: pad each row start to a byte boundary
+    (EncodedByteAlign)."""
     img = np.asarray(img).astype(bool)
     h, w = img.shape
     bw = _BitWriter()
     ref = [w, w]
     for y in range(h):
+        if byte_align:
+            bw.align()
         cur = _transitions(img[y])
         _encode_2d_row(bw, cur, ref, w)
         ref = cur
     if eofb:
+        if byte_align:
+            bw.align()
         bw.write(EOL + EOL)
     return bw.tobytes()
 
 
-def encode_g3_1d(img: np.ndarray, eol: bool = True) -> bytes:
-    """K=0 modified-Huffman rows (optional leading EOL per row)."""
+def encode_g3_mixed_1d(img: np.ndarray) -> bytes:
+    """K>0 mixed-mode stream that happens to code every row 1-D:
+    per row EOL + tag bit 1 + MH data (the decoder's K>0 path)."""
     img = np.asarray(img).astype(bool)
     h, w = img.shape
     bw = _BitWriter()
     for y in range(h):
+        bw.write(EOL)
+        bw.write("1")  # tag: this row is 1-D coded
+        _write_1d_row(bw, img[y], w)
+    return bw.tobytes()
+
+
+def _write_1d_row(bw: _BitWriter, row: np.ndarray, w: int) -> None:
+    ts = _transitions(row) + [w]
+    run_starts = [0] + ts
+    white = True
+    for i in range(len(run_starts) - 1):
+        run = run_starts[i + 1] - run_starts[i]
+        bw.write(_run_code(run, white))
+        white = not white
+
+
+def encode_g3_1d(
+    img: np.ndarray, eol: bool = True, byte_align: bool = False
+) -> bytes:
+    """K=0 modified-Huffman rows (optional leading EOL per row;
+    ``byte_align`` pads fill bits before each row)."""
+    img = np.asarray(img).astype(bool)
+    h, w = img.shape
+    bw = _BitWriter()
+    for y in range(h):
+        if byte_align:
+            bw.align()
         if eol:
             bw.write(EOL)
         row = img[y]

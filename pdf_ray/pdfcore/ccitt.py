@@ -274,7 +274,10 @@ def ccitt_fax_decode(data: bytes, parms: dict | None) -> bytes:
     ref = [columns, columns]  # imaginary all-white reference line
     n_rows = 0
     while rows == 0 or n_rows < rows:
-        if byte_align and k <= 0:
+        # EncodedByteAlign: fill bits pad each row (and each EOL, which
+        # the next row's tag bit follows immediately) to a byte boundary —
+        # so alignment happens BEFORE the EOL scan for every K (T.4 §4.2.2)
+        if byte_align:
             bits.align()
         # EOL / EOFB handling (optional in G4; per-row in G3)
         eols = 0
@@ -286,8 +289,6 @@ def ccitt_fax_decode(data: bytes, parms: dict | None) -> bytes:
             break  # EOFB / RTC
         if bits.eof():
             break
-        if byte_align and k > 0:
-            bits.align()
         try:
             if k < 0:
                 transitions = _decode_2d_row(bits, ref, columns)

@@ -110,3 +110,34 @@ def test_f29_fixture_pixels():
     w, h, rgb = decode_image_pixels(stream, doc.resolve)
     assert (w, h) == (CCITT_W, CCITT_H)
     assert rgb == CCITT_PIXELS
+
+
+def test_byte_aligned_rows():
+    rng = np.random.RandomState(9)
+    img = rng.rand(12, 30) > 0.5
+    h, w = img.shape
+    want = (~img).astype(np.uint8)
+    from pdf_ray.fixtures.ccittenc import encode_g3_1d, encode_g4
+
+    g4 = ccitt_fax_decode(
+        encode_g4(img, byte_align=True),
+        {"K": -1, "Columns": w, "Rows": h, "EncodedByteAlign": True},
+    )
+    assert np.array_equal(_unpack(g4, w, h), want)
+    g3 = ccitt_fax_decode(
+        encode_g3_1d(img, byte_align=True),
+        {"K": 0, "Columns": w, "Rows": h, "EncodedByteAlign": True},
+    )
+    assert np.array_equal(_unpack(g3, w, h), want)
+
+
+def test_k_positive_mixed_mode_1d_rows():
+    rng = np.random.RandomState(11)
+    img = rng.rand(9, 40) > 0.6
+    h, w = img.shape
+    from pdf_ray.fixtures.ccittenc import encode_g3_mixed_1d
+
+    out = ccitt_fax_decode(
+        encode_g3_mixed_1d(img), {"K": 4, "Columns": w, "Rows": h}
+    )
+    assert np.array_equal(_unpack(out, w, h), (~img).astype(np.uint8))
