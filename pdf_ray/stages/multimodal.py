@@ -6,11 +6,13 @@ actor-pool ``map_batches`` stages. In this container:
 
 - **images**: fully real — the engine's own PNG codec decodes blobs and
   the stage computes vectorized features (no external image lib needed)
-- **audio / video**: the codec itself is STUBBED — no decoder library
-  exists here. The stage tries an import and otherwise derives a
-  deterministic fake signal from the payload bytes (clearly marked), so
-  the Ray-side plumbing (schema, batch size, actor lifecycle, output
-  layout) is real and tested end-to-end.
+- **audio**: REAL for uncompressed WAV/PCM (the engine's own RIFF parser,
+  pdfcore/wav.py); compressed codecs surface as explicit
+  ``codec='unknown'`` rows (no decoder library exists here)
+- **video**: the codec is STUBBED — deterministic pseudo-frame hashes
+  stand in for keyframe sampling (clearly marked), so the Ray-side
+  plumbing (schema, batch size, actor lifecycle, output layout) is real
+  and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -83,40 +85,53 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """(media_ref, audio: binary) -> fixed-size feature vector.
+    """(media_ref, audio: binary) -> per-clip audio features.
 
-    STUB: no audio codec is available in this container. If ``soundfile``
-    or ``librosa`` ever become importable the real decode path activates;
-    until then features are a deterministic hash-derived fake so the
-    pipeline shape stays testable. Do NOT interpret the fake features."""
-
-    N_FEATURES = 16
-
-    def __init__(self):
-        try:  # pragma: no cover - not present in this container
-            import soundfile  # noqa: F401
-
-            self._real = True
-        except ImportError:
-            self._real = False
-
-    def _fake_features(self, blob: bytes) -> list[float]:
-        digest = hashlib.sha256(blob).digest()
-        return [b / 255.0 for b in digest[: self.N_FEATURES]]
+    REAL for uncompressed audio: WAV/PCM (8/16/24/32-bit int + IEEE
+    float) decodes with the engine's own RIFF parser (pdfcore/wav.py) and
+    features are computed vectorized from the samples. Compressed codecs
+    (MP3/AAC/...) have no decoder in this container — those rows surface
+    as ``codec='unknown'`` with -1 features (explicit, NEVER fake values).
+    Integer feature outputs (µs, milli-units) keep hashes engine-stable."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.wav import decode_wav
+
         refs = batch.column("media_ref").to_pylist()
-        feats = []
+        codec, dur, rate, ch, rms, peak, zcr = [], [], [], [], [], [], []
         for blob in batch.column("audio").to_pylist():
-            if self._real:  # pragma: no cover
-                raise NotImplementedError("real audio decode not wired yet")
-            feats.append(self._fake_features(blob))
+            try:
+                r, c, samples = decode_wav(blob)
+            except Exception:
+                codec.append("unknown")
+                dur.append(-1)
+                rate.append(-1)
+                ch.append(-1)
+                rms.append(-1)
+                peak.append(-1)
+                zcr.append(-1)
+                continue
+            mono = samples.mean(axis=1)
+            n = len(mono)
+            codec.append("pcm_wav")
+            dur.append(int(n * 1_000_000 // max(1, r)))
+            rate.append(r)
+            ch.append(c)
+            rms.append(
+                int(round(float(np.sqrt(np.mean(mono**2))) * 1000)) if n else 0
+            )
+            peak.append(int(round(float(np.abs(mono).max()) * 1000)) if n else 0)
+            zcr.append(int(np.count_nonzero(np.diff(np.signbit(mono)))))
         return pa.table(
             {
                 "media_ref": pa.array(refs, pa.string()),
-                "features": pa.array(
-                    feats, pa.list_(pa.float64(), self.N_FEATURES)
-                ),
+                "codec": pa.array(codec, pa.string()),
+                "duration_us": pa.array(dur, pa.int64()),
+                "sample_rate": pa.array(rate, pa.int32()),
+                "channels": pa.array(ch, pa.int32()),
+                "rms_milli": pa.array(rms, pa.int32()),
+                "peak_milli": pa.array(peak, pa.int32()),
+                "zero_crossings": pa.array(zcr, pa.int64()),
             }
         )
 

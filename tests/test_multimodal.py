@@ -1,4 +1,5 @@
-"""Multimodal stages: real PNG decode/feature/resize; stubbed audio/video
+"""Multimodal stages: real PNG decode/feature/resize; real WAV/PCM audio
+features; stubbed video
 with real Ray plumbing (schema, batch shape, determinism)."""
 
 import numpy as np
@@ -49,20 +50,57 @@ def test_image_resize_stage():
     assert len(pixels) == 4 * 4 * 3
 
 
-def test_audio_stage_is_deterministic_stub():
+def test_audio_stage_real_wav_features():
+    import numpy as np
+
+    from pdf_ray.pdfcore.wav import encode_wav_pcm16
+
+    # 1-second 440 Hz sine, amplitude 0.5, 8 kHz mono: rms = 0.5/sqrt(2)
+    t = np.arange(8000) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([mono, -mono], axis=1)
     batch = pa.table(
         {
-            "media_ref": ["a1", "a2"],
-            "audio": pa.array([b"payload-1", b"payload-2"], pa.large_binary()),
+            "media_ref": ["a1", "a2", "a3"],
+            "audio": pa.array(
+                [
+                    encode_wav_pcm16(8000, mono),
+                    encode_wav_pcm16(8000, stereo),
+                    b"not-a-wav-payload",
+                ],
+                pa.large_binary(),
+            ),
         }
     )
-    stage = AudioFeatureStage()
-    out1 = stage(batch)
-    out2 = stage(batch)
-    assert out1.equals(out2)
-    feats = out1.column("features").to_pylist()
-    assert len(feats[0]) == AudioFeatureStage.N_FEATURES
-    assert feats[0] != feats[1]
+    out = AudioFeatureStage()(batch).to_pylist()
+    a1, a2, a3 = out
+    assert a1["codec"] == "pcm_wav"
+    assert a1["duration_us"] == 1_000_000
+    assert a1["sample_rate"] == 8000 and a1["channels"] == 1
+    assert abs(a1["rms_milli"] - 354) <= 1  # 0.5/sqrt(2) = 0.35355
+    assert abs(a1["peak_milli"] - 500) <= 1
+    assert a1["zero_crossings"] == 879  # 440 Hz x 1 s x 2 crossings - 1
+    # stereo: L and R cancel in the mono mix
+    assert a2["channels"] == 2 and a2["rms_milli"] == 0
+    # unknown codec: explicit, never fake features
+    assert a3["codec"] == "unknown" and a3["rms_milli"] == -1
+
+
+def test_wav_decoder_formats():
+    import numpy as np
+
+    from pdf_ray.pdfcore.wav import decode_wav, encode_wav_pcm16
+
+    mono = np.linspace(-0.9, 0.9, 64)
+    rate, ch, got = decode_wav(encode_wav_pcm16(44100, mono))
+    assert (rate, ch) == (44100, 1)
+    assert np.abs(got[:, 0] - mono).max() < 1e-4  # 16-bit quantization
+    import pytest
+
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    with pytest.raises(PdfParseError):
+        decode_wav(b"RIFFxxxxNOPE")
 
 
 def test_video_frame_sample_stage():
