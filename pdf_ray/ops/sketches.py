@@ -163,3 +163,137 @@ def distinct_users_hll(sf_dir: str):
 
 
 register("distinct_users_hll", distinct_users_hll, None)  # approximate
+
+
+# -- t-digest quantile sketch ------------------------------------------------
+
+TDIGEST_DELTA = 200  # max centroids after compression
+
+
+class TDigest:
+    """Minimal mergeable t-digest (Dunning's k1 scale function): centroids
+    (mean, weight) kept small near the tails, coarse in the middle, so
+    extreme quantiles stay accurate after merging. Mergeable exactly like
+    the HLL above: one sketch per (batch, key), union of centroid lists +
+    re-compression at merge time."""
+
+    __slots__ = ("means", "weights")
+
+    def __init__(self, means=None, weights=None):
+        self.means = np.asarray(
+            means if means is not None else [], dtype=np.float64
+        )
+        self.weights = np.asarray(
+            weights if weights is not None else [], dtype=np.float64
+        )
+
+    @staticmethod
+    def _k(q: np.ndarray, delta: int) -> np.ndarray:
+        return delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+    def _compress(self, delta: int = TDIGEST_DELTA) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        acc = 0.0
+        for i in range(1, len(m)):
+            q0 = acc / total
+            q1 = (acc + cur_w + w[i]) / total
+            if self._k(np.array([q1]), delta) - self._k(
+                np.array([q0]), delta
+            ) <= 1.0:
+                # merge into current centroid (weighted mean)
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                acc += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def add(self, values: np.ndarray) -> None:
+        self.means = np.concatenate([self.means, values.astype(np.float64)])
+        self.weights = np.concatenate(
+            [self.weights, np.ones(len(values), dtype=np.float64)]
+        )
+        if len(self.means) > 4 * TDIGEST_DELTA:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> None:
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        if len(self.means) > 4 * TDIGEST_DELTA:
+            self._compress()
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        cum = np.cumsum(w) - w / 2.0
+        target = q * w.sum()
+        return float(np.interp(target, cum, m))
+
+    def tobytes(self) -> bytes:
+        self._compress()
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def frombytes(cls, blob: bytes) -> "TDigest":
+        arr = np.frombuffer(blob, dtype=np.float64)
+        n = len(arr) // 2
+        return cls(arr[:n].copy(), arr[n:].copy())
+
+
+def value_quantiles_tdigest(sf_dir: str):
+    """Approximate per-type p50/p95 via mergeable t-digest sketches: one
+    sketch per (batch, key) -> tiny driver merge (same shape as
+    distinct_users_hll — nothing corpus-sized moves). Rows-only driver
+    check (approximate); accuracy vs the exact discrete percentiles is
+    asserted in tests."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys, blobs = [], []
+        for key, grp in df.groupby("event_type"):
+            td = TDigest()
+            td.add(grp["value"].to_numpy())
+            keys.append(key)
+            blobs.append(td.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "sketch": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    sketches = (
+        _read_events(sf_dir, ["event_type", "value"])
+        .map_batches(sketch_batch, batch_format="pyarrow")
+        .to_pandas()
+    )  # tiny: <= 2*delta centroids per key per batch
+    rows = []
+    for key, grp in sketches.groupby("event_type"):
+        td = TDigest()
+        for blob in grp["sketch"]:
+            td.merge(TDigest.frombytes(blob))
+        rows.append(
+            {
+                "event_type": key,
+                "p50_milli": int(round(td.quantile(0.50) * 1000)),
+                "p95_milli": int(round(td.quantile(0.95) * 1000)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+register("value_quantiles_tdigest", value_quantiles_tdigest, None)  # approx

@@ -109,3 +109,44 @@ def test_hll_error_bound(ray_session):
             continue
         e = ex[row["event_type"]]
         assert abs(row["approx_users"] - e) <= max(2, 0.05 * e), row["event_type"]
+
+
+def test_tdigest_matches_exact_percentiles(ray_session):
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+
+    td = to_pandas(m.queries()["value_quantiles_tdigest"](SF)).set_index(
+        "event_type"
+    )
+    ex = to_pandas(m.queries()["event_value_percentiles"](SF)).set_index(
+        "event_type"
+    )
+    assert set(td.index) == set(ex.index)
+    for key in ex.index:
+        p50 = td.loc[key, "p50_milli"] / 1000.0
+        p95 = td.loc[key, "p95_milli"] / 1000.0
+        assert abs(p50 - ex.loc[key, "p50"]) <= 0.02 * ex.loc[key, "p50"] + 0.5
+        assert abs(p95 - ex.loc[key, "p95"]) <= 0.03 * ex.loc[key, "p95"] + 0.5
+
+
+def test_tdigest_merge_invariance():
+    import numpy as np
+
+    from pdf_ray.ops.sketches import TDigest
+
+    rng = np.random.RandomState(5)
+    vals = rng.exponential(10.0, 20000)
+    # one digest over everything
+    one = TDigest()
+    one.add(vals)
+    # sharded + merged (round-tripped through bytes, like the pipeline)
+    merged = TDigest()
+    for shard in np.array_split(vals, 23):
+        td = TDigest()
+        td.add(shard)
+        merged.merge(TDigest.frombytes(td.tobytes()))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        a, b = one.quantile(q), merged.quantile(q)
+        truth = float(np.quantile(vals, q))
+        assert abs(a - truth) <= 0.03 * truth + 0.05
+        assert abs(b - truth) <= 0.03 * truth + 0.05
