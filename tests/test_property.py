@@ -184,3 +184,37 @@ def test_random_content_streams(prog):
     assert spans == [
         ("text", t, None, i) for i, t in enumerate(expected)
     ]
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=2000)
+def test_jpeg_decoder_never_hangs_on_garbage(data):
+    from pdf_ray.pdfcore.jpeg import decode_jpeg
+
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except Exception:
+        pass  # any exception is fine — rows are contained; hangs are not
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=2000)
+def test_ccitt_decoder_never_hangs_on_garbage(data):
+    from pdf_ray.pdfcore.ccitt import ccitt_fax_decode
+
+    for k in (-1, 0, 1):
+        try:
+            ccitt_fax_decode(data, {"K": k, "Columns": 64, "Rows": 16})
+        except Exception:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=2000)
+def test_wav_decoder_never_hangs_on_garbage(data):
+    from pdf_ray.pdfcore.wav import decode_wav
+
+    try:
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE" + data)
+    except Exception:
+        pass
