@@ -48,36 +48,47 @@ OBJ = 0
 OP = 1
 INLINE = 2
 
+# whitespace + %-comments in ONE regex pass per token (the per-byte
+# Python loop in Lexer.skip_whitespace was the tokenizer's top hot spot)
+_WS_SKIP = re.compile(rb"(?:[\x00\x09\x0a\x0c\x0d\x20]+|%[^\r\n]*)+")
+
 
 def tokenize(buf: bytes):
-    """Yield ``(OBJ, value)`` / ``(OP, name)`` / ``(INLINE, bytes)`` tokens."""
+    """Yield ``(OBJ, value)`` / ``(OP, name)`` / ``(INLINE, bytes)`` tokens.
+
+    Hot path: this runs once per token of every content stream in the
+    corpus, so the loop works on a local ``pos`` with regex skips and
+    direct byte indexing, delegating to the full object lexer only for
+    non-trivial objects."""
     lx = Lexer(buf)
     compat_depth = 0
     n = len(buf)
+    pos = 0
+    ws_match = _WS_SKIP.match
+    num_match = _NUM_FAST.match
+    op_match = _OP_RUN.match
+    ref_match = _REF_LOOKAHEAD.match
     while True:
-        lx.skip_whitespace()
-        b = lx.peek()
-        if b is None:
+        m = ws_match(buf, pos)
+        if m is not None:
+            pos = m.end()
+        if pos >= n:
             return
-        if (
-            b == ord("'")
-            or b == ord('"')
-            or (ord("a") <= b <= ord("z"))
-            or (ord("A") <= b <= ord("Z"))
-        ):
-            if b == ord("'") or b == ord('"'):
-                lx.pos += 1
+        b = buf[pos]
+        if b == 0x27 or b == 0x22 or 0x61 <= b <= 0x7A or 0x41 <= b <= 0x5A:
+            if b == 0x27 or b == 0x22:  # ' "
+                pos += 1
                 s = chr(b)
             else:
                 # alnum run; a following * ' " terminates inclusively.
                 # NB: quotes inside a run also terminate it (e.g. `ab'`);
                 # the regex stops at them and the check below consumes one.
-                m = _OP_RUN.match(buf, lx.pos)
-                lx.pos = m.end()
-                nxt = lx.peek()
-                if nxt in (ord("*"), ord("'"), ord('"')):
-                    lx.pos += 1
-                    s = (m.group() + buf[lx.pos - 1 : lx.pos]).decode("latin-1")
+                m = op_match(buf, pos)
+                pos = m.end()
+                nxt = buf[pos] if pos < n else None
+                if nxt in (0x2A, 0x27, 0x22):  # * ' "
+                    pos += 1
+                    s = (m.group() + buf[pos - 1 : pos]).decode("latin-1")
                 else:
                     s = m.group().decode("latin-1")
             if s == "true":
@@ -94,9 +105,9 @@ def tokenize(buf: bytes):
                 elif s == "ID":
                     # inline image data: one whitespace byte, then raw bytes
                     # until whitespace-delimited `EI` (PDF 32000-1 §8.9.7)
-                    if lx.peek() in WHITESPACE:
-                        lx.pos += 1
-                    data_start = lx.pos
+                    if pos < n and buf[pos] in WHITESPACE:
+                        pos += 1
+                    data_start = pos
                     i = data_start
                     while True:
                         i = buf.find(b"EI", i)
@@ -108,10 +119,14 @@ def tokenize(buf: bytes):
                         if before_ok and after_ok:
                             break
                         i += 2
-                    data_end = i - 1 if i > data_start and buf[i - 1] in WHITESPACE else i
+                    data_end = (
+                        i - 1
+                        if i > data_start and buf[i - 1] in WHITESPACE
+                        else i
+                    )
                     yield (OP, "ID")
                     yield (INLINE, buf[data_start:data_end])
-                    lx.pos = i + 2
+                    pos = i + 2
                     yield (OP, "EI")
                     continue
                 yield (OP, s)
@@ -120,18 +135,24 @@ def tokenize(buf: bytes):
             else:
                 raise PdfParseError(f"unknown content operator {s!r}")
         elif 0x2B <= b <= 0x39 and b != 0x2F and b != 0x2C:  # + - . 0-9
-            m = _NUM_FAST.match(buf, lx.pos)
+            m = num_match(buf, pos)
             if m is None:
+                lx.pos = pos
                 yield (OBJ, lx.lex_object())
+                pos = lx.pos
                 continue
             tok = m.group()
             if b"." in tok:
-                lx.pos = m.end()
+                pos = m.end()
                 yield (OBJ, float(tok))
-            elif _REF_LOOKAHEAD.match(buf, m.end()) is not None:
+            elif ref_match(buf, m.end()) is not None:
+                lx.pos = pos
                 yield (OBJ, lx.lex_object())  # exact reference semantics
+                pos = lx.pos
             else:
-                lx.pos = m.end()
+                pos = m.end()
                 yield (OBJ, int(tok))
         else:
+            lx.pos = pos
             yield (OBJ, lx.lex_object())
+            pos = lx.pos

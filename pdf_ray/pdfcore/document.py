@@ -16,6 +16,8 @@ from .lexer import Lexer
 from .objects import NULL, Name, PdfParseError, Ref, Stream
 from .xref import Compressed, InUse, read_full_xref
 
+_CACHE_MISS = object()  # resolve()-cache sentinel (NULL/None are valid values)
+
 _INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
 
 
@@ -37,6 +39,7 @@ class Document:
         self.buf = buf
         self.security = None
         self._encrypt_num = None
+        self._obj_cache: dict[tuple[int, int], object] = {}
         self.xref, self.trailer = read_full_xref(buf)
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
         enc_ref = self.trailer.get("Encrypt")
@@ -66,10 +69,24 @@ class Document:
 
     def resolve(self, obj):
         """Chase indirect references until a direct object; a dangling
-        reference resolves to NULL (src/lib.rs:405)."""
+        reference resolves to NULL (src/lib.rs:405). Resolved objects are
+        cached per (num, gen) for the document's lifetime — shared nodes
+        (a page tree's common /Resources, fonts referenced by every page)
+        would otherwise re-lex from the buffer once per referrer. Parsed
+        objects are treated as immutable throughout the engine (unlike
+        the reference's destructive dict accessors, src/objects.rs:82)."""
         seen = 0
+        cache = self._obj_cache
         while isinstance(obj, Ref):
             seen_ref = obj
+            key = (obj.num, obj.gen)
+            hit = cache.get(key, _CACHE_MISS)
+            if hit is not _CACHE_MISS:
+                obj = hit
+                seen += 1
+                if seen > 32:
+                    raise PdfParseError("reference chain too deep")
+                continue
             entry = self.xref.get(obj)
             if entry is None:
                 return NULL
@@ -85,6 +102,7 @@ class Document:
                 obj = self._lex_from_objstm(entry)
             else:
                 return NULL
+            cache[key] = obj
             seen += 1
             if seen > 32:
                 raise PdfParseError("reference chain too deep")
