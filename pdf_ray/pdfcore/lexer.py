@@ -29,6 +29,7 @@ DELIMITERS = frozenset(b"()<>[]{}/%")
 # regular (name) chars: not whitespace, not delimiter
 _NAME_RUN = re.compile(rb"[^\x00\x09\x0a\x0c\x0d\x20()<>\[\]{}/%]*")
 _DIGIT_RUN = re.compile(rb"[0-9]*")
+_WS_OR_COMMENT = re.compile(rb"(?:[\x00\x09\x0a\x0c\x0d\x20]+|%[^\r\n]*)+")
 _WS_RUN = re.compile(rb"[\x00\x09\x0a\x0c\x0d\x20]+")
 _STRING_SPECIALS = re.compile(rb"[()\\]")
 _HEX = {
@@ -83,20 +84,13 @@ class Lexer:
         return self.buf[self.pos : self.pos + len(token)] == token
 
     def skip_whitespace(self) -> None:
-        buf, n = self.buf, len(self.buf)
-        pos = self.pos
-        ws = WHITESPACE
-        while pos < n:
-            b = buf[pos]
-            if b in ws:
-                pos += 1
-            elif b == 0x25:  # '%' comment runs to EOL
-                pos += 1
-                while pos < n and buf[pos] not in (0x0D, 0x0A):
-                    pos += 1
-            else:
-                break
-        self.pos = pos
+        # hot path (called before every lexed token): cheap first-byte
+        # test, then one regex pass over whitespace runs and %-comments
+        # (most calls find NO whitespace — a failed regex costs more than
+        # the byte check; a long run costs less than the old byte loop)
+        buf, pos = self.buf, self.pos
+        if pos < len(buf) and (buf[pos] in WHITESPACE or buf[pos] == 0x25):
+            self.pos = _WS_OR_COMMENT.match(buf, pos).end()
 
     def expect_eol(self) -> None:
         b = self.next_byte()
