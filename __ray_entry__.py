@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_image_features": p.pdf_image_features,
         "pdf_annotations": p.pdf_annotations,
         "pdf_outlines": p.pdf_outlines,
+        "pdf_actualtext_spans": p.pdf_actualtext_spans,
     }
     q.update(registry.QUERIES)
     return q

@@ -1015,6 +1015,45 @@ def f31_outlines():
     return b.build(1), _t("Outlined doc")
 
 
+# f32 ActualText goldens (hand-written): raw parity keeps the literal
+# shows; the enrichment replaces each marked scope's text once
+F32_ACTUALTEXT = ["Before", "Tele-vision", "hyphen", "After"]
+
+
+def f32_actualtext():
+    """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
+    property dict and one /Properties-resource reference. RAW span parity
+    = the literal Tj strings (the reference only tracks the tag stack,
+    src/render/mod.rs:1486-1520); the apply_actual_text enrichment
+    replaces each scope's shows with the declared replacement text."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> "
+        b"/Properties << /P1 8 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(
+        4,
+        b"",
+        b"BT /F1 12 Tf 72 720 Td (Before) Tj ET "
+        b"/Span << /ActualText (Tele-vision) >> BDC "
+        b"BT /F1 12 Tf 72 700 Td (Tele-) Tj ET "
+        b"BT /F1 12 Tf 72 680 Td (vision) Tj ET "
+        b"EMC "
+        b"/Span /P1 BDC "
+        b"BT /F1 12 Tf 72 660 Td (hy-) Tj ET "
+        b"BT /F1 12 Tf 72 640 Td (phen) Tj ET "
+        b"EMC "
+        b"BT /F1 12 Tf 72 620 Td (After) Tj ET",
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(8, b"<< /ActualText (hyphen) >>")
+    return b.build(1), _t("Before", "Tele-", "vision", "hy-", "phen", "After")
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
@@ -1057,4 +1096,5 @@ FIXTURES = {
     "f29": f29_ccitt_image,
     "f30": f30_encrypted_aes256,
     "f31": f31_outlines,
+    "f32": f32_actualtext,
 }

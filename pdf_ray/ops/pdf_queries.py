@@ -19,7 +19,7 @@ FIXTURES_DIR = os.path.join(
 )
 
 
-def _load(concurrency=4, apply_tounicode=False):
+def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False):
     import ray
     import ray.data as rd
 
@@ -35,6 +35,7 @@ def _load(concurrency=4, apply_tounicode=False):
         ray.put(payloads),
         concurrency=concurrency,
         apply_tounicode=apply_tounicode,
+        apply_actual_text=apply_actual_text,
     )
 
 
@@ -185,6 +186,36 @@ def _annotations_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def pdf_actualtext_spans(sf_dir: str | None = None):
+    """Extraction with the /ActualText enrichment applied (marked-content
+    replacement text — a capability the reference lacks, it only tracks
+    the tag stack), filtered to the f32 docs where the enrichment differs
+    from raw parity. Oracle: hand-written F32_ACTUALTEXT expansion."""
+    import pyarrow.compute as _pc
+
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load(apply_actual_text=True)).map_batches(
+        lambda t: t.filter(_pc.starts_with(t.column("doc_id"), "f32-")),
+        batch_format="pyarrow",
+    )
+
+
+def _actualtext_oracle() -> str:
+    from ..fixtures.corpus import F32_ACTUALTEXT
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for i, text in enumerate(F32_ACTUALTEXT):
+            rows.append(
+                f"SELECT 'f32-{r:04d}' AS doc_id, 'text' AS kind, "
+                f"'{text}' AS text, NULL::VARCHAR AS media_ref, "
+                f"{i}::INT AS \"order\""
+            )
+    return " UNION ALL ".join(rows)
+
+
 def pdf_outlines(sf_dir: str | None = None):
     """Outline/bookmark extraction (depth-first title hierarchy):
     actor-pool OutlineStage over the fixture corpus. Oracle: the
@@ -289,3 +320,4 @@ PDF_ORACLE_SQL = {
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
 PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()
+PDF_ORACLE_SQL["pdf_actualtext_spans"] = _actualtext_oracle()

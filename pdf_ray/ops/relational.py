@@ -968,3 +968,49 @@ register(
     FROM h
     """,
 )
+
+
+def top_parts_per_type(sf_dir: str):
+    """Per-group top-N (the window row_number <= N family): 3 priciest
+    parts per type, ties broken on partkey. Key cardinality is tiny, so
+    ``groupby(key).map_groups`` holds one type's rows per group; for
+    high-cardinality keys the bucketed per-group top-k in
+    top_customers_by_revenue is the scale shape."""
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            ["p_retailprice", "p_partkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(3)
+        out = out.assign(rnk=np.arange(1, len(out) + 1, dtype="int64"))
+        return pd.DataFrame(
+            {
+                "p_type": out["p_type"],
+                "rnk": out["rnk"],
+                "p_partkey": out["p_partkey"].astype("int64"),
+                "price": _cents_to_f64(_cents(out["p_retailprice"])),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", ["p_type", "p_partkey", "p_retailprice"])
+        .groupby("p_type")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
+register(
+    "top_parts_per_type",
+    top_parts_per_type,
+    """
+    WITH r AS (
+      SELECT p_type, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice DESC, p_partkey) rnk
+      FROM part)
+    SELECT p_type, rnk::BIGINT AS rnk, p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM r WHERE rnk <= 3
+    """,
+)

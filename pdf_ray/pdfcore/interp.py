@@ -97,12 +97,18 @@ class Interpreter:
         font_cache=None,
         compute_positions: bool = False,
         apply_tounicode: bool = False,
+        apply_actual_text: bool = False,
     ):
         self.doc = doc
         self.collect_images = collect_images
         self.font_cache = font_cache
         self.compute_positions = compute_positions
         self.apply_tounicode = apply_tounicode
+        # optional enrichment (OFF for parity): /ActualText property of a
+        # marked-content scope REPLACES the text shown inside it (PDF
+        # 32000-1 §14.9.4 — the reference only tracks the tag stack,
+        # src/render/mod.rs:1486-1520)
+        self.apply_actual_text = apply_actual_text
         self.spans: list[tuple[str, str | None, str | None]] = []
         self.images: dict[str, bytes] = {}
         self._font_widths = None  # lazy per-Tf width lookup
@@ -160,11 +166,27 @@ class Interpreter:
     # -- text ----------------------------------------------------------------
 
     def _emit_text(self, text: str) -> None:
+        if self.apply_actual_text:
+            scope = self._actual_text_scope()
+            if scope is not None:
+                # replacement text is emitted ONCE, at the position of the
+                # first show inside the scope; further shows are suppressed
+                if not scope["emitted"]:
+                    scope["emitted"] = True
+                    self.spans.append(("text", scope["text"], None))
+                return
         if self.apply_tounicode and self._font_info is not None:
             from .fonts import unicode_text
 
             text = unicode_text(self._font_info, text)
         self.spans.append(("text", text, None))
+
+    def _actual_text_scope(self):
+        """Nearest enclosing marked-content entry carrying /ActualText."""
+        for entry in reversed(self.marked):
+            if isinstance(entry, dict):
+                return entry
+        return None
 
     def _advance_after(self, s: str) -> None:
         """Advance Tm by glyph widths (src/render/mod.rs:1305-1316).
@@ -380,10 +402,36 @@ class Interpreter:
             elif op in ("BDC", "DP"):
                 props = self._pop()
                 tag = self._pop_name()
+                if self.apply_actual_text:
+                    if isinstance(props, Name):  # /Properties resource ref
+                        props_res = self.doc.resolve(
+                            resources.get("Properties", NULL)
+                        )
+                        pdict = (
+                            self.doc.resolve(props_res.get(str(props), NULL))
+                            if isinstance(props_res, dict)
+                            else NULL
+                        )
+                    else:
+                        pdict = props
+                    at = (
+                        pdict.get("ActualText")
+                        if isinstance(pdict, dict)
+                        else None
+                    )
+                    if isinstance(at, str):
+                        self.marked.append(
+                            {"text": at, "emitted": False, "tag": tag}
+                        )
+                        continue
                 self.marked.append((tag, props))
             elif op == "EMC":
                 if self.marked:
-                    self.marked.pop()
+                    entry = self.marked.pop()
+                    # scope closed without any show inside: the
+                    # replacement text still IS the scope's content
+                    if isinstance(entry, dict) and not entry["emitted"]:
+                        self.spans.append(("text", entry["text"], None))
             elif op == "BI":
                 pass  # key/value objects accumulate on the stack until ID
             elif op == "ID":

@@ -35,6 +35,7 @@ def extract_dataset(
     batch_size: int = 64,
     collect_images: bool = False,
     apply_tounicode: bool = False,
+    apply_actual_text: bool = False,
 ):
     """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
     ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
@@ -47,6 +48,7 @@ def extract_dataset(
             "payloads": ref,
             "collect_images": collect_images,
             "apply_tounicode": apply_tounicode,
+            "apply_actual_text": apply_actual_text,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

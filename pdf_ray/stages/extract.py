@@ -37,6 +37,7 @@ class ExtractStage:
         payload_resolver=None,
         collect_images=False,
         apply_tounicode=False,
+        apply_actual_text=False,
     ):
         if payloads is not None:
             import ray
@@ -49,6 +50,7 @@ class ExtractStage:
             self.resolver = lambda ref: None
         self.collect_images = collect_images
         self.apply_tounicode = apply_tounicode
+        self.apply_actual_text = apply_actual_text
         # font-program cache shared across all rows this actor processes
         # (reference reloads fonts per draw_text call — SURVEY §2.5);
         # LRU-bounded so adversarial corpora can't grow the actor heap
@@ -124,6 +126,7 @@ class ExtractStage:
                     collect_images=self.collect_images,
                     font_cache=self.font_cache,
                     apply_tounicode=self.apply_tounicode,
+                    apply_actual_text=self.apply_actual_text,
                 )
                 for page in doc.pages:
                     interp._run_page(page)

@@ -168,3 +168,21 @@ def test_f31_outlines_parse():
 
     doc2 = Document(simple_page_pdf(b"BT /F1 9 Tf 0 0 Td (x) Tj ET"))
     assert document_outlines(doc2) == []
+
+
+def test_f32_actualtext():
+    from pdf_ray.fixtures.corpus import F32_ACTUALTEXT, f32_actualtext
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    pdf, golden = f32_actualtext()
+    # raw parity: literal shows
+    interp = Interpreter(Document(pdf))
+    interp.run()
+    assert [t for k, t, r in interp.spans] == [
+        "Before", "Tele-", "vision", "hy-", "phen", "After"
+    ]
+    # enrichment: scope text replaced once (inline dict + Properties ref)
+    interp2 = Interpreter(Document(pdf), apply_actual_text=True)
+    interp2.run()
+    assert [t for k, t, r in interp2.spans] == F32_ACTUALTEXT
