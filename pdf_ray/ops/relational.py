@@ -1014,3 +1014,96 @@ register(
     FROM r WHERE rnk <= 3
     """,
 )
+
+
+def error_recent_clicks(sf_dir: str):
+    """RANGE (interval) JOIN — the other operator Ray Data lacks, in
+    aggregate form: for every 'error' event, the number of 'click' events
+    by the SAME user in the preceding 10 minutes. Shape: both sides
+    filtered at the read -> bucket = user_id %% B -> per-bucket, per-user
+    sorted click timestamps + one vectorized ``searchsorted`` pair per
+    user's errors. Same partitioning assumption as the as-of join (all of
+    a user's rows share a bucket); emitting the COUNT instead of the
+    joined rows keeps the output linear in the probe side even when the
+    interval is hot."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    window = pd.Timedelta(minutes=10)
+
+    def side(event_type: str, name: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "bucket": (df["user_id"] % N_ASOF_BUCKETS).astype("int32"),
+                    "side": name,
+                    "event_id": df["event_id"].astype("int64"),
+                    "user_id": df["user_id"].astype("int64"),
+                    "ts": df["ts"],
+                }
+            )
+
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+            filter=pads.field("event_type") == event_type,
+        ).map_batches(tag, batch_format="pandas")
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "E"]
+        c = g[g["side"] == "C"].sort_values(["user_id", "ts"], kind="mergesort")
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "error_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_recent_clicks": pd.Series(dtype="int64"),
+                }
+            )
+        out_id, out_uid, out_n = [], [], []
+        clicks_by_user = {
+            uid: grp["ts"].to_numpy() for uid, grp in c.groupby("user_id")
+        }
+        for uid, grp in e.groupby("user_id"):
+            ets = grp["ts"].to_numpy()
+            cts = clicks_by_user.get(uid)
+            if cts is None:
+                n = np.zeros(len(ets), dtype=np.int64)
+            else:
+                lo = np.searchsorted(cts, ets - window.to_timedelta64(), "left")
+                hi = np.searchsorted(cts, ets, "left")
+                n = (hi - lo).astype(np.int64)
+            out_id.append(grp["event_id"].to_numpy())
+            out_uid.append(np.full(len(ets), uid, dtype=np.int64))
+            out_n.append(n)
+        return pd.DataFrame(
+            {
+                "error_id": np.concatenate(out_id).astype("int64"),
+                "user_id": np.concatenate(out_uid),
+                "n_recent_clicks": np.concatenate(out_n),
+            }
+        )
+
+    return (
+        side("error", "E")
+        .union(side("click", "C"))
+        .groupby("bucket")
+        .map_groups(
+            lambda g: range_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "error_recent_clicks",
+    error_recent_clicks,
+    """
+    SELECT e.event_id AS error_id, e.user_id,
+           (SELECT count(*) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = e.user_id
+              AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+           )::BIGINT AS n_recent_clicks
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
