@@ -12,7 +12,7 @@ from bisect import bisect_right
 
 import numpy as np
 
-from ..pdfcore.ccitt import BLACK_CODES, EOL, WHITE_CODES
+from ..pdfcore.ccitt import BLACK_CODES, EOL, WHITE_CODES, _find_b1
 
 
 class _BitWriter:
@@ -55,14 +55,8 @@ def _transitions(row: np.ndarray) -> list[int]:
     return [int(t) for t in ts]
 
 
-def _find_b1(ref: list[int], a0: int, color_white: bool, columns: int):
-    i = bisect_right(ref, a0 if a0 >= 0 else -1)
-    if i < len(ref) and (i % 2 == 0) != color_white:
-        i += 1
-    b1 = ref[i] if i < len(ref) else columns
-    b2 = ref[i + 1] if i + 1 < len(ref) else columns
-    return b1, b2
-
+# b1/b2 search shared with the decoder (pdfcore.ccitt._find_b1): encoder
+# and decoder must agree on the changing-element parity rule
 
 _V_CODES = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
             3: "0000011", -3: "0000010"}

@@ -640,6 +640,8 @@ def dedup_embedding_cosine(sf_dir: str, tau: float = COSINE_TAU):
             }
         )
         ga = g[g["chunk"] == a]
+        if not len(ga):  # sparse id space can leave a chunk empty
+            return empty
         ids_a = ga["vec_id"].to_numpy()
         Ma = np.stack(ga["embedding"].to_numpy()).astype(np.float64)
         Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
@@ -649,7 +651,7 @@ def dedup_embedding_cosine(sf_dir: str, tau: float = COSINE_TAU):
             va, vb = ids_a[ii], ids_a[jj]
         else:
             gb = g[g["chunk"] == b]
-            if not len(gb) or not len(ga):
+            if not len(gb):
                 return empty
             ids_b = gb["vec_id"].to_numpy()
             Mb = np.stack(gb["embedding"].to_numpy()).astype(np.float64)

@@ -114,9 +114,19 @@ N_PLANES = 4  # 16 buckets
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
+    """Cache key covers path + source file identity (mtime, size): a
+    regenerated embeddings.parquet must NOT silently reuse a stale
+    partitioned index."""
     import hashlib as _hl
+    import os
 
-    return "/tmp/pdf_ray_ivf_" + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    src = f"{sf_dir}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    return "/tmp/pdf_ray_ivf_" + _hl.md5(ident.encode()).hexdigest()[:16]
 
 
 def build_ivf_index(sf_dir: str, planes: np.ndarray) -> str:

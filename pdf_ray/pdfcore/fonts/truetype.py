@@ -75,6 +75,10 @@ def _parse_cmap_subtable(data: bytes, off: int) -> dict[int, int]:
         sub_keys = struct.unpack_from(">256H", data, off + 6)
         sh_base = off + 6 + 512
         for high in range(256):
+            if sub_keys[high] == 0 and high != 0:
+                # subHeader 0 only maps single-byte codes; re-walking its
+                # entry list for every key-0 high byte is wasted work
+                continue
             sh_off = sh_base + sub_keys[high]  # key is subHeader index *8
             first, count, delta, range_off = struct.unpack_from(
                 ">HHhH", data, sh_off

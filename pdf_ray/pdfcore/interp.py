@@ -182,8 +182,10 @@ class Interpreter:
         self.spans.append(("text", text, None))
 
     def _actual_text_scope(self):
-        """Nearest enclosing marked-content entry carrying /ActualText."""
-        for entry in reversed(self.marked):
+        """OUTERMOST enclosing marked-content entry carrying /ActualText —
+        an outer replacement covers everything inside it, including nested
+        /ActualText scopes (PDF 32000-1 §14.9.4)."""
+        for entry in self.marked:
             if isinstance(entry, dict):
                 return entry
         return None
@@ -397,9 +399,14 @@ class Interpreter:
                 b = self._pop_number()
                 a = self._pop_number()
                 self.ctm = mat_mul((a, b, c, d, e, f), self.ctm)
-            elif op in ("BMC", "MP"):
+            elif op == "BMC":
                 self.marked.append((self._pop_name(), None))
-            elif op in ("BDC", "DP"):
+            elif op == "MP":
+                self._pop_name()  # point operator: no scope, no EMC
+            elif op == "DP":
+                self._pop()  # properties
+                self._pop_name()  # point operator: no scope, no EMC
+            elif op == "BDC":
                 props = self._pop()
                 tag = self._pop_name()
                 if self.apply_actual_text:
@@ -429,9 +436,16 @@ class Interpreter:
                 if self.marked:
                     entry = self.marked.pop()
                     # scope closed without any show inside: the
-                    # replacement text still IS the scope's content
+                    # replacement text still IS the scope's content —
+                    # unless an OUTER ActualText scope encloses it, in
+                    # which case the outer replacement swallows it
                     if isinstance(entry, dict) and not entry["emitted"]:
-                        self.spans.append(("text", entry["text"], None))
+                        outer = self._actual_text_scope()
+                        if outer is None:
+                            self.spans.append(("text", entry["text"], None))
+                        elif not outer["emitted"]:
+                            outer["emitted"] = True
+                            self.spans.append(("text", outer["text"], None))
             elif op == "BI":
                 pass  # key/value objects accumulate on the stack until ID
             elif op == "ID":

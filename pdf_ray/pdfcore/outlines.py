@@ -23,27 +23,33 @@ def document_outlines(doc) -> list[dict]:
     if not isinstance(root, dict):
         return []
     out: list[dict] = []
-
-    def walk(node_ref, level: int) -> None:
-        node = doc.resolve(node_ref)
-        while isinstance(node, dict):
-            if len(out) >= _MAX_OUTLINE_NODES:
-                raise PdfParseError("outline tree too large (cycle?)")
-            title = doc.resolve(node.get("Title", NULL))
-            out.append(
-                {
-                    "order": len(out),
-                    "level": level,
-                    "title": title if isinstance(title, str) else None,
-                }
-            )
-            first = node.get("First")
-            if first is not None:
-                walk(first, level + 1)
-            nxt = node.get("Next")
-            node = doc.resolve(nxt) if nxt is not None else None
-
+    # iterative DFS with an explicit stack: a /First self-cycle would blow
+    # Python's recursion limit (~1000) long before the node-count guard
+    # could fire if this walked recursively
     first = root.get("First")
+    stack: list[tuple[object, int]] = []
     if first is not None:
-        walk(first, 0)
+        stack.append((first, 0))
+    while stack:
+        node_ref, level = stack.pop()
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict):
+            continue
+        if len(out) >= _MAX_OUTLINE_NODES:
+            raise PdfParseError("outline tree too large (cycle?)")
+        title = doc.resolve(node.get("Title", NULL))
+        out.append(
+            {
+                "order": len(out),
+                "level": level,
+                "title": title if isinstance(title, str) else None,
+            }
+        )
+        # push Next first so First (the children) pops before the sibling
+        nxt = node.get("Next")
+        if nxt is not None:
+            stack.append((nxt, level))
+        child = node.get("First")
+        if child is not None:
+            stack.append((child, level + 1))
     return out

@@ -23,6 +23,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise PdfParseError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     payload = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -30,6 +31,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif tag == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -38,8 +40,12 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if channels < 1:
         raise PdfParseError("bad WAV channel count")
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # treat as PCM per the common subformat
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # real format tag = first 2 bytes of the SubFormat GUID (fmt
+        # extension: cbSize@16, validBits@18, channelMask@20, GUID@24)
+        if len(fmt_body) < 26:
+            raise PdfParseError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)

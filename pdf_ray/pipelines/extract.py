@@ -185,7 +185,7 @@ class ExtractWriteStage:
         self.output_dir = output_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import uuid
+        import hashlib
 
         import pyarrow.parquet as pq
 
@@ -194,7 +194,14 @@ class ExtractWriteStage:
             return pa.table(
                 {"n_ok": pa.array([], pa.int64()), "n_err": pa.array([], pa.int64())}
             )
-        task_id = uuid.uuid4().hex[:16]
+        # DETERMINISTIC shard id (content-derived): a Ray task retry that
+        # re-executes an already-committed batch overwrites the SAME shard
+        # and manifest (os.replace is atomic), so retries are idempotent —
+        # without this, a retry after commit would double every doc in the
+        # batch under a second uuid
+        task_id = hashlib.sha256(
+            "\n".join(out.column("doc_id").to_pylist()).encode()
+        ).hexdigest()[:16]
         part = os.path.join(self.output_dir, f"part-{task_id}.parquet")
         pq.write_table(out, part + ".tmp")
         os.replace(part + ".tmp", part)
@@ -291,13 +298,16 @@ def run_extract(
     )
 
     def write_partition(batch: pa.Table) -> pa.Table:
+        import hashlib
         import pyarrow.parquet as pq
-        import uuid
 
         if batch.num_rows == 0:
             return pa.table({"n_ok": pa.array([], pa.int64()),
                              "n_err": pa.array([], pa.int64())})
-        task_id = uuid.uuid4().hex[:16]
+        # content-derived shard id: task retries overwrite, not duplicate
+        task_id = hashlib.sha256(
+            "\n".join(batch.column("doc_id").to_pylist()).encode()
+        ).hexdigest()[:16]
         part = os.path.join(output_dir, f"part-{task_id}.parquet")
         tmp = part + ".tmp"
         pq.write_table(batch, tmp)

@@ -186,3 +186,32 @@ def test_f32_actualtext():
     interp2 = Interpreter(Document(pdf), apply_actual_text=True)
     interp2.run()
     assert [t for k, t, r in interp2.spans] == F32_ACTUALTEXT
+
+
+def test_actualtext_nested_and_point_operators():
+    """Nested /ActualText scopes: the OUTERMOST replacement wins; DP/MP
+    are point operators and never open a scope."""
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    content = (
+        b"/Span << /ActualText (OUTER) >> BDC "
+        b"BT /F1 9 Tf 0 0 Td (x) Tj ET "
+        b"/Span << /ActualText (INNER) >> BDC "
+        b"BT /F1 9 Tf 0 0 Td (y) Tj ET EMC EMC "
+        b"/Tag << /ActualText (POINT) >> DP "
+        b"BT /F1 9 Tf 0 0 Td (after) Tj ET"
+    )
+    pdf = simple_page_pdf(content)
+    it = Interpreter(Document(pdf), apply_actual_text=True)
+    it.run()
+    assert [t for k, t, r in it.spans] == ["OUTER", "after"]
+    # empty nested scopes: outer replacement emitted exactly once
+    pdf2 = simple_page_pdf(
+        b"/Span << /ActualText (O2) >> BDC "
+        b"/Span << /ActualText (I2) >> BDC EMC EMC"
+    )
+    it2 = Interpreter(Document(pdf2), apply_actual_text=True)
+    it2.run()
+    assert [t for k, t, r in it2.spans] == ["O2"]

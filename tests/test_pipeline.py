@@ -229,3 +229,36 @@ def test_orphan_shard_gc_and_committed_read(ray_session, corpus, tmp_path):
     out = read_extracted(out_dir).to_pandas()
     assert sorted(out["doc_id"]) == sorted(docs.column("doc_id").to_pylist())
     assert gc_orphan_shards(out_dir) == 0
+
+
+def test_write_stage_retry_is_idempotent(ray_session, corpus, tmp_path):
+    """A Ray task retry re-runs a batch whose shard+manifest already
+    committed: content-derived ids make the second attempt overwrite, not
+    duplicate."""
+    import glob
+    import os
+
+    import ray
+
+    from pdf_ray.pipelines.extract import ExtractWriteStage, read_extracted
+
+    docs, payload_tbl, golden = corpus
+    payloads = dict(
+        zip(
+            payload_tbl.column("media_ref").to_pylist(),
+            payload_tbl.column("bytes").to_pylist(),
+        )
+    )
+    out_dir = str(tmp_path / "out")
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    stage = ExtractWriteStage(payloads=payloads, output_dir=out_dir)
+    batch = docs.slice(0, 8)
+    s1 = stage(batch)
+    s2 = stage(batch)  # simulated retry of the same batch
+    assert s1.to_pylist() == s2.to_pylist()
+    assert len(glob.glob(f"{out_dir}/part-*.parquet")) == 1
+    assert len(glob.glob(f"{out_dir}/_lineage/*.json")) == 1
+    got = read_extracted(out_dir).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(
+        batch.column("doc_id").to_pylist()
+    )
