@@ -141,3 +141,26 @@ def test_k_positive_mixed_mode_1d_rows():
         encode_g3_mixed_1d(img), {"K": 4, "Columns": w, "Rows": h}
     )
     assert np.array_equal(_unpack(out, w, h), (~img).astype(np.uint8))
+
+
+def test_g4_adversarial_patterns():
+    """Patterns that force specific 2-D modes: a diagonal edge moving 3px
+    per row (max vertical offsets), isolated pixels (horizontal mode with
+    0-length white runs), and alternating columns (dense short runs)."""
+    w = 64
+    # diagonal: black run [r*3, r*3+5) per row -> VR3/VL3 territory
+    diag = np.zeros((16, w), bool)
+    for r in range(16):
+        diag[r, min(r * 3, w - 5) : min(r * 3 + 5, w)] = True
+    # isolated pixels at varying offsets
+    dots = np.zeros((8, w), bool)
+    for r in range(8):
+        dots[r, (r * 11) % w] = True
+    # alternating columns (worst-case run count)
+    alt = np.tile(np.arange(w) % 2 == 0, (6, 1))
+    for img in (diag, dots, alt):
+        h = img.shape[0]
+        out = ccitt_fax_decode(
+            encode_g4(img), {"K": -1, "Columns": w, "Rows": h}
+        )
+        assert np.array_equal(_unpack(out, w, h), (~img).astype(np.uint8))
