@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_annotations": p.pdf_annotations,
         "pdf_outlines": p.pdf_outlines,
         "pdf_actualtext_spans": p.pdf_actualtext_spans,
+        "pdf_extract_recovered": p.pdf_extract_recovered,
     }
     q.update(registry.QUERIES)
     return q

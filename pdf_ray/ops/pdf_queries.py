@@ -19,7 +19,8 @@ FIXTURES_DIR = os.path.join(
 )
 
 
-def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False):
+def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False,
+          recover=False):
     import ray
     import ray.data as rd
 
@@ -36,6 +37,7 @@ def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False):
         concurrency=concurrency,
         apply_tounicode=apply_tounicode,
         apply_actual_text=apply_actual_text,
+        recover=recover,
     )
 
 
@@ -216,6 +218,34 @@ def _actualtext_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def pdf_extract_recovered(sf_dir: str | None = None):
+    """Extraction with RECOVERY parsing (scavenger xref rebuild — the
+    reference crashes on these files by design), filtered to the poison
+    f19 docs: the bad-startxref doc (f19b) yields its real text; the
+    truncated doc (f19a) still fails cleanly and contributes no rows.
+    Oracle: hand-written per-replica expansion."""
+    import pyarrow.compute as _pc
+
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load(recover=True)).map_batches(
+        lambda t: t.filter(_pc.starts_with(t.column("doc_id"), "f19")),
+        batch_format="pyarrow",
+    )
+
+
+def _recovered_oracle() -> str:
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        rows.append(
+            f"SELECT 'f19b-{r:04d}' AS doc_id, 'text' AS kind, "
+            f"'Bad xref' AS text, NULL::VARCHAR AS media_ref, 0::INT AS \"order\""
+        )
+    return " UNION ALL ".join(rows)
+
+
 def pdf_outlines(sf_dir: str | None = None):
     """Outline/bookmark extraction (depth-first title hierarchy):
     actor-pool OutlineStage over the fixture corpus. Oracle: the
@@ -321,3 +351,4 @@ PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
 PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()
 PDF_ORACLE_SQL["pdf_actualtext_spans"] = _actualtext_oracle()
+PDF_ORACLE_SQL["pdf_extract_recovered"] = _recovered_oracle()

@@ -35,12 +35,24 @@ class Document:
     """Parsed PDF: xref + trailer + catalog + page list, with lazy object
     resolution. ``Document(buf).pages`` are in document (spec) order."""
 
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, recover: bool = False):
+        """``recover=True`` falls back to the scavenger xref rebuild
+        (xref.scavenge_xref) when the normal xref machinery is broken —
+        the reference crashes on such files by design; OFF by default so
+        raw parity (and poison-row semantics) are unchanged."""
         self.buf = buf
         self.security = None
         self._encrypt_num = None
         self._obj_cache: dict[tuple[int, int], object] = {}
-        self.xref, self.trailer = read_full_xref(buf)
+        self._scavenged = False
+        try:
+            self.xref, self.trailer = read_full_xref(buf)
+            if recover and self.trailer.get("Root") is None:
+                raise PdfParseError("trailer has no /Root")
+        except PdfParseError:
+            if not recover:
+                raise
+            self._scavenge()
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is not None:
@@ -55,6 +67,24 @@ class Document:
                 first_id = bytes(ord(c) & 0xFF for c in ids[0])
             self._encrypt_num = enc_ref.num if isinstance(enc_ref, Ref) else None
             self.security = StandardSecurityHandler(enc_dict, first_id)
+        try:
+            self._build_tree()
+        except PdfParseError:
+            # xref parsed but points at garbage: one scavenged retry
+            if not recover or self._scavenged:
+                raise
+            self._scavenge()
+            self._obj_cache.clear()
+            self._objstm_cache.clear()
+            self._build_tree()
+
+    def _scavenge(self) -> None:
+        from .xref import scavenge_xref
+
+        self.xref, self.trailer = scavenge_xref(self.buf)
+        self._scavenged = True
+
+    def _build_tree(self) -> None:
         root = self.trailer.get("Root")
         if root is None:
             raise PdfParseError("trailer has no /Root")

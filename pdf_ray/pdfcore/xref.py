@@ -210,3 +210,53 @@ def read_full_xref(buf: bytes):
         if "Prev" in prev_trailer:
             frontier.append(prev_trailer["Prev"])
     return xref, trailer
+
+
+def scavenge_xref(buf: bytes) -> tuple[Xref, dict]:
+    """RECOVERY parser for files whose xref machinery is broken (bad
+    startxref offset, corrupt table, truncated tail): scan the whole
+    buffer for ``N G obj`` headers and rebuild the index, last occurrence
+    of each object number winning (matches incremental-update semantics).
+    The trailer is reconstructed from the last /Root-bearing trailer dict
+    in the file, falling back to scanning objects for the /Type /Catalog.
+    The reference has no recovery path — it crashes by design; at corpus
+    scale a scavenged parse turns a poison row into extracted content."""
+    import re
+
+    objects: dict[int, InUse] = {}
+    for m in re.finditer(rb"(?m)^[^0-9]{0,8}?(\d{1,10})\s+(\d{1,5})\s+obj\b", buf):
+        num = int(m.group(1))
+        # offset of the object NUMBER, not the line start
+        objects[num] = InUse(m.start(1), int(m.group(2)))
+    if not objects:
+        raise PdfParseError("recovery scan found no objects")
+    xref = Xref(dict(objects))
+
+    trailer: dict = {}
+    for m in re.finditer(rb"trailer\b", buf):
+        lx = Lexer(buf)
+        lx.pos = m.end()
+        try:
+            cand = lx.lex_object()
+        except PdfParseError:
+            continue
+        if isinstance(cand, dict) and "Root" in cand:
+            trailer = cand  # keep scanning: LAST trailer wins
+    if "Root" not in trailer:
+        # no usable trailer: find the catalog among scavenged objects
+        for num, entry in objects.items():
+            lx = Lexer(buf)
+            lx.pos = entry.offset
+            try:
+                lx.read_obj_prelude()
+                obj = lx.lex_object()
+            except PdfParseError:
+                continue
+            d = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(d, dict) and str(d.get("Type")) == "Catalog":
+                trailer = dict(trailer)
+                trailer["Root"] = Ref(num, entry.gen)
+                break
+    if "Root" not in trailer:
+        raise PdfParseError("recovery scan found no catalog")
+    return xref, trailer

@@ -36,6 +36,7 @@ def extract_dataset(
     collect_images: bool = False,
     apply_tounicode: bool = False,
     apply_actual_text: bool = False,
+    recover: bool = False,
 ):
     """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
     ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
@@ -49,6 +50,7 @@ def extract_dataset(
             "collect_images": collect_images,
             "apply_tounicode": apply_tounicode,
             "apply_actual_text": apply_actual_text,
+            "recover": recover,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -38,6 +38,7 @@ class ExtractStage:
         collect_images=False,
         apply_tounicode=False,
         apply_actual_text=False,
+        recover=False,
     ):
         if payloads is not None:
             import ray
@@ -51,6 +52,7 @@ class ExtractStage:
         self.collect_images = collect_images
         self.apply_tounicode = apply_tounicode
         self.apply_actual_text = apply_actual_text
+        self.recover = recover
         # font-program cache shared across all rows this actor processes
         # (reference reloads fonts per draw_text call — SURVEY §2.5);
         # LRU-bounded so adversarial corpora can't grow the actor heap
@@ -120,7 +122,7 @@ class ExtractStage:
                 pdf_bytes = self.resolver(ref)
                 if pdf_bytes is None:
                     raise KeyError(f"payload {ref!r} not found")
-                doc = Document(pdf_bytes)
+                doc = Document(pdf_bytes, recover=self.recover)
                 interp = Interpreter(
                     doc,
                     collect_images=self.collect_images,

@@ -215,3 +215,37 @@ def test_actualtext_nested_and_point_operators():
     it2 = Interpreter(Document(pdf2), apply_actual_text=True)
     it2.run()
     assert [t for k, t, r in it2.spans] == ["O2"]
+
+
+def test_xref_recovery():
+    from pdf_ray.fixtures.corpus import (
+        f01_minimal_tj,
+        f19a_poison_truncated,
+        f19b_poison_bad_xref,
+    )
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    import pytest
+
+    bad, _ = f19b_poison_bad_xref()
+    with pytest.raises(PdfParseError):
+        Document(bad)  # raw parity: still a poison row
+    doc = Document(bad, recover=True)
+    it = Interpreter(doc)
+    it.run()
+    assert it.spans == [("text", "Bad xref", None)]
+
+    # truncated file: recovery rebuilds the index but the cut content
+    # stream still fails the row cleanly
+    trunc, _ = f19a_poison_truncated()
+    with pytest.raises(PdfParseError):
+        d = Document(trunc, recover=True)
+        Interpreter(d).run()
+
+    # healthy files take the normal path untouched
+    d = Document(f01_minimal_tj()[0], recover=True)
+    it2 = Interpreter(d)
+    it2.run()
+    assert it2.spans == [("text", "Hello World", None)]
