@@ -800,40 +800,55 @@ def events_sliding_window(sf_dir: str):
     k = WINDOW_MIN // SLIDE_MIN
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # group on the datetime key; string formatting happens ONCE on the
+        # tiny final result, not 4x per event here. Bucket on the window
+        # hash so the reduce is B fixed groups, not a sort-shuffle over
+        # every distinct (window, type) key.
         base = df["ts"].dt.floor(f"{SLIDE_MIN}min")
-        frames = []
-        for i in range(k):
-            ws = (base - pd.Timedelta(minutes=SLIDE_MIN * i)).dt.strftime(
-                "%Y-%m-%d %H:%M:%S"
+        val_c = _cents(df["value"])
+        frames = [
+            pd.DataFrame(
+                {
+                    "ws": base - pd.Timedelta(minutes=SLIDE_MIN * i),
+                    "event_type": df["event_type"],
+                    "val_c": val_c,
+                }
             )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "window_start": ws,
-                        "event_type": df["event_type"],
-                        "val_c": _cents(df["value"]),
-                    }
-                )
-            )
-        return (
+            for i in range(k)
+        ]
+        g = (
             pd.concat(frames, ignore_index=True)
-            .groupby(["window_start", "event_type"], as_index=False)
+            .groupby(["ws", "event_type"], as_index=False)
             .agg(p_n=("val_c", "count"), p_val_c=("val_c", "sum"))
+        )
+        g["bucket"] = (
+            g["ws"].astype("int64") // (SLIDE_MIN * 60 * 1_000_000_000)
+            % N_JOIN_BUCKETS
+        ).astype("int32")
+        return g
+
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["ws", "event_type"], as_index=False).agg(
+            n_events=("p_n", "sum"), sum_value=("p_val_c", "sum")
         )
 
     out = (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pandas")
-        .groupby(["window_start", "event_type"])
-        .aggregate(
-            Sum("p_n", alias_name="n_events"),
-            Sum("p_val_c", alias_name="sum_value"),
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_combine(g.drop(columns="bucket")),
+            batch_format="pandas",
         )
         .to_pandas()
     )
+    out["window_start"] = pd.to_datetime(out["ws"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    out = out.drop(columns="ws")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = _cents_to_f64(out["sum_value"])
-    return out
+    return out[["window_start", "event_type", "n_events", "sum_value"]]
 
 
 register(
