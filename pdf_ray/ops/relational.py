@@ -341,13 +341,12 @@ register(
 
 def events_hourly(sf_dir: str):
     """Tumbling 1-hour windows per event_type: count + sum(value).
-    Window key = truncated timestamp; partial per batch, then groupby."""
-    from ray.data.aggregate import Sum
+    Partials per batch on the datetime key, bucket-hash reduce (B fixed
+    groups instead of a sort shuffle over every distinct window); string
+    formatting happens once on the tiny final result."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # string-typed window key: engine-stable for value hashing
-        # (timestamp columns round-trip with different units/precisions)
-        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        hour = df["ts"].dt.floor("h")
         g = pd.DataFrame(
             {
                 "event_type": df["event_type"],
@@ -357,21 +356,30 @@ def events_hourly(sf_dir: str):
         ).groupby(["event_type", "hour"], as_index=False).agg(
             p_n=("val_c", "count"), p_val_c=("val_c", "sum")
         )
+        g["bucket"] = (
+            g["hour"].astype("int64") // 3_600_000_000_000 % N_JOIN_BUCKETS
+        ).astype("int32")
         return g
+
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("p_n", "sum"), sum_value=("p_val_c", "sum")
+        )
 
     out = (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("p_n", alias_name="n_events"),
-            Sum("p_val_c", alias_name="sum_value"),
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_combine(g.drop(columns="bucket")),
+            batch_format="pandas",
         )
         .to_pandas()
     )
+    out["hour"] = pd.to_datetime(out["hour"]).dt.strftime("%Y-%m-%d %H:%M:%S")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = _cents_to_f64(out["sum_value"])
-    return out
+    return out[["event_type", "hour", "n_events", "sum_value"]]
 
 
 register(
