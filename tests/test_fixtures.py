@@ -249,3 +249,20 @@ def test_xref_recovery():
     it2 = Interpreter(d)
     it2.run()
     assert it2.spans == [("text", "Hello World", None)]
+
+
+def test_xref_recovery_incremental_update_last_wins():
+    """Scavenged rebuild of an incrementally-updated file must resolve
+    each object to its LAST occurrence (update semantics)."""
+    from pdf_ray.fixtures.corpus import f08_incremental_update
+    from pdf_ray.pdfcore.document import Document
+    from pdf_ray.pdfcore.interp import Interpreter
+
+    pdf, golden = f08_incremental_update()
+    idx = pdf.rfind(b"startxref")
+    end = pdf.rfind(b"%%EOF")
+    broken = pdf[:idx] + b"startxref\n999999999\n" + pdf[end:]
+    doc = Document(broken, recover=True)
+    it = Interpreter(doc)
+    it.run()
+    assert it.spans == [("text", "Updated text", None)]
