@@ -35,6 +35,12 @@ N_SHINGLE_BUCKETS = 128
 # ultra-common shingles may be undercounted; the sf corpora stay far
 # below the cap, so the SQL oracle remains exact there.
 SHINGLE_DF_CAP = 5000
+# SimHash posting-list guards: lists longer than SIMHASH_DF_CAP are
+# truncated (recall note in pairs_of_bucket); within a list the pairwise
+# hamming matrix is computed in SIMHASH_PAIR_CHUNK-sized chunk pairs so
+# per-task memory is O(CHUNK^2) regardless of list length.
+SIMHASH_DF_CAP = 50_000
+SIMHASH_PAIR_CHUNK = 2048
 
 
 def _read_documents(sf_dir: str, columns=None):
@@ -518,17 +524,41 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
             if len(grp) < 2:
                 continue
             grp = grp.sort_values("doc_id")
+            if len(grp) > SIMHASH_DF_CAP:
+                # Degenerate posting list (e.g. a corpus of near-empty docs
+                # all simhashing to 0 shares all 4 blocks): truncate like
+                # SHINGLE_DF_CAP. Recall note: pairs BOTH beyond the cap in
+                # every shared block are missed — at the default cap that
+                # only occurs on pathological corpora, where the exact
+                # answer itself is O(cap^2) pairs per list anyway.
+                grp = grp.iloc[:SIMHASH_DF_CAP]
             ids = grp["doc_id"].to_numpy()
             sh = grp["simhash"].to_numpy().astype(np.uint64)
             bits = np.unpackbits(
                 sh.view(np.uint8).reshape(len(sh), 8), axis=1
             ).astype(np.float32)
-            ones = bits @ bits.T
-            zeros = (1 - bits) @ (1 - bits).T
-            hamming = 64 - ones - zeros
-            ii, jj = np.where(np.triu(hamming <= max_hamming, k=1))
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
+            # Chunk-pair blocking keeps the pairwise-hamming matrix at
+            # most C x C however long the posting list is (the blocked
+            # chunk-pair shape used by the embedding-cosine dedup) while
+            # staying EXACT within the (capped) list.
+            C = SIMHASH_PAIR_CHUNK
+            nb = (len(ids) + C - 1) // C
+            for bi in range(nb):
+                ai, aj = bi * C, min((bi + 1) * C, len(ids))
+                ba = bits[ai:aj]
+                for bj in range(bi, nb):
+                    ci, cj = bj * C, min((bj + 1) * C, len(ids))
+                    bb = bits[ci:cj]
+                    ones = ba @ bb.T
+                    zeros = (1 - ba) @ (1 - bb).T
+                    hamming = 64 - ones - zeros
+                    hit = hamming <= max_hamming
+                    if bi == bj:
+                        hit = np.triu(hit, k=1)
+                    ii, jj = np.where(hit)
+                    if len(ii):
+                        out_a.append(ids[ai + ii])
+                        out_b.append(ids[ci + jj])
         if not out_a:
             return pd.DataFrame(
                 {

@@ -284,31 +284,76 @@ register(
 
 
 def revenue_by_nation(sf_dir: str):
-    """customer ⋈ nation broadcast into an orders aggregation: revenue per
-    nation name. Two broadcast lookups, one small shuffle."""
+    """orders ⋈ customer ⋈ nation: revenue per nation name.
+
+    Customer is a FACT-SCALE dimension (billions of rows at TPC-H-100TB),
+    so the customer side is a partitioned hash join on custkey — bucket =
+    custkey %% B on both sides, tag + union, per-bucket pandas merge, then
+    a partial aggregate inside the bucket group (the
+    ``order_lineitem_revenue`` pattern; B sized from the orders parquet
+    footer). Only the genuinely-tiny 25-row nation map is broadcast via
+    ``ray.put``. No ``to_pandas()`` of a fact-scale table anywhere."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n_buckets = _join_buckets(sf_dir, "orders")
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((c2n, n2name))
+    n2name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c2n_, n2name_ = ray.get(ref)
-        nk = df["o_custkey"].map(c2n_)
-        name = nk.map(n2name_)
-        g = pd.DataFrame(
-            {"n_name": name, "rev_c": _cents(df["o_totalprice"])}
-        ).groupby("n_name", as_index=False).agg(
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "bucket": (df["c_custkey"] % n_buckets).astype("int32"),
+                "side": "C",
+                "rev_c": np.int64(0),
+                "nationkey": df["c_nationkey"].astype("int64"),
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_custkey"].astype("int64"),
+                "bucket": (df["o_custkey"] % n_buckets).astype("int32"),
+                "side": "O",
+                "rev_c": _cents(df["o_totalprice"]),
+                "nationkey": np.int64(-1),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        tag_customer, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        tag_orders, batch_format="pandas"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n2name = ray.get(n2name_ref)
+        left = g[g["side"] == "O"][["key", "rev_c"]]
+        right = g[g["side"] == "C"][["key", "nationkey"]]
+        j = left.merge(right, on="key", how="inner")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(dtype=object),
+                    "p_rev_c": pd.Series(dtype="int64"),
+                    "p_orders": pd.Series(dtype="int64"),
+                }
+            )
+        j["n_name"] = j["nationkey"].map(n2name)
+        return j.groupby("n_name", as_index=False).agg(
             p_rev_c=("rev_c", "sum"), p_orders=("rev_c", "count")
         )
-        return g
 
     out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
+        orders.union(cust)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: join_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
         .groupby("n_name")
         .aggregate(
             Sum("p_rev_c", alias_name="revenue"),
@@ -398,27 +443,64 @@ register(
 SESSION_GAP_MIN = 30
 
 
+N_STREAM_BUCKETS = 64
+
+
 def user_sessions(sf_dir: str):
     """Sessionization: per-user event stream split on >30-min gaps.
-    ``groupby(user_id).map_groups`` sorts each user's events by ts and
-    counts gap-breaks — state never crosses the partition key, the
-    documented ordering assumption for stream-shaped ops."""
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    Shape (scale-safe keyed stream op): bucket = user_id %% B -> per-bucket
+    VECTORIZED pandas groupby — sort the bucket by (user_id, ts), compute
+    gap-breaks with shifted diffs masked at user boundaries, then one
+    C-level ``groupby(user_id).agg``. B fixed reducer groups instead of a
+    per-user Python ``map_groups`` call (per-group overhead is the death
+    mode at 1M+ users). Partitioning assumption: all of a user's rows land
+    in one bucket — guaranteed by keying the bucket on user_id."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
+                "bucket": (df["user_id"] % N_STREAM_BUCKETS).astype("int32"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+            }
+        )
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_sessions": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = (
+            g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        ) & same_user
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "brk": brk.astype("int64")})
+            .groupby("user_id", as_index=False)
+            .agg(n_breaks=("brk", "sum"), n_events=("brk", "count"))
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "n_sessions": (out["n_breaks"] + 1).astype("int64"),
+                "n_events": out["n_events"].astype("int64"),
             }
         )
 
     out = (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sess, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: sessions_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     out = out.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
@@ -444,24 +526,52 @@ register(
 
 def user_running_totals(sf_dir: str):
     """Ordered per-key stateful computation: cumulative value per user in
-    ts order (``groupby(user).map_groups`` over the sorted group — the
-    batch expression of a keyed streaming accumulator; the ordering
-    assumption is per-partition ts order, stated per the brief)."""
+    ts order — the batch expression of a keyed streaming accumulator.
 
-    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    Shape (scale-safe keyed stream op): bucket = user_id %% B -> per-bucket
+    sort by (user_id, ts, event_id) -> vectorized
+    ``groupby(user_id).cumsum()`` over int64 cents (C-level; no per-user
+    Python call). Ordering assumption: per-user order within a bucket,
+    guaranteed by the in-bucket sort; users never straddle buckets."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["user_id"] % N_STREAM_BUCKETS).astype("int32"),
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "cents": _cents(df["value"]),
+            }
+        )
+
+    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "running_value": pd.Series(dtype="float64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = g.groupby("user_id")["cents"].cumsum()
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].astype("int64"),
                 "user_id": g["user_id"].astype("int64"),
-                "running_value": _cents_to_f64(_cents(g["value"]).cumsum()),
+                "running_value": _cents_to_f64(run),
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(cumsum, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: cumsum_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
     )
 
 

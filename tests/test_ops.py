@@ -150,3 +150,31 @@ def test_tdigest_merge_invariance():
         truth = float(np.quantile(vals, q))
         assert abs(a - truth) <= 0.03 * truth + 0.05
         assert abs(b - truth) <= 0.03 * truth + 0.05
+
+
+def test_simhash_degenerate_corpus_bounded(ray_session, tmp_path, monkeypatch):
+    """1k-identical-doc corpus (every doc shares all 4 simhash blocks):
+    the chunk-pair path and the posting-list cap keep per-task memory
+    bounded, and the exact pair set C(n,2) comes back when n is under the
+    cap."""
+    import numpy as np
+    import pandas as pd
+
+    import pdf_ray.ops.dedup as dd
+    from check_oracles import to_pandas
+
+    n = 300
+    pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": ["same words here"] * n}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # force many chunk pairs (nb=5) to exercise the blocked path
+    monkeypatch.setattr(dd, "SIMHASH_PAIR_CHUNK", 64)
+    got = to_pandas(dd.simhash_pairs(str(tmp_path)))
+    assert len(got) == n * (n - 1) // 2
+    assert (got["doc_a"] < got["doc_b"]).all()
+
+    # cap kicks in: posting lists truncated to the cap -> C(cap,2) pairs
+    monkeypatch.setattr(dd, "SIMHASH_DF_CAP", 100)
+    got = to_pandas(dd.simhash_pairs(str(tmp_path)))
+    assert len(got) == 100 * 99 // 2
