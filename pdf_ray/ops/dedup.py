@@ -133,6 +133,27 @@ def _pairs_from_posting_groups(
     )
 
 
+def _dedup_pairs(ds):
+    """Global (doc_a, doc_b) pair dedup with FIXED fan-in: bucket by pair
+    hash -> per-bucket drop_duplicates (all copies of a pair share the
+    bucket, so the in-group dedup is global)."""
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
+        return batch.append_column("pbucket", pa.array(pb))
+
+    return (
+        ds.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.drop(columns="pbucket").drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
+
+
 def _md5_bucket(values: list[str], n_buckets: int) -> list[int]:
     return [
         int.from_bytes(hashlib.md5(v.encode()).digest()[:4], "little") % n_buckets
@@ -141,6 +162,31 @@ def _md5_bucket(values: list[str], n_buckets: int) -> list[int]:
 
 
 # -- n-gram Jaccard (exact, inverted index) ---------------------------------
+
+
+def _explode_shingles(batch: pa.Table) -> pa.Table:
+    """doc rows -> one (bucket=hash(shingle)%B, shingle, doc_id, n_sh) row
+    per distinct word-3-gram — the inverted-index build shared by the
+    exact n-gram path and the minhash recall guard."""
+    doc_ids, shingle_col, n_sh_col = [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        sh = _shingles(text.lower().split(" "))
+        for s in sh:
+            doc_ids.append(doc_id)
+            shingle_col.append(s)
+            n_sh_col.append(len(sh))
+    return pa.table(
+        {
+            "bucket": pa.array(
+                _md5_bucket(shingle_col, N_SHINGLE_BUCKETS), pa.int32()
+            ),
+            "shingle": pa.array(shingle_col, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_sh": pa.array(n_sh_col, pa.int64()),
+        }
+    )
 
 
 def dedup_ngram_jaccard(sf_dir: str, tau: float = JACCARD_TAU):
@@ -157,30 +203,8 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = JACCARD_TAU):
     call per bucket, not one per distinct shingle). Hot shingles are
     capped at SHINGLE_DF_CAP docs (documented skew guard). The jaccard
     compare is integer-only so it is float-stable vs the oracle."""
-
-    def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, shingle_col, n_sh_col = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sh = _shingles(text.lower().split(" "))
-            for s in sh:
-                doc_ids.append(doc_id)
-                shingle_col.append(s)
-                n_sh_col.append(len(sh))
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    _md5_bucket(shingle_col, N_SHINGLE_BUCKETS), pa.int32()
-                ),
-                "shingle": pa.array(shingle_col, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_sh": pa.array(n_sh_col, pa.int64()),
-            }
-        )
-
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    inv = docs.map_batches(explode, batch_format="pyarrow")
+    inv = docs.map_batches(_explode_shingles, batch_format="pyarrow")
 
     raw_pairs = inv.groupby("bucket").map_groups(
         lambda g: _pairs_from_posting_groups(g.drop(columns="bucket"), "shingle"),
@@ -298,7 +322,11 @@ def _verify_pairs_bucketed(pairs_ds, docs, tau: float, n_buckets: int = 64):
     # whole shingling stage re-executes per consumer. This is a bounded,
     # spillable object-store intermediate (one row per doc), not driver
     # state — the deliberate cache-at-reuse-point exception to the
-    # no-mid-pipeline-materialize rule.
+    # no-mid-pipeline-materialize rule. MEASURED (sf0.1, 32 cpus, r3):
+    # materialize 19.9s vs recompute-per-consumer 24.5s for the guarded
+    # minhash query — cache wins while the table fits/spills in the
+    # object store; at corpus sizes where spill thrashes, flip to
+    # recompute by removing this call (correctness is unaffected).
     sh_ds = _shingle_table(docs).materialize()
 
     def pairs_side_r1(t: pa.Table) -> pa.Table:
@@ -400,16 +428,24 @@ def _verify_pairs_bucketed(pairs_ds, docs, tau: float, n_buckets: int = 64):
     )
 
 
-def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
+def dedup_minhash_lsh(
+    sf_dir: str, tau: float = JACCARD_TAU, recall_guard: bool = True
+):
     """MinHash(64) + LSH(16 bands x 4): candidate pairs from band-bucket
     collisions, verified with EXACT Jaccard via the bucketed pair re-join
     (no corpus-sized driver state anywhere — see _verify_pairs_bucketed).
 
-    Oracle note: verification makes every emitted pair exactly-correct
-    (result ⊆ exact-Jaccard pairs); LSH recall < 1 only for pairs barely
-    above tau (P[share a band] = 1-(1-J^4)^16). The sf corpora's
-    duplicates are high-J clones, where recall is ~1, so the exact
-    Jaccard SQL is attached as the oracle (checked at sf0.01/sf0.1)."""
+    Oracle note: exact verification makes every emitted pair correct
+    (precision 1), but pure-LSH recall is 1-(1-J^4)^16 < 1 for pairs
+    barely above tau (~64%% at J=0.5) — an exact-equality oracle would be
+    corpus-dependent. With ``recall_guard`` (the registered default) the
+    LSH candidates are UNIONED with the inverted-index candidates (any
+    pair with J >= tau shares >= 1 shingle, so that source has recall 1
+    up to SHINGLE_DF_CAP — the same cap as the already-oracled exact
+    query), making the result provably equal to the exact-Jaccard pair
+    set for ANY corpus, which is what licenses the attached SQL oracle.
+    At production scale set ``recall_guard=False`` for the classic
+    LSH cost/recall curve."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -442,8 +478,9 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
         return out[["doc_a", "doc_b"]].drop_duplicates()
 
     # no dedicated global pair-dedup shuffle: duplicates surviving across
-    # band-buckets are removed inside the verify's first join (all copies
-    # of a pair share doc_a -> same join bucket; see join_r1)
+    # band-buckets (and across the recall-guard union) are removed inside
+    # the verify's first join (all copies of a pair share doc_a -> same
+    # join bucket; see join_r1)
     candidates = (
         docs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
@@ -453,7 +490,18 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = JACCARD_TAU):
         )
     )
 
-    return _verify_pairs_bucketed(candidates, docs, tau)
+    verified = _verify_pairs_bucketed(candidates, docs, tau)
+    if not recall_guard:
+        return verified
+
+    # Recall guard: union with the inverted-index EXACT pairs (already
+    # integer-count-verified inside dedup_ngram_jaccard — re-verifying
+    # them against shingle lists would drag a full document's shingles
+    # per candidate pair through the join shuffles, measured 10x slower).
+    # verified ⊆ exact, so the union IS the exact pair set; the final
+    # bucketed drop_duplicates removes the overlap.
+    guard = dedup_ngram_jaccard(sf_dir, tau)
+    return _dedup_pairs(verified.union(guard))
 
 
 register("dedup_minhash_lsh", dedup_minhash_lsh, _JACCARD_PAIR_SQL)
@@ -573,23 +621,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
             }
         ).drop_duplicates()
 
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
-        return batch.append_column("pbucket", pa.array(pb))
-
-    return (
+    return _dedup_pairs(
         docs.map_batches(block_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
             lambda g: pairs_of_bucket(g.drop(columns="bucket")),
-            batch_format="pandas",
-        )
-        .map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(
-            lambda g: g.drop(columns="pbucket").drop_duplicates(),
             batch_format="pandas",
         )
     )

@@ -178,3 +178,34 @@ def test_simhash_degenerate_corpus_bounded(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(dd, "SIMHASH_DF_CAP", 100)
     got = to_pandas(dd.simhash_pairs(str(tmp_path)))
     assert len(got) == 100 * 99 // 2
+
+
+def test_minhash_recall_guard_mid_j_pair(ray_session, tmp_path):
+    """A pair with Jaccard barely above tau (deep below the LSH S-curve
+    knee, where pure-LSH recall is ~10-30%) MUST still be emitted: the
+    recall guard unions inverted-index candidates, making the verified
+    result equal to the exact pair set on ANY corpus — the property that
+    licenses the exact-equality SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    import pdf_ray.ops.dedup as dd
+    from check_oracles import to_pandas
+
+    words = [f"w{i}" for i in range(30)]
+    alt = [f"v{i}" for i in range(30)]
+    texts = {
+        0: " ".join(words),                      # 28 shingles
+        1: " ".join(words[:12] + alt[12:30]),    # shares first 10 shingles
+        2: " ".join(alt),                        # disjoint
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    exact = to_pandas(dd.dedup_ngram_jaccard(str(tmp_path)))
+    e = {tuple(r) for r in exact[["doc_a", "doc_b"]].itertuples(index=False)}
+    got = to_pandas(dd.dedup_minhash_lsh(str(tmp_path)))
+    g = {tuple(r) for r in got[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 1) in e  # the corpus does contain a just-above-tau pair
+    assert g == e
