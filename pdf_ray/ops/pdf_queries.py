@@ -169,9 +169,20 @@ def pdf_annotations(sf_dir: str | None = None):
     )
 
 
+# The corpus's two poison fixtures fail Document() with these exact
+# (deterministic) messages; the annotation/outline stages surface them as
+# explicit error rows rather than silently dropping the doc, so the
+# oracles expect them too.
+_POISON_ERRORS = [
+    ("f19a", "PdfParseError: startxref not found"),
+    ("f19b", "PdfParseError: xref offset 999999999 beyond EOF"),
+]
+
+
 def _annotations_oracle() -> str:
     # hand-written golden (corpus.F28_ANNOTS) x the committed replica
-    # count; only f28 docs carry /Annots
+    # count; only f28 docs carry /Annots, and the poison docs each yield
+    # one explicit error row
     from ..fixtures.corpus import F28_ANNOTS
     from ..fixtures.tables import DEFAULT_REPLICAS
 
@@ -184,6 +195,12 @@ def _annotations_oracle() -> str:
                 f"SELECT 'f28-{r:04d}' AS doc_id, 0::INT AS page_index, "
                 f"{ai}::INT AS annot_index, '{subtype}' AS subtype, "
                 f"{t}::VARCHAR AS text, {f}::VARCHAR AS field_name"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS page_index, "
+                f"-1::INT AS annot_index, '__error__' AS subtype, "
+                f"'{msg}'::VARCHAR AS text, NULL::VARCHAR AS field_name"
             )
     return " UNION ALL ".join(rows)
 
@@ -280,6 +297,11 @@ def _outlines_oracle() -> str:
             rows.append(
                 f"SELECT 'f31-{r:04d}' AS doc_id, {order}::INT AS \"order\", "
                 f"{level}::INT AS level, '{title}' AS title"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS \"order\", "
+                f"-1::INT AS level, '__error__ {msg}' AS title"
             )
     return " UNION ALL ".join(rows)
 

@@ -91,19 +91,23 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
         else:
             raise PdfParseError(f"unsupported Indexed bpc {bpc}")
         hival = resolve(cs[2])
+        # PDF 32000-1 §8.6.6.3: index values outside [0, hival] shall be
+        # CLAMPED, not rejected — sloppy real-world indexed data renders
+        # elsewhere and must decode here too. The hard error remains for
+        # a palette too short for hival itself (structurally broken CS:
+        # clamping can't produce well-defined pixels, and a short slice
+        # on the RHS would silently misalign every later pixel).
+        max_idx = hival if isinstance(hival, int) else len(palette) // ncomp - 1
+        if (max_idx + 1) * ncomp > len(palette):
+            raise PdfParseError(
+                f"Indexed palette too short: hival={hival} needs "
+                f"{(max_idx + 1) * ncomp}B, palette={len(palette)}B"
+            )
         out = bytearray(w * h * 3)
         for i, idx in enumerate(indices[: w * h]):
+            if idx > max_idx:
+                idx = max_idx
             off = idx * ncomp
-            # out-of-range indices must FAIL the row: a short slice on the
-            # RHS would silently resize the bytearray and misalign every
-            # later pixel (corrupted pixels -> wrong media_ref)
-            if (isinstance(hival, int) and idx > hival) or off + ncomp > len(
-                palette
-            ):
-                raise PdfParseError(
-                    f"Indexed palette index {idx} out of range "
-                    f"(hival={hival}, palette={len(palette)}B)"
-                )
             if ncomp == 3:
                 out[3 * i : 3 * i + 3] = palette[off : off + 3]
             else:

@@ -175,8 +175,19 @@ class AnnotationStage(ExtractStage):
                             rows["subtype"].append(a["subtype"])
                             rows["text"].append(a["text"])
                             rows["field_name"].append(a["field_name"])
-                except Exception:
-                    continue  # poison rows contribute no annotation rows
+                except Exception as e:
+                    # row-level poison containment, made VISIBLE: a doc
+                    # whose annotation walk fails (e.g. one unknown
+                    # subtype) emits an explicit error row instead of
+                    # silently dropping all its annotations
+                    rows["doc_id"].append(doc_id)
+                    rows["page_index"].append(-1)
+                    rows["annot_index"].append(-1)
+                    rows["subtype"].append("__error__")
+                    rows["text"].append(
+                        f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+                    rows["field_name"].append(None)
         return pa.table(
             {
                 "doc_id": pa.array(rows["doc_id"], pa.string()),
@@ -217,8 +228,16 @@ class OutlineStage(ExtractStage):
                         rows["order"].append(o["order"])
                         rows["level"].append(o["level"])
                         rows["title"].append(o["title"])
-                except Exception:
-                    continue  # poison rows contribute no outline rows
+                except Exception as e:
+                    # explicit error marker row (order=level=-1 is
+                    # impossible for a real outline): failed docs are
+                    # visible downstream, not silently bookmark-less
+                    rows["doc_id"].append(doc_id)
+                    rows["order"].append(-1)
+                    rows["level"].append(-1)
+                    rows["title"].append(
+                        f"__error__ {type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
         return pa.table(
             {
                 "doc_id": pa.array(rows["doc_id"], pa.string()),

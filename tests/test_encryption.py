@@ -151,3 +151,48 @@ def test_hash_2b_deterministic_and_sensitive():
     assert a == hash_2b(b"", b"saltsalt")
     assert a != hash_2b(b"", b"SALTSALT")
     assert a != hash_2b(b"x", b"saltsalt")
+
+
+def test_aes_fast_path_fips197_vectors():
+    """Pin the T-table fast path (the only cipher used by the R6 hash_2b)
+    to the FIPS-197 C.1/C.3 vectors and to the slow pinned path — a
+    regression here would otherwise only surface on real AES-256 R6 PDFs
+    (the fixture roundtrip uses the same code both ways)."""
+    from pdf_ray.pdfcore.encryption import (
+        _aes_encrypt_block_fast,
+        _expand_key_words,
+        aes_cbc_encrypt_nopad,
+    )
+
+    plain = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # C.1 AES-128
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert (
+        _aes_encrypt_block_fast(plain, _expand_key_words(k128)).hex()
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    # C.3 AES-256
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert (
+        _aes_encrypt_block_fast(plain, _expand_key_words(k256)).hex()
+        == "8ea2b7ca516745bfeafc49904b496089"
+    )
+    # fast path == slow pinned path on random-ish keys/blocks
+    import hashlib
+
+    for i in range(4):
+        key = hashlib.sha256(bytes([i])).digest()[: 16 if i % 2 else 32]
+        blk = hashlib.md5(bytes([i])).digest()
+        assert _aes_encrypt_block_fast(blk, _expand_key_words(key)) == (
+            _aes_encrypt_block(blk, _expand_key(key))
+        )
+    # CBC-nopad over two blocks: chain check against the block cipher
+    iv = bytes(range(16))
+    data = bytes(range(32))
+    ct = aes_cbc_encrypt_nopad(k128, iv, data)
+    rk = _expand_key_words(k128)
+    b0 = _aes_encrypt_block_fast(bytes(a ^ b for a, b in zip(data[:16], iv)), rk)
+    b1 = _aes_encrypt_block_fast(bytes(a ^ b for a, b in zip(data[16:], b0)), rk)
+    assert ct == b0 + b1

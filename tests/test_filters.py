@@ -137,3 +137,42 @@ def test_unknown_filter_raises():
     s = Stream({"Filter": "JBIG2Decode"}, b"")
     with pytest.raises(PdfParseError):
         decode_stream(s)
+
+
+def test_indexed_out_of_range_index_clamps_to_hival():
+    """PDF 32000-1 §8.6.6.3: palette indices beyond hival clamp to hival
+    (sloppy real-world indexed data must decode); a palette too short for
+    hival itself is still a hard error."""
+    import pytest
+
+    from pdf_ray.pdfcore.filters import PdfParseError
+    from pdf_ray.pdfcore.images import decode_image_pixels
+
+    resolve = lambda x: x  # noqa: E731
+    palette = bytes([255, 0, 0, 0, 255, 0])  # 2 entries: red, green
+    s = Stream(
+        {
+            "Width": 2,
+            "Height": 1,
+            "BitsPerComponent": 8,
+            "ColorSpace": ["Indexed", "DeviceRGB", 1, "\xff\x00\x00\x00\xff\x00"],
+        },
+        bytes([0, 7]),  # 7 > hival=1 -> clamps to entry 1 (green)
+    )
+    s.dict["ColorSpace"][3] = "".join(chr(b) for b in palette)
+    w, h, rgb = decode_image_pixels(s, resolve)
+    assert (w, h) == (2, 1)
+    assert rgb == bytes([255, 0, 0, 0, 255, 0])
+
+    bad = Stream(
+        {
+            "Width": 1,
+            "Height": 1,
+            "BitsPerComponent": 8,
+            # hival=3 needs 12 palette bytes; only 6 present
+            "ColorSpace": ["Indexed", "DeviceRGB", 3, "".join(chr(b) for b in palette)],
+        },
+        bytes([0]),
+    )
+    with pytest.raises(PdfParseError):
+        decode_image_pixels(bad, resolve)

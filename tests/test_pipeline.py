@@ -262,3 +262,31 @@ def test_write_stage_retry_is_idempotent(ray_session, corpus, tmp_path):
     assert sorted(got["doc_id"]) == sorted(
         batch.column("doc_id").to_pylist()
     )
+
+
+def test_annotation_and_outline_stages_emit_error_rows():
+    """A corrupt payload must surface as an explicit error row (not a
+    silently-empty doc) — the documented poison-containment model."""
+    import pyarrow as pa
+
+    from pdf_ray.stages.extract import AnnotationStage, OutlineStage
+
+    batch = pa.table(
+        {
+            "doc_id": ["bad1"],
+            "spans": [
+                [{"kind": "media", "text": None, "media_ref": "m0", "offset": 0}]
+            ],
+        }
+    )
+    payloads = {"m0": b"%PDF-1.4 not really a pdf"}
+    a = AnnotationStage(payloads=payloads)(batch)
+    assert a.num_rows == 1
+    assert a.column("subtype").to_pylist() == ["__error__"]
+    assert a.column("page_index").to_pylist() == [-1]
+    assert a.column("text").to_pylist()[0]
+
+    o = OutlineStage(payloads=payloads)(batch)
+    assert o.num_rows == 1
+    assert o.column("level").to_pylist() == [-1]
+    assert o.column("title").to_pylist()[0].startswith("__error__")
