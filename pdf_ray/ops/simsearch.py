@@ -248,4 +248,48 @@ def knn_ivf(sf_dir: str, k: int = TOP_K):
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
-register("knn_ivf", knn_ivf, None)  # approximate
+def _ivf_oracle(dim: int = 64) -> str:
+    """Exact SQL oracle for knn_ivf: the hyperplanes are SEEDED
+    (RandomState(7)), so bucket membership is deterministic — DuckDB
+    recomputes each vector's bucket from inlined plane literals (the sign
+    of the inner product is normalization-invariant, so the raw embedding
+    works), rebuilds the global multi-probe bucket set (own buckets +
+    1-bit flips, unioned across queries exactly like the Python), and
+    takes the exact top-k within those candidates. This turns the IVF
+    query from rows-only into a full rows+schema+hash gate."""
+    rng = np.random.RandomState(7)
+    planes = rng.randn(N_PLANES, dim)
+    lits = [
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(e, {lits[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    flips = ", ".join(f"({1 << j})" for j in range(N_PLANES))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+      FROM embeddings),
+    b AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM emb),
+    q AS (SELECT vec_id qid, e qe, bucket qb FROM b
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT DISTINCT xor(qb, p) AS pb
+      FROM q, (VALUES (0), {flips}) t(p)),
+    cand AS (SELECT vec_id, e FROM b
+             WHERE bucket IN (SELECT pb FROM probes)),
+    scored AS (
+      SELECT q.qid, c.vec_id nid, list_cosine_similarity(q.qe, c.e) s
+      FROM q JOIN cand c ON c.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) rnk
+      FROM scored)
+    SELECT qid AS query_id, rnk::BIGINT AS rank, nid AS neighbor_id
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+register("knn_ivf", knn_ivf, _ivf_oracle())

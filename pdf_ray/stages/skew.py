@@ -19,6 +19,7 @@ from ..pdfcore.document import Document
 from ..pdfcore.interp import Interpreter
 
 _MAX_ERROR_LEN = 512
+N_REASSEMBLE_BUCKETS = 64
 
 
 def salted_groupby(ds, key: str, combiner, salt_buckets: int = 16):
@@ -174,45 +175,87 @@ def extract_split(
 
     from ..schema import EXTRACTED
 
-    def reassemble(g: pd.DataFrame) -> pa.Table:
-        """Arrow out with the explicit list<struct> span type (same
-        construction as ExtractStage.__call__): per-span Python dicts in
-        a pandas object column force object-dtype blocks and break Ray's
-        block schema hashing ('unhashable type: dict' spam)."""
-        g = g.sort_values(["page_lo", "local_order"], kind="mergesort")
-        doc_id = g["doc_id"].iloc[0]
-        err = g["error"].dropna()
-        if len(err):
-            n = 0
-            kinds, texts, refs = [], [], []
-            status, error = "error", err.iloc[0]
-        else:
-            n = len(g)
-            kinds = g["kind"].tolist()
-            texts = g["text"].tolist()
-            refs = [None if pd.isna(r) else r for r in g["media_ref"]]
-            status, error = "ok", None
+    def add_bucket(t: pa.Table) -> pa.Table:
+        """bucket = crc32(doc_id) %% B — B FIXED reducer groups instead of
+        one Python map_groups call per doc (per-group overhead is the
+        death mode at high doc cardinality). All of a doc's range rows
+        share the bucket, so in-bucket reassembly is complete per doc."""
+        import zlib
+
+        b = pa.array(
+            [
+                zlib.crc32(d.encode()) % N_REASSEMBLE_BUCKETS
+                for d in t.column("doc_id").to_pylist()
+            ],
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def reassemble_bucket(g: pd.DataFrame) -> pa.Table:
+        """One Arrow table for ALL docs in the bucket: flat span arrays +
+        list offsets (same construction as ExtractStage.__call__ — dict
+        columns would break Ray's block schema hashing). Span order is
+        restored by the (doc_id, page_lo, local_order) sort; doc order
+        within the bucket is irrelevant downstream (D5 ordering is
+        per-doc)."""
+        g = g.sort_values(
+            ["doc_id", "page_lo", "local_order"], kind="mergesort"
+        )
+        doc_ids: list[str] = []
+        kinds: list[str] = []
+        texts: list[str | None] = []
+        refs: list[str | None] = []
+        orders: list[int] = []
+        offsets: list[int] = [0]
+        n_spans: list[int] = []
+        statuses: list[str] = []
+        errors: list[str | None] = []
+        for doc_id, d in g.groupby("doc_id", sort=False):
+            doc_ids.append(doc_id)
+            err = d["error"].dropna()
+            if len(err):
+                statuses.append("error")
+                errors.append(err.iloc[0])
+                n_spans.append(0)
+            else:
+                kinds.extend(d["kind"])
+                texts.extend(None if pd.isna(t) else t for t in d["text"])
+                refs.extend(
+                    None if pd.isna(r) else r for r in d["media_ref"]
+                )
+                orders.extend(range(len(d)))
+                statuses.append("ok")
+                errors.append(None)
+                n_spans.append(len(d))
+            offsets.append(len(kinds))
         span_struct = pa.StructArray.from_arrays(
             [
                 pa.array(kinds, pa.string()),
-                pa.array([None if pd.isna(t) else t for t in texts], pa.string()),
+                pa.array(texts, pa.string()),
                 pa.array(refs, pa.string()),
-                pa.array(range(n), pa.int32()),
+                pa.array(orders, pa.int32()),
             ],
             names=["kind", "text", "media_ref", "order"],
         )
         spans_col = pa.ListArray.from_arrays(
-            pa.array([0, n], pa.int32()), span_struct
+            pa.array(offsets, pa.int32()), span_struct
         )
         return pa.Table.from_arrays(
             [
-                pa.array([doc_id], pa.string()),
+                pa.array(doc_ids, pa.string()),
                 spans_col,
-                pa.array([n], pa.int32()),
-                pa.array([status], pa.string()),
-                pa.array([error], pa.string()),
+                pa.array(n_spans, pa.int32()),
+                pa.array(statuses, pa.string()),
+                pa.array(errors, pa.string()),
             ],
             schema=EXTRACTED,
         )
 
-    return rows.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: reassemble_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
