@@ -1020,6 +1020,67 @@ def f31_outlines():
 F32_ACTUALTEXT = ["Before", "Tele-vision", "hyphen", "After"]
 
 
+# Progressive-DCT fixture (f33): same hand-derivable exact-decode scheme
+# as f24 (uniform 8x8 gray blocks, R=G=B=v -> Y=v, Cb=Cr=128, DC=8*(v-128)
+# divisible by the flat q=16) but encoded as PROGRESSIVE (SOF2): DC-first
+# + DC-refine + spectral-split AC scans with successive approximation
+# (Al=1 -> 0). The golden pixels are hand-written; exactness does not
+# depend on which scan script delivered the coefficients.
+PROG_W, PROG_H = 24, 8
+PROG_PIXELS = bytes(
+    ([160, 160, 160] * 8 + [96, 96, 96] * 8 + [208, 208, 208] * 8) * PROG_H
+)
+
+
+def _prog_ref() -> str:
+    import hashlib
+
+    return (
+        "img:"
+        + hashlib.sha256(
+            f"{PROG_W}x{PROG_H}:rgb8:".encode() + PROG_PIXELS
+        ).hexdigest()[:40]
+    )
+
+
+PROG_REF = _prog_ref()
+
+
+def f33_progressive_jpeg():
+    """Progressive (SOF2) DCT Image XObject — spectral selection +
+    successive approximation per T.81 G.1.2 (the reference's crate
+    handles progressive; our decoder is pdfcore/jpeg.py _decode_scan).
+    Golden derived by hand exactly like f24."""
+    import numpy as np
+
+    from .jpegenc import encode_jpeg_progressive
+
+    img = np.empty((PROG_H, PROG_W, 3), dtype=np.uint8)
+    img[:, :8, :] = 160
+    img[:, 8:16, :] = 96
+    img[:, 16:, :] = 208
+    jpeg = encode_jpeg_progressive(img, qtable=16, al=1)
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before progressive) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 24 /Height 8 "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length "
+                + str(len(jpeg)).encode()
+                + b" >>\nstream\n"
+                + jpeg
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before progressive", None, 0),
+        ("image", None, PROG_REF, 1),
+    ]
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1097,4 +1158,5 @@ FIXTURES = {
     "f30": f30_encrypted_aes256,
     "f31": f31_outlines,
     "f32": f32_actualtext,
+    "f33": f33_progressive_jpeg,
 }

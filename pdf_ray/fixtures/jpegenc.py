@@ -242,3 +242,239 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# -- progressive (SOF2) encoder ---------------------------------------------
+
+# Flat AC huffman table for progressive scans: 255 symbols at length 9 +
+# symbol 0xFF at length 10 (kraft 255/512 + 1/1024 < 1; no all-ones
+# code). The Annex-K AC table lacks the EOBn symbols (0x10..0xE0) that
+# multi-block EOB runs need; a flat table keeps the encoder trivial while
+# producing a fully spec-conformant bitstream.
+AC_FLAT_COUNTS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+AC_FLAT_SYMBOLS = bytes(range(256))
+_AC_FLAT_CODES = _codes(AC_FLAT_COUNTS, AC_FLAT_SYMBOLS)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.1): sign-preserving magnitude
+    shift — divide toward zero by 2^al."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgressiveEncoder:
+    """Encodes one component-band scan at a time over precomputed zigzag
+    coefficient blocks; mirrors libjpeg's jcphuff strategy (EOB-run
+    accumulation, buffered correction bits)."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.eobrun = 0
+        self.bebuf: list[int] = []
+
+    def _emit_ac(self, sym: int) -> None:
+        code, length = _AC_FLAT_CODES[sym]
+        self.bw.write(code, length)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self._emit_ac(nb << 4)
+            if nb:
+                self.bw.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+            for b in self.bebuf:
+                self.bw.write(b, 1)
+            self.bebuf = []
+
+    def ac_first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            t = _pt_ac(int(zz[k]), al)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                self.flush_eob()
+                self._emit_ac(0xF0)  # ZRL
+                r -= 16
+            self.flush_eob()
+            s = _category(t)
+            self._emit_ac((r << 4) | s)
+            self.bw.write(_mag_bits(t, s), s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def ac_refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        # libjpeg jcphuff strategy: ZRLs are emitted when ANY nonzero
+        # coefficient is reached with r > 15 (not only newly-significant
+        # ones — a correction bit must ride with the ZRL window it falls
+        # in), but never past the last newly-significant index (eob_k),
+        # where trailing runs fold into the EOB run instead.
+        eob_k = ss - 1
+        for k in range(ss, se + 1):
+            if abs(int(zz[k])) >> al == 1:
+                eob_k = k
+        r = 0
+        brbuf: list[int] = []
+        for k in range(ss, se + 1):
+            t = abs(int(zz[k])) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                self.flush_eob()
+                self._emit_ac(0xF0)
+                r -= 16
+                for b in brbuf:
+                    self.bw.write(b, 1)
+                brbuf = []
+            if t > 1:
+                brbuf.append(t & 1)  # correction bit, rides along
+                continue
+            # newly significant (+-1 at this precision)
+            self.flush_eob()
+            self._emit_ac((r << 4) | 1)
+            self.bw.write(1 if zz[k] > 0 else 0, 1)
+            for b in brbuf:
+                self.bw.write(b, 1)
+            brbuf = []
+            r = 0
+        if r > 0 or brbuf:
+            self.eobrun += 1
+            self.bebuf.extend(brbuf)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, qtable=16, al: int = 1, split_k: int = 6
+) -> bytes:
+    """Encode gray (h,w) or RGB (h,w,3) uint8 as a PROGRESSIVE (SOF2)
+    JPEG, 4:4:4, exercising all four scan modes of T.81 G.1.2:
+
+      1. DC first     (interleaved, Al=al)
+      2. AC first     k in [1, split_k-1], Al=al   (per component)
+      3. AC first     k in [split_k, 63], Al=al    (per component)
+      4. DC refine    (interleaved, Ah=al .. Al=al-1 ... down to 0)
+      5. AC refine    both bands, per level, per component
+
+    Coefficients are identical to ``encode_jpeg``'s for the same image
+    and qtable, so the decoded pixels must match the sequential decode
+    bit-for-bit — that equality is the fixture oracle."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if np.isscalar(qtable):
+        q = np.full(64, int(qtable), dtype=np.int32)
+    else:
+        q = np.asarray(qtable, dtype=np.int32).reshape(64)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r_ = img[:, :, 0].astype(np.float64)
+        g_ = img[:, :, 1].astype(np.float64)
+        b_ = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
+    nc = len(planes)
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    qf = q.astype(np.float64)
+
+    # precompute all zigzag coefficient blocks: coefs[ci][my][mx] -> (64,)
+    coefs: list[np.ndarray] = []
+    for p in planes:
+        pp = _pad(p, mcuy * 8, mcux * 8)
+        cc = np.empty((mcuy, mcux, 64), np.int32)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                block = pp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                coef = (_A @ block @ _A.T).reshape(64)
+                cc[my, mx] = np.floor(coef / qf + 0.5).astype(np.int32)[ZIGZAG]
+        coefs.append(cc)
+
+    out = bytearray(b"\xff\xd8")
+    zzq = q[ZIGZAG]
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0])
+    out += bytes(int(v) for v in zzq)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof  # SOF2
+    dht = bytearray([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(AC_FLAT_COUNTS) + AC_FLAT_SYMBOLS
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al_: int):
+        sos = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + bytes(sos)
+
+    # scan 1: DC first, interleaved, point transform al
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, al)
+    bw = _BitWriter()
+    dc_pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                dc = int(coefs[ci][my, mx, 0]) >> al  # arithmetic shift
+                diff = dc - dc_pred[ci]
+                dc_pred[ci] = dc
+                t = _category(diff)
+                code, length = _DC_CODES[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(_mag_bits(diff, t), t)
+    bw.flush()
+    out += bw.out
+
+    # scans 2-3: AC first per component, two spectral bands
+    for ss, se in ((1, split_k - 1), (split_k, 63)):
+        for ci in range(nc):
+            out += sos_header([ci + 1], ss, se, 0, al)
+            bw = _BitWriter()
+            enc = _ProgressiveEncoder(bw)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    enc.ac_first_block(coefs[ci][my, mx], ss, se, al)
+            enc.flush_eob()
+            bw.flush()
+            out += bw.out
+
+    # successive-approximation refinement down to full precision
+    for lvl in range(al, 0, -1):
+        ah, al_ = lvl, lvl - 1
+        # DC refine (interleaved, raw bits)
+        out += sos_header(list(range(1, nc + 1)), 0, 0, ah, al_)
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    bw.write((int(coefs[ci][my, mx, 0]) >> al_) & 1, 1)
+        bw.flush()
+        out += bw.out
+        # AC refine per band per component
+        for ss, se in ((1, split_k - 1), (split_k, 63)):
+            for ci in range(nc):
+                out += sos_header([ci + 1], ss, se, ah, al_)
+                bw = _BitWriter()
+                enc = _ProgressiveEncoder(bw)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        enc.ac_refine_block(coefs[ci][my, mx], ss, se, al_)
+                enc.flush_eob()
+                bw.flush()
+                out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -125,6 +125,10 @@ def _image_features_oracle() -> str:
         IMG_PIXELS,
         IMG_REF,
         IMG_W,
+        PROG_H,
+        PROG_PIXELS,
+        PROG_REF,
+        PROG_W,
     )
 
     rows = []
@@ -133,6 +137,7 @@ def _image_features_oracle() -> str:
         (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
         (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
         (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
+        (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]

@@ -1,4 +1,4 @@
-"""Baseline JPEG (DCT) decoder — pure numpy, no codec dependency.
+"""JPEG (DCT) decoder — pure numpy, no codec dependency.
 
 The reference delegates DCTDecode to the ``jpeg-decoder`` crate
 (/root/reference/src/filter/dct.rs:10-20) and consumes real pixels; this
@@ -6,17 +6,23 @@ module provides the same capability from scratch so DCT images get
 pixel-content-addressed media_refs and flow through the image feature
 stages.
 
-Scope: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or 3-channel
-YCbCr (any integer chroma subsampling), restart markers, multiple
-DQT/DHT segments. Progressive (SOF2), arithmetic coding, 12-bit and
+Scope: sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — spectral
+selection + successive approximation, DC/AC first and refinement scans
+per ITU-T T.81 G.1.2), 8-bit, grayscale or 3-channel YCbCr (any integer
+chroma subsampling), interleaved and single-component scans, restart
+markers, multiple DQT/DHT segments. Arithmetic coding, 12-bit and
 4-channel CMYK raise PdfParseError (row-level error downstream, same
 containment as other unsupported filters).
 
-IDCT is the separable orthonormal 8x8 DCT-III via two matmuls; the
-YCbCr->RGB transform is the JFIF one with round-half-up and clamping.
-This decoder defines the oracle for our fixtures (the fixture JPEGs are
-built so quantization round-trips exactly — see fixtures/jpegenc.py).
-"""
+Architecture: every scan decodes into per-component COEFFICIENT stores
+(zigzag order); dequantization + the separable orthonormal 8x8 DCT-III
+(two matmuls, vectorized over all blocks) happen once at EOI. Sequential
+is simply the Ss=0..Se=63, Ah=Al=0 single pass of the same machinery.
+The YCbCr->RGB transform is the JFIF one with round-half-up and
+clamping. This decoder defines the oracle for our fixtures (the fixture
+JPEGs are built so quantization round-trips exactly — see
+fixtures/jpegenc.py; the progressive fixture is bit-exact against the
+sequential decode of the same coefficients)."""
 
 from __future__ import annotations
 
@@ -76,6 +82,10 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):  # truncated stream: pad with 1-bits (F.2.2.5)
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
@@ -125,18 +135,24 @@ def _extend(v: int, t: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "plane", "dc_pred")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coefs", "dc_pred",
+                 "bw", "bh")
 
     def __init__(self, cid: int, h: int, v: int, tq: int):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
         self.td = self.ta = 0
-        self.plane: np.ndarray | None = None
+        # (bh_total, bw_total, 64) int32 zigzag-order coefficient store,
+        # padded to whole MCUs; filled across one (sequential) or many
+        # (progressive) scans, IDCTed once at EOI
+        self.coefs: np.ndarray | None = None
         self.dc_pred = 0
+        self.bw = self.bh = 0  # this component's real data-unit grid
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG. Returns ``(width, height, ncomp, pixels)``
-    with pixels gray8 (ncomp=1) or rgb8 (ncomp=3), row-major."""
+    """Decode a sequential or progressive JPEG. Returns ``(width, height,
+    ncomp, pixels)`` with pixels gray8 (ncomp=1) or rgb8 (ncomp=3),
+    row-major."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise PdfParseError("not a JPEG (no SOI)")
     pos = 2
@@ -145,6 +161,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    mcux = mcuy = 0
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -171,7 +189,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     )
                     i += 128
                 qtables[tq] = q  # zigzag order
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise PdfParseError("only 8-bit JPEG supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -183,11 +202,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            # frame-level geometry; every scan fills these stores
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c.coefs = np.zeros((mcuy * c.v, mcux * c.h, 64), np.int32)
+                # the component's REAL data-unit grid (T.81 A.1.1), used
+                # by single-component scans which are not MCU-padded
+                c.bw = (-(-w * c.h // hmax) + 7) // 8
+                c.bh = (-(-h * c.v // vmax) + 7) // 8
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise PdfParseError(
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic/lossless)"
+                "(arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -209,9 +239,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 tda = seg[2 + 2 * c]
                 comp.td, comp.ta = tda >> 4, tda & 15
                 scan.append(comp)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             pos += seglen
             pos = _decode_scan(
-                data, pos, w, h, scan, qtables, htables, restart_interval
+                data, pos, mcux, mcuy, scan, len(comps), htables,
+                restart_interval, ss, se, ah, al,
             )
             continue
         # APPn / COM / others: skip
@@ -223,9 +259,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(c.v for c in comps)
     planes = []
     for c in comps:
-        if c.plane is None:
+        if c.coefs is None:
             raise PdfParseError("JPEG scan missing component")
-        p = c.plane[: (h * c.v + vmax - 1) // vmax, : (w * c.h + hmax - 1) // hmax]
+        q = qtables.get(c.tq)
+        if q is None:
+            raise PdfParseError("JPEG missing quant table")
+        plane = _idct_plane(c.coefs, q)
+        p = plane[: (h * c.v + vmax - 1) // vmax,
+                  : (w * c.h + hmax - 1) // hmax]
         # upsample to full resolution by replication
         if c.v != vmax:
             p = np.repeat(p, vmax // c.v, axis=0)
@@ -243,71 +284,188 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, rgb.tobytes()
 
 
+def _idct_plane(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize + IDCT every 8x8 block of a component at once:
+    (bh, bw, 64) zigzag int32 -> (bh*8, bw*8) uint8 plane. The matmuls
+    broadcast over the block grid — no per-block Python."""
+    bh, bw = coefs.shape[:2]
+    deq = (coefs * q[None, None, :]).astype(np.float64)
+    spat = np.zeros((bh, bw, 64), np.float64)
+    spat[..., ZIGZAG] = deq
+    blocks = _A.T @ spat.reshape(bh, bw, 8, 8) @ _A
+    blocks = np.clip(np.floor(blocks + 128.0 + 0.5), 0, 255)
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8).astype(
+        np.uint8
+    )
+
+
 def _decode_scan(
     data: bytes,
     pos: int,
-    w: int,
-    h: int,
+    mcux: int,
+    mcuy: int,
     scan: list[_Component],
-    qtables: dict[int, np.ndarray],
+    n_frame_comps: int,
     htables: dict[tuple[int, int], _HuffTable],
     restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
 ) -> int:
-    hmax = max(c.h for c in scan)
-    vmax = max(c.v for c in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    for c in scan:
-        c.plane = np.zeros((mcuy * 8 * c.v, mcux * 8 * c.h), dtype=np.uint8)
-        c.dc_pred = 0
-
+    """Decode one entropy-coded scan into the components' coefficient
+    stores. Sequential = (ss=0, se=63, ah=al=0). Progressive scans are
+    one of four modes per T.81 G.1.2: DC first / DC refine (ss=0), AC
+    first / AC refine (ss>0, single component)."""
     r = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.align()
-                if r.data[r.pos] == 0xFF and 0xD0 <= r.data[r.pos + 1] <= 0xD7:
-                    r.pos += 2
-                for c in scan:
-                    c.dc_pred = 0
-            for c in scan:
-                dc_t = htables.get((0, c.td))
-                ac_t = htables.get((1, c.ta))
-                q = qtables.get(c.tq)
-                if dc_t is None or ac_t is None or q is None:
-                    raise PdfParseError("JPEG missing huffman/quant table")
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = r.decode(dc_t)
-                        diff = _extend(r.bits(t), t)
-                        c.dc_pred += diff
-                        zz[0] = c.dc_pred
-                        k = 1
-                        while k < 64:
-                            rs = r.decode(ac_t)
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise PdfParseError("JPEG AC index overflow")
-                            zz[k] = _extend(r.bits(s), s)
+    for c in scan:
+        c.dc_pred = 0
+    eobrun = 0
+
+    def check_restart(unit_count: int) -> int:
+        nonlocal eobrun
+        if (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            r.align()
+            if r.pos + 1 < len(r.data) and r.data[r.pos] == 0xFF and (
+                0xD0 <= r.data[r.pos + 1] <= 0xD7
+            ):
+                r.pos += 2
+            for c_ in scan:
+                c_.dc_pred = 0
+            eobrun = 0
+        return unit_count + 1
+
+    def decode_dc(c: _Component, zz: np.ndarray) -> None:
+        dc_t = htables.get((0, c.td))
+        if dc_t is None:
+            raise PdfParseError("JPEG missing DC huffman table")
+        t = r.decode(dc_t)
+        c.dc_pred += _extend(r.bits(t), t)
+        zz[0] = c.dc_pred << al
+
+    def decode_ac_first(c: _Component, zz: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_t = htables.get((1, c.ta))
+        if ac_t is None:
+            raise PdfParseError("JPEG missing AC huffman table")
+        k = ss or 1  # ss=0 only in the sequential DC+AC composite pass
+        while k <= se:
+            rs = r.decode(ac_t)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += rr
+            if k > se:
+                raise PdfParseError("JPEG AC index overflow")
+            zz[k] = _extend(r.bits(s), s) << al
+            k += 1
+
+    def decode_ac_refine(c: _Component, zz: np.ndarray) -> None:
+        # T.81 G.1.2.3: correction bits for already-nonzero coefficients
+        # interleave with newly-significant +-1 coefficients
+        nonlocal eobrun
+        ac_t = htables.get((1, c.ta))
+        if ac_t is None:
+            raise PdfParseError("JPEG missing AC huffman table")
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.decode(ac_t)
+                rr, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if rr != 15:
+                        # refine EOBRUN counts blocks INCLUDING this one:
+                        # the tail loop below must still read this
+                        # block's remaining correction bits (even EOB0)
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise PdfParseError("bad JPEG refinement symbol")
+                    newval = p1 if r.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            if newval:
+                                zz[k] = newval
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = (zz * q).astype(np.float64)
-                        block = _idct2(coef.reshape(8, 8)) + 128.0
-                        block = np.clip(np.floor(block + 0.5), 0, 255)
-                        y0 = (my * c.v + by) * 8
-                        x0 = (mx * c.h + bx) * 8
-                        c.plane[y0 : y0 + 8, x0 : x0 + 8] = block.astype(
-                            np.uint8
-                        )
-            mcu_count += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if eobrun > 0:
+            # finish the band applying only correction bits
+            while k <= se:
+                if zz[k] != 0:
+                    if r.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    unit = 0
+    if len(scan) > 1:
+        # MCU-interleaved: iterate the frame MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = check_restart(unit)
+                for c in scan:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            zz = c.coefs[my * c.v + by, mx * c.h + bx]
+                            if ss == 0:
+                                if ah == 0:
+                                    decode_dc(c, zz)
+                                    if se > 0:  # sequential full block
+                                        decode_ac_first(c, zz)
+                                else:
+                                    if r.bit():
+                                        zz[0] |= 1 << al
+                            else:
+                                raise PdfParseError(
+                                    "progressive AC scan must be "
+                                    "single-component"
+                                )
+    else:
+        # single-component scan (T.81 A.2.2): non-interleaved, iterates
+        # the component's OWN bw x bh data-unit grid (not MCU-padded)
+        c = scan[0]
+        for by in range(c.bh):
+            for bx in range(c.bw):
+                unit = check_restart(unit)
+                zz = c.coefs[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        decode_dc(c, zz)
+                        if se > 0:
+                            decode_ac_first(c, zz)
+                    else:
+                        if r.bit():
+                            zz[0] |= 1 << al
+                else:
+                    if ah == 0:
+                        decode_ac_first(c, zz)
+                    else:
+                        decode_ac_refine(c, zz)
     # leave pos after the entropy data (on the next marker if any)
     r.align()
     return r.pos

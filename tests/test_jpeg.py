@@ -70,10 +70,46 @@ def test_non_multiple_of_8_dims():
     assert np.array_equal(got, img)
 
 
-def test_progressive_rejected():
+def test_progressive_matches_sequential_gray():
+    """Progressive (SOF2) decode of identical coefficients must be
+    bit-exact with the sequential decode — same stores, same IDCT."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_progressive
+
+    img = (np.arange(24 * 17).reshape(24, 17) % 251).astype(np.uint8)
+    for q in (16, 7):
+        for al in (0, 1, 2):
+            assert decode_jpeg(encode_jpeg_progressive(img, qtable=q, al=al)) == (
+                decode_jpeg(encode_jpeg(img, qtable=q))
+            )
+
+
+def test_progressive_matches_sequential_rgb():
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (19, 27, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg_progressive(img, qtable=7, al=1)) == (
+        decode_jpeg(encode_jpeg(img, qtable=7))
+    )
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A mostly-flat multi-block image produces multi-block EOB runs
+    (EOBn, n > 1) in both first and refinement AC scans; decode must
+    stay in sync through them."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_progressive
+
+    img = np.full((40, 48), 130, np.uint8)
+    img[3, 5] = 180  # one busy block among many empty ones
+    img[25, 40] = 90
+    assert decode_jpeg(encode_jpeg_progressive(img, qtable=16, al=1)) == (
+        decode_jpeg(encode_jpeg(img, qtable=16))
+    )
+
+
+def test_arithmetic_sof_rejected():
     d = encode_jpeg(np.full((8, 8), 128, np.uint8))
-    # swap SOF0 for SOF2
-    d = d.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    d = d.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF9 arithmetic
     with pytest.raises(PdfParseError):
         decode_jpeg(d)
 

@@ -133,11 +133,18 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # four distinct decodable images: f13 RGB, f25 indexed, f24 DCT, f29 CCITT
-    from pdf_ray.fixtures.corpus import CCITT_REF, DCT_REF, IDX_REF, IMG_REF
+    # five distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # f29 CCITT, f33 progressive DCT
+    from pdf_ray.fixtures.corpus import (
+        CCITT_REF,
+        DCT_REF,
+        IDX_REF,
+        IMG_REF,
+        PROG_REF,
+    )
 
     assert sorted(blobs["media_ref"]) == sorted(
-        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF]
+        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF]
     )
     sizes = {
         ref: decode_png(png)[:2]
