@@ -1081,6 +1081,80 @@ def f33_progressive_jpeg():
     ]
 
 
+# JBIG2 fixture (f34): lossless 1-bit generic-region coding, so the
+# pixel golden is the hand-drawn bitmap itself ('#' = black). The region
+# is MQ-arithmetic-coded (template 0, TPGDON on — the common scanned-PDF
+# shape); the reference todo!()s JBIG2Decode entirely
+# (src/filter/mod.rs:52).
+JB2_ROWS = [
+    "################",
+    "#..............#",
+    "#.#.........#..#",
+    "#..#.......#...#",
+    "#...#.....#....#",
+    "#....#...#.....#",
+    "#..............#",
+    "################",
+]
+JB2_W, JB2_H = 16, 8
+JB2_PIXELS = bytes(
+    b
+    for row in JB2_ROWS
+    for ch in row
+    for b in ((0, 0, 0) if ch == "#" else (255, 255, 255))
+)
+
+
+def _jb2_ref() -> str:
+    import hashlib
+
+    return (
+        "img:"
+        + hashlib.sha256(
+            f"{JB2_W}x{JB2_H}:rgb8:".encode() + JB2_PIXELS
+        ).hexdigest()[:40]
+    )
+
+
+JB2_REF = _jb2_ref()
+
+
+def f34_jbig2_image():
+    """JBIG2-filtered Image XObject (generic region, MQ arithmetic,
+    TPGDON). Decoded by pdfcore/jbig2.py; golden = the literal bitmap
+    drawing above."""
+    import numpy as np
+
+    from .jbig2enc import encode_jbig2_embedded
+
+    bm = np.array(
+        [[1 if ch == "#" else 0 for ch in row] for row in JB2_ROWS],
+        np.uint8,
+    )
+    jb2 = encode_jbig2_embedded(
+        [{"bitmap": bm, "tpgdon": True}], JB2_W, JB2_H
+    )
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before jbig2) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 16 /Height 8 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length "
+                + str(len(jb2)).encode()
+                + b" >>\nstream\n"
+                + jb2
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before jbig2", None, 0),
+        ("image", None, JB2_REF, 1),
+    ]
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1159,4 +1233,5 @@ FIXTURES = {
     "f31": f31_outlines,
     "f32": f32_actualtext,
     "f33": f33_progressive_jpeg,
+    "f34": f34_jbig2_image,
 }

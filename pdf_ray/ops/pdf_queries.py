@@ -125,6 +125,10 @@ def _image_features_oracle() -> str:
         IMG_PIXELS,
         IMG_REF,
         IMG_W,
+        JB2_H,
+        JB2_PIXELS,
+        JB2_REF,
+        JB2_W,
         PROG_H,
         PROG_PIXELS,
         PROG_REF,
@@ -138,6 +142,7 @@ def _image_features_oracle() -> str:
         (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
         (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
         (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
+        (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]

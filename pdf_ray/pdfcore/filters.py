@@ -199,6 +199,20 @@ def ccitt_decode(data: bytes, parms: dict | None) -> bytes:
     return ccitt_fax_decode(data, parms)
 
 
+def jbig2_decode(data: bytes, parms: dict | None) -> bytes:
+    """JBIG2Decode (generic regions — see jbig2.py; the reference
+    todo!()s this filter entirely, src/filter/mod.rs:52). Output is
+    packed 1-bit rows, 0 = black (DeviceGray sense, like CCITT with
+    BlackIs1 false)."""
+    from .jbig2 import decode_jbig2_embedded
+
+    globals_data = b""
+    g = (parms or {}).get("JBIG2Globals")
+    if isinstance(g, Stream):
+        globals_data = decode_stream(g)
+    return decode_jbig2_embedded(data, globals_data)
+
+
 def run_length_decode(data: bytes, parms: dict | None) -> bytes:
     out = bytearray()
     i = 0
@@ -229,6 +243,7 @@ FILTERS = {
     "RL": run_length_decode,
     "CCITTFaxDecode": ccitt_decode,
     "CCF": ccitt_decode,
+    "JBIG2Decode": jbig2_decode,
     "DCTDecode": lambda data, parms: data,  # raw JPEG passthrough
     "DCT": lambda data, parms: data,
 }
@@ -256,5 +271,9 @@ def decode_stream(stream: Stream, resolve=None) -> bytes:
         fn = FILTERS.get(str(name))
         if fn is None:
             raise PdfParseError(f"unsupported filter {name!r}")
+        if isinstance(parm, dict) and resolve is not None:
+            # shallow-resolve parm VALUES too: JBIG2Globals (and in
+            # principle any parm) may be an indirect reference
+            parm = {k: resolve(v) for k, v in parm.items()}
         data = fn(data, parm if isinstance(parm, dict) else None)
     return data

@@ -1,0 +1,326 @@
+"""JBIG2 (ITU-T T.88) embedded-stream decoder — GENERIC REGIONS.
+
+The reference todo!()s JBIG2Decode entirely (src/filter/mod.rs:52); this
+module implements the common scanned-PDF subset from scratch, the same
+way ccitt.py did for CCITTFaxDecode:
+
+- the PDF "embedded organization" segment stream (T.88 Annex D.3 /
+  PDF 32000-1 §7.4.7), including a JBIG2Globals prefix,
+- page information segments,
+- immediate generic region segments with either
+    * MMR=1 coding (T.6/G4 — delegated to the proven ccitt.py decoder), or
+    * MQ arithmetic coding (T.88 Annex E) with GB templates 0-3, AT
+      pixels, and TPGDON typical-prediction rows,
+- region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
+
+Symbol-dictionary / text / halftone / refinement segments raise
+PdfParseError (row-level error downstream, the documented containment
+model) — decoding those would require the full symbol machinery, which
+real scanned corpora only sometimes use.
+
+The MQ-coder state table is transcribed from T.88 Table E.1 (the same
+public table reproduced in every JBIG2/JPEG2000 implementation); it is
+validated by the encoder/decoder roundtrip suite in tests/test_jbig2.py
+plus structural checks, and the MMR=1 path is pixel-golden against the
+independently-tested CCITT decoder.
+
+Output convention: JBIG2's 1 = black is mapped to packed 1-bit
+DeviceGray rows with 0 = black (bit-inverted), matching what the other
+PDF 1-bit image paths produce (see images.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .objects import PdfParseError
+
+# T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH)
+QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 Annex E arithmetic decoder (software conventions, E.3)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        d, bp = self.data, self.bp
+        b = d[bp] if bp < len(d) else 0xFF
+        if b == 0xFF:
+            b1 = d[bp + 1] if bp + 1 < len(d) else 0xFF
+            if b1 > 0x8F:  # marker: feed 1-bits forever
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = d[self.bp] if self.bp < len(d) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: int, idx: np.ndarray, mps: np.ndarray) -> int:
+        """Decode one bit in context ``cx`` (state arrays idx/mps)."""
+        i = idx[cx]
+        qe, nmps, nlps, switch = QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS decoding path (with conditional exchange)
+            if self.a < qe:
+                d = mps[cx]
+                idx[cx] = nmps
+            else:
+                d = 1 - mps[cx]
+                if switch:
+                    mps[cx] = 1 - mps[cx]
+                idx[cx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return int(mps[cx])
+            if self.a < qe:
+                d = 1 - mps[cx]
+                if switch:
+                    mps[cx] = 1 - mps[cx]
+                idx[cx] = nlps
+            else:
+                d = mps[cx]
+                idx[cx] = nmps
+        # renormalize
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return int(d)
+
+
+# GB templates (T.88 6.2.5.3, figures 4-7): fixed pixels; AT pixels are
+# appended then the full list is sorted by (y, x) and the context is
+# assembled MSB-first in that order. The TPGDON pseudo-pixel contexts
+# (6.2.5.7) below are defined for exactly this assembly.
+GB_TEMPLATES = {
+    0: [(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (2, -1), (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+    1: [(-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
+        (1, -1), (2, -1), (-3, 0), (-2, 0), (-1, 0)],
+    2: [(-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-2, 0), (-1, 0)],
+    3: [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (-4, 0), (-3, 0),
+        (-2, 0), (-1, 0)],
+}
+GB_AT_COUNT = {0: 4, 1: 1, 2: 1, 3: 1}
+GB_AT_NOMINAL = {
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+TPGD_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+
+def decode_generic_region(
+    data: bytes,
+    w: int,
+    h: int,
+    template: int,
+    at: list[tuple[int, int]],
+    tpgdon: bool,
+) -> np.ndarray:
+    """MQ-coded generic region decoding procedure (T.88 6.2.5.7) ->
+    (h, w) uint8 bitmap, 1 = black. Correctness-first scalar loop: the
+    arithmetic coder is inherently serial per pixel; at pipeline level
+    the parallelism axis is images-per-actor, not pixels."""
+    if template not in GB_TEMPLATES:
+        raise PdfParseError(f"JBIG2 bad GB template {template}")
+    tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
+    nbits = len(tmpl)
+    idx = np.zeros(1 << nbits, np.uint8)
+    mps = np.zeros(1 << nbits, np.uint8)
+    mq = MQDecoder(data)
+    bitmap = np.zeros((h, w), np.uint8)
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            if mq.decode(TPGD_CTX[template], idx, mps):
+                ltp ^= 1
+            if ltp:
+                if y > 0:
+                    bitmap[y] = bitmap[y - 1]
+                continue
+        row = bitmap[y]
+        for x in range(w):
+            ctx = 0
+            for dx, dy in tmpl:
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < w and yy >= 0:
+                    ctx = (ctx << 1) | bitmap[yy, xx]
+                else:
+                    ctx <<= 1
+            row[x] = mq.decode(ctx, idx, mps)
+    return bitmap
+
+
+def _u32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 4], "big")
+
+
+def _segments(buf: bytes):
+    """Iterate (type, payload) over a T.88 embedded-organization segment
+    stream (segment headers per 7.2)."""
+    pos = 0
+    n = len(buf)
+    while pos + 11 <= n:
+        num = _u32(buf, pos)
+        flags = buf[pos + 4]
+        seg_type = flags & 0x3F
+        page4 = bool(flags & 0x40)
+        pos += 5
+        rts = buf[pos] >> 5
+        if rts == 7:
+            count = _u32(buf, pos) & 0x1FFFFFFF
+            pos += 4 + (count + 8) // 8  # long form + retain bits
+        else:
+            count = rts
+            pos += 1
+        ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+        pos += count * ref_size
+        pos += 4 if page4 else 1
+        length = _u32(buf, pos)
+        pos += 4
+        if length == 0xFFFFFFFF:
+            raise PdfParseError("JBIG2 unknown-length segment unsupported")
+        yield seg_type, buf[pos : pos + length]
+        pos += length
+
+
+def _compose(page: np.ndarray, region: np.ndarray, x: int, y: int, op: int):
+    h, w = region.shape
+    target = page[y : y + h, x : x + w]
+    if target.shape != region.shape:
+        raise PdfParseError("JBIG2 region outside page bounds")
+    if op == 0:  # OR
+        target |= region
+    elif op == 1:  # AND
+        target &= region
+    elif op == 2:  # XOR
+        target ^= region
+    elif op == 3:  # XNOR
+        target[:] = 1 - (target ^ region)
+    elif op == 4:  # REPLACE
+        target[:] = region
+    else:
+        raise PdfParseError(f"JBIG2 bad combination operator {op}")
+
+
+def _decode_region_segment(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Immediate generic region segment -> (bitmap, x, y, comb_op)."""
+    if len(payload) < 18:
+        raise PdfParseError("JBIG2 short region segment")
+    w = _u32(payload, 0)
+    h = _u32(payload, 4)
+    x = _u32(payload, 8)
+    y = _u32(payload, 12)
+    comb_op = payload[16] & 7
+    flags = payload[17]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    tpgdon = bool(flags & 8)
+    pos = 18
+    at: list[tuple[int, int]] = []
+    if not mmr:
+        for _ in range(GB_AT_COUNT[template]):
+            dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+            dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
+            at.append((dx, dy))
+            pos += 2
+    data = payload[pos:]
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise PdfParseError(f"JBIG2 bad region geometry {w}x{h}")
+    if mmr:
+        # MMR is T.6 (G4) coding — reuse the independently-golden CCITT
+        # decoder; BlackIs1 keeps the JBIG2 1=black convention
+        from .ccitt import ccitt_fax_decode
+
+        packed = ccitt_fax_decode(
+            data, {"K": -1, "Columns": w, "Rows": h, "BlackIs1": True}
+        )
+        rowlen = (w + 7) // 8
+        arr = np.frombuffer(packed, np.uint8).reshape(h, rowlen)
+        bitmap = np.unpackbits(arr, axis=1)[:, :w]
+    else:
+        bitmap = decode_generic_region(data, w, h, template, at, tpgdon)
+    return bitmap, x, y, comb_op
+
+
+_GENERIC_REGION_TYPES = (36, 38, 39)
+_IGNORED_TYPES = (49, 50, 51, 62)  # end-of-page/stripe/file, extension
+
+
+def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
+    """Decode a PDF-embedded JBIG2 stream (optionally prefixed by a
+    JBIG2Globals stream) to packed 1-bit rows, 0 = black (inverted from
+    JBIG2's 1 = black to the DeviceGray sense, see module docstring)."""
+    page_w = page_h = 0
+    default_pixel = 0
+    regions: list[tuple[np.ndarray, int, int, int]] = []
+    for seg_type, payload in _segments(bytes(globals_data) + bytes(data)):
+        if seg_type == 48:  # page information
+            page_w = _u32(payload, 0)
+            page_h = _u32(payload, 4)
+            if len(payload) > 16:
+                default_pixel = (payload[16] >> 2) & 1
+        elif seg_type in _GENERIC_REGION_TYPES:
+            regions.append(_decode_region_segment(payload))
+        elif seg_type in _IGNORED_TYPES:
+            continue
+        else:
+            raise PdfParseError(
+                f"JBIG2 segment type {seg_type} unsupported "
+                "(symbol/text/halftone/refinement)"
+            )
+    if not regions:
+        raise PdfParseError("JBIG2 stream has no generic region")
+    if page_h in (0, 0xFFFFFFFF):  # striped/unknown: size from regions
+        page_h = max(y + r.shape[0] for r, _, y, _ in regions)
+    if page_w == 0:
+        page_w = max(x + r.shape[1] for r, x, _, _ in regions)
+    page = np.full((page_h, page_w), default_pixel, np.uint8)
+    for region, x, y, op in regions:
+        _compose(page, region, x, y, op)
+    packed = np.packbits(page, axis=1)
+    return (~packed).tobytes()  # 1=black -> 0=black

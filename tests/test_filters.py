@@ -134,6 +134,16 @@ def test_filter_chain():
 def test_unknown_filter_raises():
     from pdf_ray.pdfcore.objects import PdfParseError
 
+    s = Stream({"Filter": "JPXDecode"}, b"")
+    with pytest.raises(PdfParseError):
+        decode_stream(s)
+
+
+def test_jbig2_empty_stream_raises():
+    # JBIG2Decode is implemented (generic regions, jbig2.py); a stream
+    # with no region segments is still a row-level error
+    from pdf_ray.pdfcore.objects import PdfParseError
+
     s = Stream({"Filter": "JBIG2Decode"}, b"")
     with pytest.raises(PdfParseError):
         decode_stream(s)

@@ -1,0 +1,146 @@
+"""JBIG2 generic-region codec: MQ-coder roundtrips (the encoder and
+decoder are independent transcriptions of T.88 Annex E's two flowchart
+sets), generic-region roundtrips over all four GB templates with and
+without TPGDON, MMR=1 regions against the independently-golden CCITT
+coder, embedded segment streams, and the JBIG2Globals filter path."""
+
+import numpy as np
+import pytest
+
+from pdf_ray.fixtures.jbig2enc import (
+    MQEncoder,
+    encode_generic_region_data,
+    encode_jbig2_embedded,
+)
+from pdf_ray.pdfcore.jbig2 import (
+    GB_AT_NOMINAL,
+    MQDecoder,
+    QE,
+    decode_generic_region,
+    decode_jbig2_embedded,
+)
+from pdf_ray.pdfcore.objects import PdfParseError, Stream
+
+
+def _roundtrip(bits, ctxs, n_ctx):
+    idx = np.zeros(n_ctx, np.uint8)
+    mps = np.zeros(n_ctx, np.uint8)
+    enc = MQEncoder()
+    for b, c in zip(bits, ctxs):
+        enc.encode(int(b), int(c), idx, mps)
+    data = enc.finish()
+    idx2 = np.zeros(n_ctx, np.uint8)
+    mps2 = np.zeros(n_ctx, np.uint8)
+    dec = MQDecoder(data)
+    return [dec.decode(int(c), idx2, mps2) for c in ctxs]
+
+
+def test_qe_table_structure():
+    """Structural invariants of the T.88 Table E.1 transcription."""
+    assert len(QE) == 47
+    for i, (qe, nmps, nlps, switch) in enumerate(QE):
+        assert 0 < qe <= 0x5601
+        assert 0 <= nmps < 47 and 0 <= nlps < 47
+        assert switch in (0, 1)
+        # SWITCH only ever set on the 0x5601 start-of-chain states
+        if switch:
+            assert qe == 0x5601
+    assert QE[46] == (0x5601, 46, 46, 0)  # the non-adapting state
+
+
+def test_mq_roundtrip_random():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        n = rng.randint(1, 2000)
+        bits = rng.randint(0, 2, n)
+        ctxs = rng.randint(0, 16, n)
+        assert _roundtrip(bits, ctxs, 16) == list(bits)
+
+
+def test_mq_roundtrip_skewed():
+    for pattern in (
+        [0] * 5000,
+        [1] * 5000,
+        ([0] * 200 + [1]) * 20,
+        [0, 1] * 1000,
+    ):
+        assert _roundtrip(pattern, [0] * len(pattern), 4) == pattern
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_region_roundtrip(template, tpgdon):
+    rng = np.random.RandomState(7 + template)
+    cases = [
+        (rng.rand(17, 23) < 0.3).astype(np.uint8),
+        np.zeros((5, 40), np.uint8),
+        np.tile((rng.rand(1, 31) < 0.5).astype(np.uint8), (9, 1)),  # TPGD rows
+        np.ones((3, 3), np.uint8),
+    ]
+    for bm in cases:
+        h, w = bm.shape
+        data = encode_generic_region_data(bm, template, None, tpgdon)
+        out = decode_generic_region(
+            data, w, h, template, GB_AT_NOMINAL[template], tpgdon
+        )
+        assert (out == bm).all()
+
+
+def test_embedded_multi_region_compose():
+    rng = np.random.RandomState(5)
+    bm1 = (rng.rand(10, 30) < 0.4).astype(np.uint8)
+    bm2 = (rng.rand(6, 12) < 0.5).astype(np.uint8)
+    stream = encode_jbig2_embedded(
+        [{"bitmap": bm1}, {"bitmap": bm2, "x": 4, "y": 12, "mmr": True}],
+        30,
+        20,
+    )
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(20, -1), axis=1
+    )[:, :30]
+    page = np.zeros((20, 30), np.uint8)
+    page[:10, :30] |= bm1
+    page[12:18, 4:16] |= bm2
+    assert (rows == 1 - page).all()  # filter output is 0=black
+
+
+def test_mmr_region_matches_mq_region():
+    """The same bitmap through MMR=1 (T.6 via ccitt.py) and MQ coding
+    must decode identically — two independent codecs, one truth."""
+    rng = np.random.RandomState(9)
+    bm = (rng.rand(12, 20) < 0.35).astype(np.uint8)
+    a = decode_jbig2_embedded(
+        encode_jbig2_embedded([{"bitmap": bm}], 20, 12)
+    )
+    b = decode_jbig2_embedded(
+        encode_jbig2_embedded([{"bitmap": bm, "mmr": True}], 20, 12)
+    )
+    assert a == b
+
+
+def test_jbig2_globals_filter_path():
+    """Page info delivered via JBIG2Globals (the PDF split), region in
+    the stream proper, decoded through the full filter chain."""
+    from pdf_ray.pdfcore.filters import decode_stream
+
+    bm = np.eye(8, dtype=np.uint8)
+    full = encode_jbig2_embedded([{"bitmap": bm}], 8, 8)
+    # split: globals = page-info segment; stream = the rest
+    # (segment 0 header is 11 bytes + 19-byte page info payload)
+    globals_part, region_part = full[:30], full[30:]
+    gs = Stream({"Length": len(globals_part)}, globals_part)
+    s = Stream(
+        {"Filter": "JBIG2Decode", "DecodeParms": {"JBIG2Globals": gs}},
+        region_part,
+    )
+    packed = decode_stream(s, resolve=lambda x: x)
+    rows = np.unpackbits(np.frombuffer(packed, np.uint8).reshape(8, 1), axis=1)
+    assert (rows == 1 - bm).all()
+
+
+def test_unsupported_segment_types_raise():
+    # a symbol-dictionary segment (type 0) must fail the row, not decode
+    head = (0).to_bytes(4, "big") + bytes([0, 0, 1]) + (4).to_bytes(4, "big")
+    with pytest.raises(PdfParseError):
+        decode_jbig2_embedded(head + b"\x00\x00\x00\x00")

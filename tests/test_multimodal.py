@@ -133,18 +133,19 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # five distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
-    # f29 CCITT, f33 progressive DCT
+    # six distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # f29 CCITT, f33 progressive DCT, f34 JBIG2
     from pdf_ray.fixtures.corpus import (
         CCITT_REF,
         DCT_REF,
         IDX_REF,
         IMG_REF,
+        JB2_REF,
         PROG_REF,
     )
 
     assert sorted(blobs["media_ref"]) == sorted(
-        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF]
+        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF, JB2_REF]
     )
     sizes = {
         ref: decode_png(png)[:2]
