@@ -1155,6 +1155,43 @@ def f34_jbig2_image():
     ]
 
 
+def f35_type0_legacy_rksj():
+    """Type0 with a LEGACY predefined CJK CMap (/90ms-RKSJ-H — Shift-JIS
+    code space). Raw span parity is lexer-level (one codepoint per byte
+    of the hex string); the unicode enrichment decodes the code bytes
+    with the cp932 codec (cmap.predefined_cmap_info) — no ToUnicode
+    stream, no Adobe table. Bytes: 41 42 = "AB", 93FA 967B 8CEA =
+    Shift-JIS "Nihongo" (three kanji)."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td <414293FA967B8CEA> Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureRKSJ "
+        b"/Encoding /90ms-RKSJ-H /DescendantFonts [6 0 R] >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureRKSJ "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 6 >> /FontDescriptor 7 0 R /DW 1000 "
+        b"/CIDToGIDMap /Identity >>",
+    )
+    b.add(
+        7,
+        b"<< /Type /FontDescriptor /FontName /FixtureRKSJ /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 >>",
+    )
+    return b.build(1), _t("AB\x93\xfa\x96\x7b\x8c\xea")
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1197,6 +1234,7 @@ def f32_actualtext():
 UNICODE_OVERRIDES: dict[str, list] = {
     "f12": [("text", "Hi", None, 0)],
     "f27": [("text", "Hi中", None, 0)],
+    "f35": [("text", "AB日本語", None, 0)],
 }
 
 FIXTURES = {
@@ -1234,4 +1272,5 @@ FIXTURES = {
     "f32": f32_actualtext,
     "f33": f33_progressive_jpeg,
     "f34": f34_jbig2_image,
+    "f35": f35_type0_legacy_rksj,
 }

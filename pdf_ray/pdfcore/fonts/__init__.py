@@ -79,14 +79,20 @@ class FontInfo:
         "widths_fn",
         "tounicode",
         "encoding",
+        "legacy_codec",
     )
 
-    def __init__(self, subtype, code_bytes, widths_fn, tounicode, encoding):
+    def __init__(self, subtype, code_bytes, widths_fn, tounicode, encoding,
+                 legacy_codec=None):
         self.subtype = subtype
         self.code_bytes = code_bytes
         self.widths_fn = widths_fn  # code -> width in 1/1000 text units
         self.tounicode = tounicode
         self.encoding = encoding
+        # Python codec name when /Encoding is a legacy predefined CJK
+        # CMap (see cmap.predefined_cmap_info): unicode enrichment
+        # decodes the raw code bytes with it
+        self.legacy_codec = legacy_codec
 
 
 def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
@@ -110,9 +116,12 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
         # /Encoding: an *embedded CMap stream* is interpreted from scratch
         # (the reference only captures it, src/font/type0.rs:34-81); NAME
         # encodings go through the predefined registry — Identity-H/V and
-        # the UCS2/UTF16 families map code==CID, legacy table-backed names
-        # raise (row-level error; see cmap.predefined_cid_cmap)
+        # the UCS2/UTF16 families map code==CID; legacy CJK names decode
+        # via the matching Python codec (cmap.predefined_cmap_info), with
+        # widths falling back to /DW since the Adobe code->CID table is
+        # the only part we don't ship
         cid_map = None
+        legacy_codec = None
         enc = font_dict.get("Encoding")
         enc_resolved = doc.resolve(enc) if enc is not None else None
         if isinstance(enc_resolved, Stream):
@@ -122,17 +131,21 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
                 cache, doc.decoded(enc_resolved), parse_cid_cmap
             )
         elif enc_resolved is not None and enc_resolved is not NULL:
-            from .cmap import predefined_cid_cmap
+            from .cmap import predefined_cmap_info
 
-            predefined_cid_cmap(str(enc_resolved))  # validates; 2-byte identity
+            _kind, legacy_codec = predefined_cmap_info(str(enc_resolved))
 
         def cid_width(code: int) -> float:
+            if legacy_codec is not None:
+                return dw  # code != CID and no table: the documented trade
             cid = cid_map.map_code(code) if cid_map is not None else code
             if cid is None:
                 cid = 0
             return widths.get(cid, dw)
 
-        return FontInfo(subtype, 2, cid_width, tounicode, None)
+        return FontInfo(
+            subtype, 2, cid_width, tounicode, None, legacy_codec=legacy_codec
+        )
 
     # simple fonts: prefer explicit /Widths, else the embedded program
     first_char = doc.resolve(font_dict.get("FirstChar", NULL))
@@ -222,6 +235,15 @@ def unicode_text(info: FontInfo, raw_text: str) -> str:
     # (src/lex.rs:422-443) — it is already unicode, pass it through
     if any(ord(c) > 255 for c in raw_text):
         return raw_text
+    if info.legacy_codec is not None and info.tounicode is None:
+        # legacy predefined CJK CMap: the code bytes ARE a national
+        # encoding — decode them wholesale (codecs handle the variable
+        # 1/2-byte segmentation the CMap's codespacerange describes)
+        from .cmap import decode_legacy_bytes
+
+        return decode_legacy_bytes(
+            info.legacy_codec, bytes(ord(c) for c in raw_text)
+        )
     if code_bytes == 1:
         codes = [ord(c) for c in raw_text]
     else:

@@ -91,9 +91,18 @@ class CidCMap:
 # ROS-specific CIDs via licensed tables), which affects only WIDTH lookup:
 # span text comes from the string lexer (parity anchor, SURVEY §2.4 C12)
 # and unicode enrichment chr(code) is exactly right for the BMP.
-# Legacy multi-byte encodings (RKSJ/EUC/B5/GBK/UHC/...) cannot be decoded
-# without Adobe's tables -> row-level error, same containment as
-# CCITT/JBIG2.
+#
+# Legacy multi-byte encodings (RKSJ/EUC/B5/GBK/UHC/...): for text
+# EXTRACTION what matters is bytes -> unicode, and each of these CMaps'
+# code space is a standard national encoding that Python's codec registry
+# implements — Shift-JIS (cp932), EUC-JP, Big5(-HKSCS), GB2312/GBK/
+# GB18030, EUC-KR/UHC. So instead of Adobe's code->CID tables (which we
+# don't ship) the enrichment decodes the code bytes with the matching
+# codec: exact unicode text, while WIDTHS fall back to the CIDFont's /DW
+# (the CID is the only thing the Adobe table adds, and it only feeds
+# width lookup — position features, never span text; the same trade as
+# the Uni* families above, stated per SURVEY §2.4). Only CNS-EUC
+# (EUC-TW) and KSCpc-EUC (Mac KS) lack a Python codec -> row error.
 
 _PREDEFINED_UCS2_UTF16 = frozenset(
     base + suffix
@@ -106,38 +115,74 @@ _PREDEFINED_UCS2_UTF16 = frozenset(
     for suffix in ("-H", "-V")
 )
 
-_PREDEFINED_LEGACY = frozenset(
-    {
-        "GB-EUC-H", "GB-EUC-V", "GBpc-EUC-H", "GBpc-EUC-V",
-        "GBK-EUC-H", "GBK-EUC-V", "GBKp-EUC-H", "GBKp-EUC-V",
-        "GBK2K-H", "GBK2K-V",
-        "B5pc-H", "B5pc-V", "HKscs-B5-H", "HKscs-B5-V",
-        "ETen-B5-H", "ETen-B5-V", "ETenms-B5-H", "ETenms-B5-V",
-        "CNS-EUC-H", "CNS-EUC-V",
-        "83pv-RKSJ-H", "90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H",
-        "90msp-RKSJ-V", "90pv-RKSJ-H", "Add-RKSJ-H", "Add-RKSJ-V",
-        "EUC-H", "EUC-V", "Ext-RKSJ-H", "Ext-RKSJ-V", "H", "V",
-        "KSC-EUC-H", "KSC-EUC-V", "KSCms-UHC-H", "KSCms-UHC-V",
-        "KSCms-UHC-HW-H", "KSCms-UHC-HW-V", "KSCpc-EUC-H",
-    }
-)
+# legacy CMap base name (writing-mode suffix stripped) -> Python codec.
+# "jisx0208" is a marker: the H/V CMaps carry raw JIS X 0208 2-byte
+# codes, decoded by framing them as ISO-2022-JP.
+_LEGACY_CODECS = {
+    "83pv-RKSJ": "cp932", "90ms-RKSJ": "cp932", "90msp-RKSJ": "cp932",
+    "90pv-RKSJ": "cp932", "Add-RKSJ": "cp932", "Ext-RKSJ": "cp932",
+    "EUC": "euc_jp",
+    "GB-EUC": "gb2312", "GBpc-EUC": "gb2312",
+    "GBK-EUC": "gbk", "GBKp-EUC": "gbk", "GBK2K": "gb18030",
+    "B5pc": "big5", "ETen-B5": "big5", "ETenms-B5": "big5",
+    "HKscs-B5": "big5hkscs",
+    "KSC-EUC": "euc_kr", "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+}
+
+_PREDEFINED_UNSUPPORTED = frozenset({"CNS-EUC", "KSCpc-EUC"})
 
 
-def predefined_cid_cmap(name: str) -> int:
-    """Resolve a predefined CMap NAME to its code byte-width with
-    CID = code semantics (Identity + UCS2/UTF16 families). Raises for
-    names that require Adobe's mapping tables."""
+def predefined_cmap_info(name: str) -> tuple[str, str | None]:
+    """Resolve a predefined CMap NAME to ``(kind, codec)``:
+    kind 'identity' / 'ucs2' (CID = 2-byte code) or 'legacy' (codec
+    decodes the code bytes to unicode; CID unavailable). Raises for the
+    two names with no Python codec and for unknown names."""
     from ..objects import PdfParseError
 
     if name in ("Identity-H", "Identity-V"):
-        return 2
+        return "identity", None
     if name in _PREDEFINED_UCS2_UTF16:
-        return 2
-    if name in _PREDEFINED_LEGACY:
+        return "ucs2", None
+    if name in ("H", "V"):
+        return "legacy", "jisx0208"
+    base = name
+    for suffix in ("-H", "-V"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+            break
+    codec = _LEGACY_CODECS.get(base)
+    if codec is not None:
+        return "legacy", codec
+    if base in _PREDEFINED_UNSUPPORTED:
         raise PdfParseError(
             f"predefined CMap {name!r} requires external mapping data"
         )
     raise PdfParseError(f"unknown predefined CMap {name!r}")
+
+
+def predefined_cid_cmap(name: str) -> int:
+    """Back-compat shim: code byte-width for CID = code names; raises on
+    legacy names (callers wanting codec support use
+    ``predefined_cmap_info``)."""
+    from ..objects import PdfParseError
+
+    kind, codec = predefined_cmap_info(name)
+    if kind in ("identity", "ucs2"):
+        return 2
+    raise PdfParseError(
+        f"predefined CMap {name!r} requires external mapping data"
+    )
+
+
+def decode_legacy_bytes(codec: str, raw: bytes) -> str:
+    """Decode legacy-CMap code bytes to unicode via the Python codec;
+    undecodable sequences surface as U+FFFD rather than failing the row
+    (sloppy real-world CJK strings must still extract)."""
+    if codec == "jisx0208":
+        return (b"\x1b$B" + raw + b"\x1b(B").decode(
+            "iso2022_jp", errors="replace"
+        )
+    return raw.decode(codec, errors="replace")
 
 
 _CIDCHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")

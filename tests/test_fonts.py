@@ -105,14 +105,14 @@ def test_compute_positions_advances_tm():
     doc = Document(pdf)
     interp = Interpreter(doc, compute_positions=True, font_cache={})
     interp.run()
-    # F1 is unembedded Helvetica -> base-14 advance 0.556 em:
-    # 10pt x 3 chars x 0.556 = 16.68 units of x-advance,
+    # F1 is unembedded Helvetica -> AFM advance for 'A' is 0.667 em:
+    # 10pt x 3 chars x 0.667 = 20.01 units of x-advance,
     # measured via ET having reset... use a fresh run capturing before ET
     pdf2 = simple_page_pdf(b"BT /F1 10 Tf 0 0 Td (AAA) Tj")
     doc2 = Document(pdf2)
     i2 = Interpreter(doc2, compute_positions=True, font_cache={})
     i2.run()
-    assert abs(i2.ts.tm[4] - 16.68) < 1e-9
+    assert abs(i2.ts.tm[4] - 20.01) < 1e-9
 
 
 def test_font_cache_is_reused():
@@ -255,3 +255,96 @@ def test_base14_used_for_unembedded_font(ray_session):
     wf = width_function(doc, doc.resolve_dict(fonts["F1"]))
     # simple_page_pdf's F1 is Helvetica -> space = 0.278 text units
     assert wf(0x20) == 0.278
+
+
+def test_base14_afm_widths():
+    """Spot-check the embedded Core-14 ASCII advances against widely
+    published AFM values (pinned independently of the table literals)."""
+    from pdf_ray.pdfcore.fonts.base14 import base14_width_fn
+
+    helv = base14_width_fn("Helvetica")
+    assert helv(ord(" ")) == 278
+    assert helv(ord("a")) == 556
+    assert helv(ord("i")) == 222
+    assert helv(ord("A")) == 667
+    assert helv(ord("W")) == 944
+    assert helv(ord("@")) == 1015
+    assert helv(ord("0")) == 556
+
+    hb = base14_width_fn("Helvetica-Bold")
+    assert hb(ord("a")) == 556
+    assert hb(ord("b")) == 611
+    assert hb(ord("i")) == 278
+
+    tr = base14_width_fn("Times-Roman")
+    assert tr(ord(" ")) == 250
+    assert tr(ord("a")) == 444
+    assert tr(ord("m")) == 778
+    assert tr(ord("A")) == 722
+    assert tr(ord("M")) == 889
+    assert tr(ord("0")) == 500
+
+    tb = base14_width_fn("Times-Bold")
+    assert tb(ord("M")) == 944
+    assert tb(ord("W")) == 1000
+
+    ti = base14_width_fn("Times-Italic")
+    assert ti(ord("A")) == 611
+    assert ti(ord("f")) == 278
+
+    # aliases resolve to face tables; subset prefixes strip
+    assert base14_width_fn("ArialMT")(ord("a")) == 556
+    assert base14_width_fn("ABCDEF+Helvetica-Bold")(ord("b")) == 611
+    # oblique shares the upright metrics (true of the real AFMs)
+    assert base14_width_fn("Helvetica-Oblique")(ord("a")) == 556
+    # Courier stays exact-monospace; Symbol stays family-default
+    assert base14_width_fn("Courier-Bold")(ord("W")) == 600
+    assert base14_width_fn("Symbol")(0x61) == 500
+    # outside ASCII falls back to the family default
+    assert helv(0xE9) == 556
+
+
+def test_predefined_legacy_cmap_codecs():
+    """Legacy CJK CMap names resolve to the matching national-encoding
+    codec; decode is exact for each family's canonical sample."""
+    import pytest
+
+    from pdf_ray.pdfcore.fonts.cmap import (
+        decode_legacy_bytes,
+        predefined_cmap_info,
+    )
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    assert predefined_cmap_info("Identity-H") == ("identity", None)
+    assert predefined_cmap_info("UniJIS-UCS2-H") == ("ucs2", None)
+
+    cases = [
+        # (cmap name, bytes, expected unicode)
+        ("90ms-RKSJ-H", "日本語".encode("cp932"), "日本語"),
+        ("EUC-V", "漢字".encode("euc_jp"), "漢字"),
+        ("ETen-B5-H", "中文".encode("big5"), "中文"),
+        ("HKscs-B5-H", "中文".encode("big5hkscs"), "中文"),
+        ("GBK-EUC-H", "中文".encode("gbk"), "中文"),
+        ("GBK2K-H", "中文".encode("gb18030"), "中文"),
+        ("KSCms-UHC-H", "한국어".encode("cp949"), "한국어"),
+        ("KSC-EUC-H", "한국".encode("euc_kr"), "한국"),
+        # H = raw JIS X 0208 codes (framed as ISO-2022-JP internally)
+        ("H", "漢字".encode("iso2022_jp")[3:-3], "漢字"),
+    ]
+    for name, raw, want in cases:
+        kind, codec = predefined_cmap_info(name)
+        assert kind == "legacy", name
+        assert decode_legacy_bytes(codec, raw) == want, name
+
+    # mixed ASCII + multibyte segments correctly
+    _, codec = predefined_cmap_info("90ms-RKSJ-H")
+    assert decode_legacy_bytes(codec, b"AB" + "語".encode("cp932")) == "AB語"
+    # undecodable bytes degrade to U+FFFD, never raise
+    assert "�" in decode_legacy_bytes("cp932", b"\x85\x40\xff\xff")
+
+    # the two genuinely table-only names still fail the row
+    for name in ("CNS-EUC-H", "KSCpc-EUC-H"):
+        with pytest.raises(PdfParseError):
+            predefined_cmap_info(name)
+    with pytest.raises(PdfParseError):
+        predefined_cmap_info("NotACMap-H")
