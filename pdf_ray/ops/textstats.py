@@ -353,3 +353,109 @@ register(
     LIMIT {TOP_NGRAMS_K}
     """,
 )
+
+
+# -- context-window chunking (training-data prep) ---------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # SIZE - STRIDE tokens of overlap between chunks
+
+
+def doc_chunks(sf_dir: str):
+    """Split every document into fixed-size overlapping token windows —
+    the standard LLM training-data chunking op. One output row per chunk
+    (doc_id, chunk_id, n_tokens, chunk_md5); emission stops at the first
+    window that reaches the end of the doc, so every token is covered
+    exactly once past the overlap. Pure map-side flat-map: no shuffle,
+    output streams straight to the consumer."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        chunk_ids: list[int] = []
+        n_tok: list[int] = []
+        md5s: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            nch = 1 + max(0, -(-(n - CHUNK_SIZE) // CHUNK_STRIDE))
+            for k in range(nch):
+                chunk = toks[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_SIZE]
+                doc_ids.append(int(doc_id))
+                chunk_ids.append(k)
+                n_tok.append(len(chunk))
+                md5s.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                "n_tokens": pd.Series(n_tok, dtype="int64"),
+                "chunk_md5": md5s,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    )
+
+
+register(
+    "doc_chunks",
+    doc_chunks,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+    c AS (SELECT doc_id, tk, len(tk) n,
+                 1 + CAST(ceil(greatest(len(tk) - {CHUNK_SIZE}, 0)
+                               / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT) nch
+          FROM t),
+    e AS (SELECT doc_id, tk, n, unnest(generate_series(0, nch - 1)) k FROM c)
+    SELECT doc_id, k::BIGINT AS chunk_id,
+           least(n - k * {CHUNK_STRIDE}, {CHUNK_SIZE})::BIGINT AS n_tokens,
+           md5(array_to_string(
+               tk[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+               ' ')) AS chunk_md5
+    FROM e
+    """,
+)
+
+
+# -- term redaction (PII-scrub shape) ---------------------------------------
+
+REDACT_PATTERN = r"\b(customer|key|hash)\b"
+
+
+def redact_terms(sf_dir: str):
+    """Redaction scrub — the PII-removal shape every training pipeline
+    needs (here over a synthetic denylist, since the corpus has no real
+    PII): vectorized regex replace + match count per doc, emitting the
+    scrubbed text's md5 so the oracle is an exact value check."""
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        n_red = df["text"].str.count(REDACT_PATTERN).astype("int64")
+        scrubbed = df["text"].str.replace(REDACT_PATTERN, "[X]", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_redactions": n_red,
+                "scrubbed_md5": [
+                    hashlib.md5(t.encode()).hexdigest() for t in scrubbed
+                ],
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas"
+    )
+
+
+register(
+    "redact_terms",
+    redact_terms,
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}'))
+                AS BIGINT) AS n_redactions,
+           md5(regexp_replace(text, '{REDACT_PATTERN}', '[X]', 'g'))
+               AS scrubbed_md5
+    FROM documents
+    """,
+)

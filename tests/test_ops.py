@@ -33,6 +33,8 @@ SUBSET = [
     "repetition_filter",
     "top_bigrams",
     "simhash_pairs",
+    "doc_chunks",
+    "redact_terms",
 ]
 
 
