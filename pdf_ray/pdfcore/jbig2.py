@@ -89,8 +89,9 @@ class MQDecoder:
             self.c += b1 << 8
             self.ct = 8
 
-    def decode(self, cx: int, idx: np.ndarray, mps: np.ndarray) -> int:
-        """Decode one bit in context ``cx`` (state arrays idx/mps)."""
+    def decode(self, cx: int, idx, mps) -> int:
+        """Decode one bit in context ``cx`` (state arrays idx/mps —
+        any int-indexable mutable sequence; bytearray is fastest)."""
         i = idx[cx]
         qe, nmps, nlps, switch = QE[i]
         self.a -= qe
@@ -169,30 +170,45 @@ def decode_generic_region(
         raise PdfParseError(f"JBIG2 bad GB template {template}")
     tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
     nbits = len(tmpl)
-    idx = np.zeros(1 << nbits, np.uint8)
-    mps = np.zeros(1 << nbits, np.uint8)
+    # bytearrays, not numpy: per-element numpy indexing returns numpy
+    # scalars with real overhead in this serial per-pixel loop
+    idx = bytearray(1 << nbits)
+    mps = bytearray(1 << nbits)
     mq = MQDecoder(data)
-    bitmap = np.zeros((h, w), np.uint8)
+    # rows as plain Python int lists: per-pixel numpy scalar indexing is
+    # ~10x slower than list indexing in this inherently-serial loop
+    zero_row = [0] * w
+    rows: list[list[int]] = []
     ltp = 0
     for y in range(h):
         if tpgdon:
             if mq.decode(TPGD_CTX[template], idx, mps):
                 ltp ^= 1
             if ltp:
-                if y > 0:
-                    bitmap[y] = bitmap[y - 1]
+                rows.append(list(rows[y - 1]) if y > 0 else [0] * w)
                 continue
-        row = bitmap[y]
+        r2 = rows[y - 2] if y >= 2 else zero_row
+        r1 = rows[y - 1] if y >= 1 else zero_row
+        row = [0] * w
+        rows.append(row)
         for x in range(w):
             ctx = 0
             for dx, dy in tmpl:
-                xx, yy = x + dx, y + dy
-                if 0 <= xx < w and yy >= 0:
-                    ctx = (ctx << 1) | bitmap[yy, xx]
+                xx = x + dx
+                if 0 <= xx < w:
+                    if dy == 0:
+                        ctx = (ctx << 1) | row[xx]
+                    elif dy == -1:
+                        ctx = (ctx << 1) | r1[xx]
+                    elif dy == -2:
+                        ctx = (ctx << 1) | r2[xx]
+                    else:  # exotic AT row (dy < -2)
+                        yy = y + dy
+                        ctx = (ctx << 1) | (rows[yy][xx] if yy >= 0 else 0)
                 else:
                     ctx <<= 1
             row[x] = mq.decode(ctx, idx, mps)
-    return bitmap
+    return np.array(rows, np.uint8).reshape(h, w)
 
 
 def _u32(b: bytes, i: int) -> int:

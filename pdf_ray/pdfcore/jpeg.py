@@ -339,7 +339,7 @@ def _decode_scan(
             eobrun = 0
         return unit_count + 1
 
-    def decode_dc(c: _Component, zz: np.ndarray) -> None:
+    def decode_dc(c: _Component, zz: list) -> None:
         dc_t = htables.get((0, c.td))
         if dc_t is None:
             raise PdfParseError("JPEG missing DC huffman table")
@@ -347,7 +347,7 @@ def _decode_scan(
         c.dc_pred += _extend(r.bits(t), t)
         zz[0] = c.dc_pred << al
 
-    def decode_ac_first(c: _Component, zz: np.ndarray) -> None:
+    def decode_ac_first(c: _Component, zz: list) -> None:
         nonlocal eobrun
         if eobrun > 0:
             eobrun -= 1
@@ -373,7 +373,7 @@ def _decode_scan(
             zz[k] = _extend(r.bits(s), s) << al
             k += 1
 
-    def decode_ac_refine(c: _Component, zz: np.ndarray) -> None:
+    def decode_ac_refine(c: _Component, zz: list) -> None:
         # T.81 G.1.2.3: correction bits for already-nonzero coefficients
         # interleave with newly-significant +-1 coefficients
         nonlocal eobrun
@@ -434,9 +434,13 @@ def _decode_scan(
                             zz = c.coefs[my * c.v + by, mx * c.h + bx]
                             if ss == 0:
                                 if ah == 0:
-                                    decode_dc(c, zz)
+                                    # plain-list block: per-element numpy
+                                    # scalar access dominates otherwise
+                                    zzl = zz.tolist()
+                                    decode_dc(c, zzl)
                                     if se > 0:  # sequential full block
-                                        decode_ac_first(c, zz)
+                                        decode_ac_first(c, zzl)
+                                    zz[:] = zzl
                                 else:
                                     if r.bit():
                                         zz[0] |= 1 << al
@@ -455,17 +459,21 @@ def _decode_scan(
                 zz = c.coefs[by, bx]
                 if ss == 0:
                     if ah == 0:
-                        decode_dc(c, zz)
+                        zzl = zz.tolist()
+                        decode_dc(c, zzl)
                         if se > 0:
-                            decode_ac_first(c, zz)
+                            decode_ac_first(c, zzl)
+                        zz[:] = zzl
                     else:
                         if r.bit():
                             zz[0] |= 1 << al
                 else:
+                    zzl = zz.tolist()
                     if ah == 0:
-                        decode_ac_first(c, zz)
+                        decode_ac_first(c, zzl)
                     else:
-                        decode_ac_refine(c, zz)
+                        decode_ac_refine(c, zzl)
+                    zz[:] = zzl
     # leave pos after the entropy data (on the next marker if any)
     r.align()
     return r.pos
