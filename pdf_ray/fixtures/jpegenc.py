@@ -478,3 +478,67 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_components(
+    planes: list[np.ndarray],
+    qtable=16,
+    precision: int = 8,
+    adobe_transform: int | None = None,
+) -> bytes:
+    """Encode raw STORED component planes (no color transform applied —
+    the caller supplies exactly the sample values the file should carry),
+    4:4:4, sequential. Supports 1/3/4 components, 8- or 12-bit precision,
+    and an optional APP14 Adobe marker carrying ``adobe_transform`` —
+    the knobs the CMYK / 12-bit decoder tests need."""
+    h, w = planes[0].shape
+    nc = len(planes)
+    if np.isscalar(qtable):
+        q = np.full(64, int(qtable), dtype=np.int32)
+    else:
+        q = np.asarray(qtable, dtype=np.int32).reshape(64)
+    center = float(1 << (precision - 1))
+
+    out = bytearray(b"\xff\xd8")
+    if adobe_transform is not None:
+        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, adobe_transform])
+        out += b"\xff\xee" + (2 + len(app14)).to_bytes(2, "big") + app14
+    zzq = q[ZIGZAG]
+    if precision == 12:  # 12-bit needs pq=1 (16-bit) DQT entries
+        out += b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + bytes([0x10])
+        for v in zzq:
+            out += int(v).to_bytes(2, "big")
+    else:
+        out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0])
+        out += bytes(int(v) for v in zzq)
+    sof = bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dht = bytearray([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    sos = bytearray([nc])
+    for cid in range(1, nc + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    padded = [_pad(p.astype(np.float64), mcuy * 8, mcux * 8) for p in planes]
+    qf = q.astype(np.float64)
+    bw = _BitWriter()
+    dc_pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, p in enumerate(padded):
+                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - center
+                coef = (_A @ block @ _A.T).reshape(64)
+                zz = np.floor(coef / qf + 0.5).astype(np.int32)[ZIGZAG]
+                dc_pred[ci] = _encode_block(bw, zz, dc_pred[ci])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -8,11 +8,13 @@ stages.
 
 Scope: sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — spectral
 selection + successive approximation, DC/AC first and refinement scans
-per ITU-T T.81 G.1.2), 8-bit, grayscale or 3-channel YCbCr (any integer
-chroma subsampling), interleaved and single-component scans, restart
-markers, multiple DQT/DHT segments. Arithmetic coding, 12-bit and
-4-channel CMYK raise PdfParseError (row-level error downstream, same
-containment as other unsupported filters).
+per ITU-T T.81 G.1.2), 8-bit and 12-bit precision (12-bit samples scale
+to 8-bit output), grayscale / 3-channel YCbCr / 4-channel CMYK-YCCK
+(APP14 Adobe transform + inverted-ink convention, converted to RGB),
+any integer chroma subsampling, interleaved and single-component scans,
+restart markers, multiple DQT/DHT segments. Arithmetic coding raises
+PdfParseError (row-level error downstream, same containment as other
+unsupported filters).
 
 Architecture: every scan decodes into per-component COEFFICIENT stores
 (zigzag order); dequantization + the separable orthonormal 8x8 DCT-III
@@ -163,6 +165,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     progressive = False
     mcux = mcuy = 0
+    precision = 8
+    adobe_transform = None  # APP14: None = no Adobe marker
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -191,12 +195,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 qtables[tq] = q  # zigzag order
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             progressive = marker == 0xC2
-            if seg[0] != 8:
-                raise PdfParseError("only 8-bit JPEG supported")
+            precision = seg[0]
+            if precision not in (8, 12):
+                raise PdfParseError(
+                    f"unsupported JPEG precision {precision}"
+                )
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise PdfParseError(f"unsupported JPEG component count {nc}")
             for c in range(nc):
                 cid = seg[6 + 3 * c]
@@ -230,6 +237,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) > 11 else 0
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             by_id = {c.cid: c for c in comps}
@@ -264,7 +273,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         q = qtables.get(c.tq)
         if q is None:
             raise PdfParseError("JPEG missing quant table")
-        plane = _idct_plane(c.coefs, q)
+        plane = _idct_plane(c.coefs, q, precision)
         p = plane[: (h * c.v + vmax - 1) // vmax,
                   : (w * c.h + hmax - 1) // hmax]
         # upsample to full resolution by replication
@@ -275,6 +284,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         planes.append(p[:h, :w])
     if len(planes) == 1:
         return w, h, 1, planes[0].astype(np.uint8).tobytes()
+    if len(planes) == 4:
+        return w, h, 3, _cmyk_to_rgb(planes, adobe_transform)
     y, cb, cr = (p.astype(np.float64) for p in planes)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -284,19 +295,54 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, rgb.tobytes()
 
 
-def _idct_plane(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return (np.clip(np.floor(c + 0.5), 0, 255) for c in (r, g, b))
+
+
+def _cmyk_to_rgb(planes, adobe_transform) -> bytes:
+    """4-component JPEG -> RGB. APP14 transform 2 = YCCK (YCbCr-coded
+    CMY); Adobe writers store INVERTED ink values (0 = full ink), the
+    libjpeg-compatible convention, so ink = 255 - sample when the Adobe
+    marker is present. Final conversion is the naive additive one
+    (R = 255 - min(255, C + K)) — the same un-color-managed composite
+    the rest of the image stage uses for DeviceCMYK."""
+    a, b_, c_, d = (p.astype(np.float64) for p in planes)
+    if adobe_transform == 2:  # YCCK: YCbCr -> R'G'B' holding CMY
+        a, b_, c_ = _ycc_to_rgb(a, b_, c_)
+    if adobe_transform is not None:
+        # stored inverted: sample 255 means zero ink
+        cyan, mag, yel, k = 255.0 - a, 255.0 - b_, 255.0 - c_, 255.0 - d
+    else:
+        cyan, mag, yel, k = a, b_, c_, d
+    r = 255.0 - np.minimum(255.0, cyan + k)
+    g = 255.0 - np.minimum(255.0, mag + k)
+    b = 255.0 - np.minimum(255.0, yel + k)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8).tobytes()
+
+
+def _idct_plane(
+    coefs: np.ndarray, q: np.ndarray, precision: int = 8
+) -> np.ndarray:
     """Dequantize + IDCT every 8x8 block of a component at once:
     (bh, bw, 64) zigzag int32 -> (bh*8, bw*8) uint8 plane. The matmuls
-    broadcast over the block grid — no per-block Python."""
+    broadcast over the block grid — no per-block Python. 12-bit samples
+    (level shift 2048, range 0..4095) scale to 8-bit output (>> 4)."""
     bh, bw = coefs.shape[:2]
     deq = (coefs * q[None, None, :]).astype(np.float64)
     spat = np.zeros((bh, bw, 64), np.float64)
     spat[..., ZIGZAG] = deq
+    center = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     blocks = _A.T @ spat.reshape(bh, bw, 8, 8) @ _A
-    blocks = np.clip(np.floor(blocks + 128.0 + 0.5), 0, 255)
-    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8).astype(
-        np.uint8
-    )
+    blocks = np.clip(np.floor(blocks + center + 0.5), 0, maxval)
+    plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    if precision == 12:
+        plane = np.floor(plane / 16.0)
+    return plane.astype(np.uint8)
 
 
 def _decode_scan(

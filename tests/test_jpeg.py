@@ -134,3 +134,65 @@ def test_f24_golden_pixels_match_hand_derivation():
     w, h, rgb = decode_image_pixels(stream, doc.resolve)
     assert (w, h) == (DCT_W, DCT_H)
     assert rgb == DCT_PIXELS
+
+
+def test_12bit_grayscale():
+    """12-bit samples (level shift 2048, pq=1 DQT) scale to 8-bit output:
+    uniform blocks chosen so quantization round-trips exactly."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_components
+
+    img = np.empty((8, 16), np.float64)
+    img[:, :8] = 2560  # -> 2560 // 16 = 160
+    img[:, 8:] = 1024  # -> 64
+    w, h, nc, px = decode_jpeg(encode_jpeg_components([img], qtable=8, precision=12))
+    assert (w, h, nc) == (16, 8, 1)
+    arr = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert (arr[:, :8] == 160).all() and (arr[:, 8:] == 64).all()
+
+
+def test_cmyk_adobe_inverted():
+    """4-component CMYK with APP14 transform 0: stored values are
+    inverted ink (255 = no ink); pure-cyan and no-ink blocks decode to
+    the hand-computed RGB."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_components
+
+    C = np.empty((8, 16), np.float64)
+    C[:, :8] = 0    # full cyan (stored 0 = ink 255)
+    C[:, 8:] = 255  # no cyan
+    M = np.full((8, 16), 255.0)
+    Y = np.full((8, 16), 255.0)
+    K = np.full((8, 16), 255.0)  # no black
+    w, h, nc, px = decode_jpeg(
+        encode_jpeg_components([C, M, Y, K], qtable=8, adobe_transform=0)
+    )
+    assert (w, h, nc) == (16, 8, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(8, 16, 3)
+    assert (arr[:, :8] == [0, 255, 255]).all()   # cyan
+    assert (arr[:, 8:] == [255, 255, 255]).all()  # white
+
+
+def test_ycck_adobe_transform2():
+    """YCCK (transform 2): gray R'=G'=B'=v encodes as Y=v, Cb=Cr=128;
+    with no black ink the decode returns (v, v, v)."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_components
+
+    Yp = np.full((8, 8), 160.0)
+    Cb = np.full((8, 8), 128.0)
+    Cr = np.full((8, 8), 128.0)
+    K = np.full((8, 8), 255.0)
+    w, h, nc, px = decode_jpeg(
+        encode_jpeg_components([Yp, Cb, Cr, K], qtable=8, adobe_transform=2)
+    )
+    arr = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+    assert (arr == 160).all()
+
+
+def test_cmyk_no_adobe_marker_direct_ink():
+    """Without APP14 the samples ARE ink values (0 = no ink)."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_components
+
+    zero = np.zeros((8, 8), np.float64)
+    k = np.full((8, 8), 255.0)  # full black ink
+    w, h, nc, px = decode_jpeg(encode_jpeg_components([zero, zero, zero, k], qtable=8))
+    arr = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+    assert (arr == 0).all()
