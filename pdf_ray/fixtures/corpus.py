@@ -1192,6 +1192,88 @@ def f35_type0_legacy_rksj():
     return b.build(1), _t("AB\x93\xfa\x96\x7b\x8c\xea")
 
 
+# JBIG2 symbol/text fixture (f36): the dominant scanned-PDF coding mode
+# — glyphs decoded once into a symbol dictionary, then PLACED as text
+# instances. Golden = the literal glyph drawings composed at the literal
+# placements below ('#' = black), written down independently of the
+# engine.
+JB2T_GLYPH_T = ["#####", "..#..", "..#..", "..#..", "..#.."]
+JB2T_GLYPH_L = ["#....", "#....", "#....", "#....", "#####"]
+JB2T_PLACE = [(0, 1, 1), (1, 8, 1), (0, 15, 1), (1, 2, 8), (0, 9, 8)]
+JB2T_W, JB2T_H = 22, 15
+
+
+def _jb2t_page():
+    page = [[0] * JB2T_W for _ in range(JB2T_H)]
+    for sid, s, t in JB2T_PLACE:
+        g = (JB2T_GLYPH_T, JB2T_GLYPH_L)[sid]
+        for gy, row in enumerate(g):
+            for gx, ch in enumerate(row):
+                if ch == "#":
+                    page[t + gy][s + gx] = 1
+    return page
+
+
+JB2T_PIXELS = bytes(
+    b
+    for row in _jb2t_page()
+    for v in row
+    for b in ((0, 0, 0) if v else (255, 255, 255))
+)
+
+
+def _jb2t_ref() -> str:
+    import hashlib
+
+    return (
+        "img:"
+        + hashlib.sha256(
+            f"{JB2T_W}x{JB2T_H}:rgb8:".encode() + JB2T_PIXELS
+        ).hexdigest()[:40]
+    )
+
+
+JB2T_REF = _jb2t_ref()
+
+
+def f36_jbig2_text_region():
+    """JBIG2 symbol-dictionary + text-region image (T.88 6.4/6.5, MQ
+    arithmetic + Annex A integer decoding) — beyond the generic-region
+    f34; the reference todo!()s the whole filter (src/filter/mod.rs:52)."""
+    import numpy as np
+
+    from .jbig2enc import encode_symbol_dict_and_text
+
+    T = np.array(
+        [[1 if c == "#" else 0 for c in r] for r in JB2T_GLYPH_T], np.uint8
+    )
+    L = np.array(
+        [[1 if c == "#" else 0 for c in r] for r in JB2T_GLYPH_L], np.uint8
+    )
+    jb2 = encode_symbol_dict_and_text(
+        [T, L], JB2T_PLACE, JB2T_W, JB2T_H
+    )
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before jbig2 text) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 22 /Height 15 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length "
+                + str(len(jb2)).encode()
+                + b" >>\nstream\n"
+                + jb2
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before jbig2 text", None, 0),
+        ("image", None, JB2T_REF, 1),
+    ]
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1273,4 +1355,5 @@ FIXTURES = {
     "f33": f33_progressive_jpeg,
     "f34": f34_jbig2_image,
     "f35": f35_type0_legacy_rksj,
+    "f36": f36_jbig2_text_region,
 }

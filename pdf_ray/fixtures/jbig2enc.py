@@ -216,3 +216,217 @@ def encode_jbig2_embedded(
         out += _segment(i + 1, 38, payload)  # immediate generic region
     out += _segment(len(regions) + 1, 49, b"")  # end of page
     return bytes(out)
+
+
+# -- symbol dictionary + text region encoding (T.88 6.5 / 6.4) ---------------
+
+
+class IntEncoder:
+    """Inverse of pdfcore.jbig2.IntDecoder (T.88 Annex A), same PREV
+    context tree; one instance per IAx statistic set."""
+
+    def __init__(self):
+        self.idx = bytearray(512)
+        self.mps = bytearray(512)
+
+    def encode(self, mq: MQEncoder, v) -> None:
+        prev = 1
+
+        def bit(b: int) -> None:
+            nonlocal prev
+            mq.encode(b, prev, self.idx, self.mps)
+            prev = (
+                (prev << 1) | b
+                if prev < 256
+                else ((((prev << 1) | b) & 511) | 256)
+            )
+
+        def bits(val: int, n: int) -> None:
+            for i in range(n - 1, -1, -1):
+                bit((val >> i) & 1)
+
+        if v is None:  # OOB: S=1, range-0 prefix, V=0
+            bit(1)
+            bit(0)
+            bits(0, 2)
+            return
+        s = 1 if v < 0 else 0
+        a = -v if v < 0 else v
+        bit(s)
+        if a < 4:
+            bit(0)
+            bits(a, 2)
+        elif a < 20:
+            bit(1), bit(0)
+            bits(a - 4, 4)
+        elif a < 84:
+            bit(1), bit(1), bit(0)
+            bits(a - 20, 6)
+        elif a < 340:
+            bit(1), bit(1), bit(1), bit(0)
+            bits(a - 84, 8)
+        elif a < 4436:
+            bit(1), bit(1), bit(1), bit(1), bit(0)
+            bits(a - 340, 12)
+        else:
+            bit(1), bit(1), bit(1), bit(1), bit(1)
+            bits(a - 4436, 32)
+
+
+class IaidEncoder:
+    def __init__(self, symcodelen: int):
+        self.symcodelen = symcodelen
+        self.idx = bytearray(1 << (symcodelen + 1))
+        self.mps = bytearray(1 << (symcodelen + 1))
+
+    def encode(self, mq: MQEncoder, sym_id: int) -> None:
+        prev = 1
+        for i in range(self.symcodelen - 1, -1, -1):
+            b = (sym_id >> i) & 1
+            mq.encode(b, prev, self.idx, self.mps)
+            prev = (prev << 1) | b
+
+
+def _encode_bitmap_shared(
+    enc: MQEncoder, idx, mps, bitmap: np.ndarray, template: int, at
+) -> None:
+    """Generic-region bitmap encode over a caller-owned encoder + GB
+    stats (the symbol-dictionary sharing rule), TPGDON off."""
+    h, w = bitmap.shape
+    tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
+    rows = [[int(v) for v in r] for r in bitmap]
+    zero = [0] * w
+    for y in range(h):
+        r1 = rows[y - 1] if y >= 1 else zero
+        r2 = rows[y - 2] if y >= 2 else zero
+        row = rows[y]
+        for x in range(w):
+            ctx = 0
+            for dx, dy in tmpl:
+                xx = x + dx
+                if 0 <= xx < w:
+                    if dy == 0:
+                        ctx = (ctx << 1) | row[xx]
+                    elif dy == -1:
+                        ctx = (ctx << 1) | r1[xx]
+                    else:
+                        ctx = (ctx << 1) | r2[xx]
+                else:
+                    ctx <<= 1
+            enc.encode(row[x], ctx, idx, mps)
+
+
+def encode_symbol_dict_and_text(
+    symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    region_w: int,
+    region_h: int,
+    template: int = 0,
+    refcorner: int = 1,
+) -> bytes:
+    """PDF-embedded JBIG2: page info + symbol dictionary (all symbols
+    exported) + one immediate text region placing ``placements`` =
+    [(sym_id, s, t_top), ...] instances (t_top = desired TOP row; for
+    bottom reference corners the encoded T pins the bottom edge and is
+    derived per instance), 1 strip per distinct T via strips=1, OR
+    composition. Symbols must be sorted by ascending height."""
+    at = GB_AT_NOMINAL[template]
+
+    # --- symbol dictionary segment payload
+    mq = MQEncoder()
+    iadh, iadw, iaex = IntEncoder(), IntEncoder(), IntEncoder()
+    nbits = len(GB_TEMPLATES[template]) + len(at)
+    gb_idx = bytearray(1 << nbits)
+    gb_mps = bytearray(1 << nbits)
+    hcheight = 0
+    i = 0
+    nsyms = len(symbols)
+    while i < nsyms:
+        hgt = symbols[i].shape[0]
+        iadh.encode(mq, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < nsyms and symbols[i].shape[0] == hcheight:
+            wdt = symbols[i].shape[1]
+            iadw.encode(mq, wdt - symwidth)
+            symwidth = wdt
+            _encode_bitmap_shared(mq, gb_idx, gb_mps, symbols[i], template, at)
+            i += 1
+        iadw.encode(mq, None)  # OOB ends the height class
+    iaex.encode(mq, 0)       # run of 0 non-exported
+    iaex.encode(mq, nsyms)   # export all
+    sd_data = mq.finish()
+
+    sd = bytearray()
+    flags = (template & 3) << 10
+    sd += flags.to_bytes(2, "big")
+    for dx, dy in at:
+        sd += dx.to_bytes(1, "big", signed=True)
+        sd += dy.to_bytes(1, "big", signed=True)
+    sd += nsyms.to_bytes(4, "big")  # SDNUMEXSYMS
+    sd += nsyms.to_bytes(4, "big")  # SDNUMNEWSYMS
+    sd += sd_data
+
+    # --- text region segment payload
+    mq = MQEncoder()
+    iadt, iafs, iads = IntEncoder(), IntEncoder(), IntEncoder()
+    symcodelen = max(1, (max(1, nsyms) - 1).bit_length())
+    iaid = IaidEncoder(symcodelen)
+    # group placements into strips by encoded T (strips=1: stript == T);
+    # bottom corners (0=BL, 2=BR) pin T to the instance's BOTTOM edge
+    strips: dict[int, list[tuple[int, int]]] = {}
+    for sym_id, s, t in placements:
+        if refcorner in (0, 2):
+            t = t + symbols[sym_id].shape[0] - 1
+        strips.setdefault(t, []).append((s, sym_id))
+    iadt.encode(mq, 0)  # initial STRIPT = -0
+    stript = 0
+    firsts = 0  # FIRSTS accumulates ACROSS strips (6.4.5 step 3b)
+    for t in sorted(strips):
+        iadt.encode(mq, t - stript)
+        stript = t
+        insts = sorted(strips[t])
+        curs = 0
+        for j, (s, sym_id) in enumerate(insts):
+            if j == 0:
+                iafs.encode(mq, s - firsts)
+                firsts = s
+                curs = s
+            else:
+                iads.encode(mq, s - curs)
+                curs = s
+            iaid.encode(mq, sym_id)
+            curs += symbols[sym_id].shape[1] - 1
+        iads.encode(mq, None)  # OOB ends the strip
+    tr_data = mq.finish()
+
+    tr = bytearray()
+    tr += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
+    tr += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    tr += bytes([0])  # region comb op OR
+    # SBFLAGS: huff=0, refine=0, logstrips=0, refcorner as given,
+    # transposed=0, combop=OR, defpixel=0, dsoffset=0, rtemplate=0
+    tr += ((refcorner & 3) << 4).to_bytes(2, "big")
+    tr += len(placements).to_bytes(4, "big")
+    tr += tr_data
+
+    out = bytearray()
+    out += _segment(0, 48, _page_info(region_w, region_h))
+    out += _segment_ref(1, 0, [], sd)          # symbol dictionary
+    out += _segment_ref(2, 6, [1], bytes(tr))  # immediate text region
+    out += _segment(3, 49, b"")
+    return bytes(out)
+
+
+def _segment_ref(
+    num: int, seg_type: int, referred: list[int], payload: bytes,
+    page: int = 1,
+) -> bytes:
+    head = num.to_bytes(4, "big")
+    head += bytes([seg_type & 0x3F])
+    head += bytes([len(referred) << 5])
+    for r in referred:
+        head += bytes([r])  # num <= 256 -> 1-byte referred numbers
+    head += bytes([page])
+    head += len(payload).to_bytes(4, "big")
+    return head + payload

@@ -129,6 +129,10 @@ def _image_features_oracle() -> str:
         JB2_PIXELS,
         JB2_REF,
         JB2_W,
+        JB2T_H,
+        JB2T_PIXELS,
+        JB2T_REF,
+        JB2T_W,
         PROG_H,
         PROG_PIXELS,
         PROG_REF,
@@ -143,6 +147,7 @@ def _image_features_oracle() -> str:
         (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
         (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
         (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
+        (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]

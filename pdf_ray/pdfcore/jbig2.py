@@ -11,12 +11,16 @@ way ccitt.py did for CCITTFaxDecode:
     * MMR=1 coding (T.6/G4 — delegated to the proven ccitt.py decoder), or
     * MQ arithmetic coding (T.88 Annex E) with GB templates 0-3, AT
       pixels, and TPGDON typical-prediction rows,
+- SYMBOL DICTIONARIES (6.5) and TEXT REGIONS (6.4) with arithmetic
+  integer decoding (Annex A IAx procedures + IAID) — the dominant mode
+  real scanned PDFs use: glyph bitmaps decoded once into a dictionary,
+  then placed at decoded (S, T) instance coordinates with reference-
+  corner / transposed / strip semantics and per-instance composition,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Symbol-dictionary / text / halftone / refinement segments raise
-PdfParseError (row-level error downstream, the documented containment
-model) — decoding those would require the full symbol machinery, which
-real scanned corpora only sometimes use.
+Huffman-coded variants (SDHUFF/SBHUFF), refinement/aggregate coding and
+halftone regions raise PdfParseError (row-level error downstream, the
+documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
 public table reproduced in every JBIG2/JPEG2000 implementation); it is
@@ -153,6 +157,12 @@ GB_AT_NOMINAL = {
 }
 TPGD_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
+# Decode budget: the arithmetic decoders are serial Python loops, so a
+# corrupt stream that parses into a huge "plausible" region must not burn
+# minutes of worker CPU before failing. 16M pixels covers an A4 scan at
+# 300 dpi; anything larger fails the row.
+MAX_REGION_PIXELS = 16_000_000
+
 
 def decode_generic_region(
     data: bytes,
@@ -168,13 +178,29 @@ def decode_generic_region(
     the parallelism axis is images-per-actor, not pixels."""
     if template not in GB_TEMPLATES:
         raise PdfParseError(f"JBIG2 bad GB template {template}")
-    tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
-    nbits = len(tmpl)
+    nbits = len(GB_TEMPLATES[template]) + len(at)
     # bytearrays, not numpy: per-element numpy indexing returns numpy
     # scalars with real overhead in this serial per-pixel loop
     idx = bytearray(1 << nbits)
     mps = bytearray(1 << nbits)
     mq = MQDecoder(data)
+    return _decode_bitmap(mq, idx, mps, w, h, template, at, tpgdon)
+
+
+def _decode_bitmap(
+    mq: MQDecoder,
+    idx: bytearray,
+    mps: bytearray,
+    w: int,
+    h: int,
+    template: int,
+    at: list[tuple[int, int]],
+    tpgdon: bool,
+) -> np.ndarray:
+    """Core generic-region bitmap decode over a CALLER-owned MQ decoder
+    and GB context state — the symbol dictionary decodes every symbol
+    bitmap through one shared decoder/stats set (T.88 6.5.8.2.1)."""
+    tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
     # rows as plain Python int lists: per-pixel numpy scalar indexing is
     # ~10x slower than list indexing in this inherently-serial loop
     zero_row = [0] * w
@@ -211,13 +237,294 @@ def decode_generic_region(
     return np.array(rows, np.uint8).reshape(h, w)
 
 
+OOB = object()  # out-of-band marker from the IAx integer decoder
+
+
+class IntDecoder:
+    """T.88 Annex A integer arithmetic decoding procedure: one instance
+    per IAx statistic set (IADH, IADW, IADT, ...), 512 contexts keyed by
+    the PREV bit-history tree."""
+
+    __slots__ = ("idx", "mps")
+
+    def __init__(self):
+        self.idx = bytearray(512)
+        self.mps = bytearray(512)
+
+    def decode(self, mq: MQDecoder):
+        prev = 1
+
+        def bit() -> int:
+            nonlocal prev
+            b = mq.decode(prev, self.idx, self.mps)
+            prev = (
+                (prev << 1) | b
+                if prev < 256
+                else ((((prev << 1) | b) & 511) | 256)
+            )
+            return b
+
+        def bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            return v
+
+        s = bit()
+        if not bit():
+            v = bits(2)
+        elif not bit():
+            v = bits(4) + 4
+        elif not bit():
+            v = bits(6) + 20
+        elif not bit():
+            v = bits(8) + 84
+        elif not bit():
+            v = bits(12) + 340
+        else:
+            v = bits(32) + 4436
+        if s and v == 0:
+            return OOB
+        return -v if s else v
+
+
+class IaidDecoder:
+    """T.88 A.3: symbol-ID decoding over SYMCODELEN bits."""
+
+    __slots__ = ("idx", "mps", "symcodelen")
+
+    def __init__(self, symcodelen: int):
+        self.symcodelen = symcodelen
+        self.idx = bytearray(1 << (symcodelen + 1))
+        self.mps = bytearray(1 << (symcodelen + 1))
+
+    def decode(self, mq: MQDecoder) -> int:
+        prev = 1
+        for _ in range(self.symcodelen):
+            prev = (prev << 1) | mq.decode(prev, self.idx, self.mps)
+        return prev - (1 << self.symcodelen)
+
+
+def _symcodelen(nsyms: int) -> int:
+    return max(1, (max(1, nsyms) - 1).bit_length())
+
+
+def decode_symbol_dictionary(
+    payload: bytes, input_symbols: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Symbol dictionary segment (T.88 6.5), arithmetic coding only —
+    SDHUFF / SDREFAGG raise. Returns the EXPORTED symbol bitmaps
+    (input symbols from referred dictionaries participate in the export
+    run-length flagging per 6.5.10)."""
+    if len(payload) < 2:
+        raise PdfParseError("JBIG2 short symbol dictionary")
+    flags = int.from_bytes(payload[0:2], "big")
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff or sdrefagg:
+        raise PdfParseError(
+            "JBIG2 symbol dictionary: huffman/refinement coding unsupported"
+        )
+    pos = 2
+    at: list[tuple[int, int]] = []
+    for _ in range(GB_AT_COUNT[template]):
+        dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+        dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
+        at.append((dx, dy))
+        pos += 2
+    n_ex = _u32(payload, pos)
+    n_new = _u32(payload, pos + 4)
+    pos += 8
+    if n_new > 10_000 or n_ex > 10_000:
+        raise PdfParseError("JBIG2 symbol dictionary: implausible counts")
+
+    mq = MQDecoder(payload[pos:])
+    iadh, iadw, iaex = IntDecoder(), IntDecoder(), IntDecoder()
+    nbits = len(GB_TEMPLATES[template]) + len(at)
+    gb_idx = bytearray(1 << nbits)
+    gb_mps = bytearray(1 << nbits)
+
+    new_syms: list[np.ndarray] = []
+    area_budget = [MAX_REGION_PIXELS]  # shared cap across all symbols
+    hcheight = 0
+    classes = 0
+    while len(new_syms) < n_new:
+        classes += 1
+        if classes > n_new + 64:  # DH=0 garbage loops make no progress
+            raise PdfParseError("JBIG2 symbol dictionary: class overflow")
+        dh = iadh.decode(mq)
+        if dh is OOB:
+            raise PdfParseError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 2048:
+            raise PdfParseError("JBIG2 symbol dictionary: bad height class")
+        symwidth = 0
+        while True:
+            dw = iadw.decode(mq)
+            if dw is OOB:
+                break  # end of this height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 2048:
+                raise PdfParseError("JBIG2 symbol dictionary: bad width")
+            area_budget[0] -= symwidth * hcheight
+            if area_budget[0] < 0:
+                raise PdfParseError(
+                    "JBIG2 symbol dictionary: pixel budget exceeded"
+                )
+            if len(new_syms) >= n_new:
+                raise PdfParseError("JBIG2 symbol dictionary: count overflow")
+            new_syms.append(
+                _decode_bitmap(
+                    mq, gb_idx, gb_mps, symwidth, hcheight, template, at,
+                    False,
+                )
+            )
+
+    # export flags (6.5.10): alternating non-export/export run lengths
+    # over input symbols + new symbols
+    all_syms = list(input_symbols) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(all_syms) and len(exported) < n_ex:
+        run = iaex.decode(mq)
+        if run is OOB or run < 0:
+            raise PdfParseError("JBIG2 symbol dictionary: bad export run")
+        if exflag:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise PdfParseError("JBIG2 symbol dictionary: export count mismatch")
+    return exported
+
+
+def decode_text_region(
+    payload: bytes, symbols: list[np.ndarray]
+) -> tuple[np.ndarray, int, int, int]:
+    """Text region segment (T.88 6.4), arithmetic, no refinement ->
+    (bitmap, x, y, comb_op). Symbol instances are drawn onto the region
+    bitmap at arithmetic-decoded (S, T) coordinates."""
+    if len(payload) < 17 + 2 + 4:
+        raise PdfParseError("JBIG2 short text region")
+    w = _u32(payload, 0)
+    h = _u32(payload, 4)
+    x = _u32(payload, 8)
+    y = _u32(payload, 12)
+    region_comb_op = payload[16] & 7
+    flags = int.from_bytes(payload[17:19], "big")
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_comb_op = (flags >> 7) & 3
+    sb_def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if sbhuff or sbrefine:
+        raise PdfParseError(
+            "JBIG2 text region: huffman/refinement coding unsupported"
+        )
+    pos = 19
+    n_instances = _u32(payload, pos)
+    pos += 4
+    if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS or (
+        n_instances > 1_000_000
+    ):
+        raise PdfParseError("JBIG2 text region: implausible geometry")
+    if not symbols:
+        raise PdfParseError("JBIG2 text region: no referred symbols")
+    strips = 1 << log_strips
+
+    mq = MQDecoder(payload[pos:])
+    iadt, iafs, iads, iait = (
+        IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
+    )
+    iaid = IaidDecoder(_symcodelen(len(symbols)))
+
+    region = np.full((h, w), sb_def_pixel, np.uint8)
+
+    def draw(sym: np.ndarray, s: int, t: int) -> int:
+        """Place one instance; returns the S advance (W-1 or H-1).
+        Reference-corner semantics per 6.4.5(3)(c): the S axis always
+        holds the LEFT (top if transposed) edge span; the corner selects
+        which edge T pins."""
+        sh, sw = sym.shape
+        if transposed:
+            # S runs vertically; T horizontally
+            y0 = s
+            x0 = t if refcorner in (0, 1) else t - sw + 1  # *LEFT vs *RIGHT
+            adv = sh - 1
+        else:
+            x0 = s
+            y0 = t if refcorner in (1, 3) else t - sh + 1  # TOP* vs BOTTOM*
+            adv = sw - 1
+        x1, y1 = x0 + sw, y0 + sh
+        # clip (T.88 allows instances to stick out; draw the overlap)
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        x0c, y0c = max(0, x0), max(0, y0)
+        x1c, y1c = min(w, x1), min(h, y1)
+        if x1c > x0c and y1c > y0c:
+            src = sym[sy0 : sy0 + (y1c - y0c), sx0 : sx0 + (x1c - x0c)]
+            dst = region[y0c:y1c, x0c:x1c]
+            if sb_comb_op == 0:
+                dst |= src
+            elif sb_comb_op == 1:
+                dst &= src
+            elif sb_comb_op == 2:
+                dst ^= src
+            else:
+                dst[:] = 1 - (dst ^ src)
+        return adv
+
+    stript = iadt.decode(mq)
+    if stript is OOB:
+        raise PdfParseError("JBIG2 text region: OOB strip T")
+    stript = -stript * strips
+    firsts = 0
+    ninst = 0
+    while ninst < n_instances:
+        dt = iadt.decode(mq)
+        if dt is OOB:
+            raise PdfParseError("JBIG2 text region: OOB strip delta")
+        stript += dt * strips
+        dfs = iafs.decode(mq)
+        if dfs is OOB:
+            raise PdfParseError("JBIG2 text region: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = iads.decode(mq)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            first = False
+            curt = 0 if strips == 1 else iait.decode(mq)
+            if curt is OOB:
+                raise PdfParseError("JBIG2 text region: OOB T offset")
+            sym_id = iaid.decode(mq)
+            if sym_id >= len(symbols):
+                raise PdfParseError("JBIG2 text region: symbol id out of range")
+            curs += draw(symbols[sym_id], curs, stript + curt)
+            ninst += 1
+            if ninst > n_instances:
+                raise PdfParseError("JBIG2 text region: instance overflow")
+    return region, x, y, region_comb_op
+
+
 def _u32(b: bytes, i: int) -> int:
     return int.from_bytes(b[i : i + 4], "big")
 
 
 def _segments(buf: bytes):
-    """Iterate (type, payload) over a T.88 embedded-organization segment
-    stream (segment headers per 7.2)."""
+    """Iterate (num, type, referred_segment_numbers, payload) over a
+    T.88 embedded-organization segment stream (segment headers per
+    7.2)."""
     pos = 0
     n = len(buf)
     while pos + 11 <= n:
@@ -234,13 +541,22 @@ def _segments(buf: bytes):
             count = rts
             pos += 1
         ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+        if pos + count * ref_size > n:  # garbage count: fail, don't build
+            raise PdfParseError("JBIG2 segment header overruns stream")
+        referred = [
+            int.from_bytes(buf[pos + i * ref_size : pos + (i + 1) * ref_size],
+                           "big")
+            for i in range(count)
+        ]
         pos += count * ref_size
         pos += 4 if page4 else 1
         length = _u32(buf, pos)
         pos += 4
         if length == 0xFFFFFFFF:
             raise PdfParseError("JBIG2 unknown-length segment unsupported")
-        yield seg_type, buf[pos : pos + length]
+        if pos + length > n:
+            raise PdfParseError("JBIG2 segment data overruns stream")
+        yield num, seg_type, referred, buf[pos : pos + length]
         pos += length
 
 
@@ -285,7 +601,7 @@ def _decode_region_segment(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             at.append((dx, dy))
             pos += 2
     data = payload[pos:]
-    if w == 0 or h == 0 or w * h > 64_000_000:
+    if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS:
         raise PdfParseError(f"JBIG2 bad region geometry {w}x{h}")
     if mmr:
         # MMR is T.6 (G4) coding — reuse the independently-golden CCITT
@@ -304,6 +620,7 @@ def _decode_region_segment(payload: bytes) -> tuple[np.ndarray, int, int, int]:
 
 
 _GENERIC_REGION_TYPES = (36, 38, 39)
+_TEXT_REGION_TYPES = (4, 6, 7)
 _IGNORED_TYPES = (49, 50, 51, 62)  # end-of-page/stripe/file, extension
 
 
@@ -314,12 +631,25 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
     page_w = page_h = 0
     default_pixel = 0
     regions: list[tuple[np.ndarray, int, int, int]] = []
-    for seg_type, payload in _segments(bytes(globals_data) + bytes(data)):
+    sym_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> exports
+    for num, seg_type, referred, payload in _segments(
+        bytes(globals_data) + bytes(data)
+    ):
         if seg_type == 48:  # page information
             page_w = _u32(payload, 0)
             page_h = _u32(payload, 4)
             if len(payload) > 16:
                 default_pixel = (payload[16] >> 2) & 1
+        elif seg_type == 0:  # symbol dictionary
+            inputs: list[np.ndarray] = []
+            for r in referred:
+                inputs.extend(sym_dicts.get(r, []))
+            sym_dicts[num] = decode_symbol_dictionary(payload, inputs)
+        elif seg_type in _TEXT_REGION_TYPES:
+            syms: list[np.ndarray] = []
+            for r in referred:
+                syms.extend(sym_dicts.get(r, []))
+            regions.append(decode_text_region(payload, syms))
         elif seg_type in _GENERIC_REGION_TYPES:
             regions.append(_decode_region_segment(payload))
         elif seg_type in _IGNORED_TYPES:
@@ -327,7 +657,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
         else:
             raise PdfParseError(
                 f"JBIG2 segment type {seg_type} unsupported "
-                "(symbol/text/halftone/refinement)"
+                "(halftone/refinement/table)"
             )
     if not regions:
         raise PdfParseError("JBIG2 stream has no generic region")

@@ -144,3 +144,93 @@ def test_unsupported_segment_types_raise():
     head = (0).to_bytes(4, "big") + bytes([0, 0, 1]) + (4).to_bytes(4, "big")
     with pytest.raises(PdfParseError):
         decode_jbig2_embedded(head + b"\x00\x00\x00\x00")
+
+
+def test_fuzz_no_crash_or_hang(monkeypatch):
+    """Random / truncated segment streams must raise PdfParseError (or
+    decode) — never crash with an unexpected exception type or hang.
+    The pixel budget is shrunk so garbage that parses into a "plausible"
+    big region fails fast instead of grinding the serial decoder."""
+    import numpy as np
+
+    import pdf_ray.pdfcore.jbig2 as jb
+
+    monkeypatch.setattr(jb, "MAX_REGION_PIXELS", 20_000)
+    rng = np.random.RandomState(42)
+    good = encode_jbig2_embedded(
+        [{"bitmap": np.eye(6, dtype=np.uint8)}], 6, 6
+    )
+    cases = [bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist()) for n in (0, 3, 11, 40, 200)]
+    cases += [good[:k] for k in range(0, len(good), 7)]
+    for i, blob in enumerate(cases):
+        try:
+            decode_jbig2_embedded(blob)
+        except PdfParseError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"case {i}: unexpected {type(e).__name__}: {e}")
+
+
+def _glyphs():
+    T = np.array(
+        [[1, 1, 1, 1, 1], [0, 0, 1, 0, 0], [0, 0, 1, 0, 0],
+         [0, 0, 1, 0, 0], [0, 0, 1, 0, 0]], np.uint8)
+    L = np.array(
+        [[1, 0, 0, 0, 0], [1, 0, 0, 0, 0], [1, 0, 0, 0, 0],
+         [1, 0, 0, 0, 0], [1, 1, 1, 1, 1]], np.uint8)
+    return T, L
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_symbol_dict_and_text_region_roundtrip(refcorner):
+    """Symbol dictionary + text region (the dominant scanned-PDF mode):
+    two glyph bitmaps placed five times across two strips must compose
+    the hand-computed page exactly, for every reference corner."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+
+    T, L = _glyphs()
+    placements = [(0, 1, 1), (1, 8, 1), (0, 15, 1), (1, 2, 8), (0, 9, 8)]
+    stream = encode_symbol_dict_and_text(
+        [T, L], placements, 24, 16, refcorner=refcorner
+    )
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(16, -1), axis=1
+    )[:, :24]
+    page = np.zeros((16, 24), np.uint8)
+    for sid, s, t in placements:
+        sym = (T, L)[sid]
+        page[t : t + 5, s : s + 5] |= sym
+    assert (rows == 1 - page).all()
+
+
+def test_symbol_dict_multiple_height_classes():
+    """Symbols of different heights exercise the DH/DW class loop and
+    per-class OOB terminators."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+
+    dot = np.ones((2, 2), np.uint8)
+    bar = np.ones((4, 3), np.uint8)
+    tall = np.zeros((6, 4), np.uint8)
+    tall[:, 1:3] = 1
+    placements = [(0, 1, 3), (1, 5, 2), (2, 10, 1), (0, 16, 4)]
+    stream = encode_symbol_dict_and_text(
+        [dot, bar, tall], placements, 22, 10
+    )
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(10, -1), axis=1
+    )[:, :22]
+    page = np.zeros((10, 22), np.uint8)
+    for sid, s, t in placements:
+        sym = (dot, bar, tall)[sid]
+        page[t : t + sym.shape[0], s : s + sym.shape[1]] |= sym
+    assert (rows == 1 - page).all()
+
+
+def test_symbol_dict_huffman_raises():
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    payload = (1).to_bytes(2, "big") + b"\x00" * 16  # SDHUFF=1
+    with pytest.raises(PdfParseError):
+        decode_symbol_dictionary(payload, [])

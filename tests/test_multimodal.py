@@ -133,19 +133,20 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # six distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
-    # f29 CCITT, f33 progressive DCT, f34 JBIG2
+    # seven distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # f29 CCITT, f33 progressive DCT, f34 JBIG2 generic, f36 JBIG2 text
     from pdf_ray.fixtures.corpus import (
         CCITT_REF,
         DCT_REF,
         IDX_REF,
         IMG_REF,
         JB2_REF,
+        JB2T_REF,
         PROG_REF,
     )
 
     assert sorted(blobs["media_ref"]) == sorted(
-        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF, JB2_REF]
+        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF, JB2_REF, JB2T_REF]
     )
     sizes = {
         ref: decode_png(png)[:2]
