@@ -1240,3 +1240,145 @@ register(
     FROM events e WHERE e.event_type = 'error'
     """,
 )
+
+
+# -- conversion funnel (ordered multi-stage per-user analysis) ---------------
+
+
+def signup_view_purchase_funnel(sf_dir: str):
+    """Conversion funnel with ORDER constraints: users who signed up,
+    then viewed strictly after their first signup, then purchased
+    strictly after that first qualifying view.
+
+    Shape: bucket = user_id %% B (all of a user's events colocate) ->
+    per-bucket vectorized stage thresholds (three filtered groupby-mins
+    chained by merges — no per-user Python) -> tiny Sum reduce of the
+    three partial counts."""
+    from ray.data.aggregate import Sum
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["user_id"] % N_STREAM_BUCKETS).astype("int32"),
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "ts": df["ts"],
+            }
+        )
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id")["ts"].min().rename("t1")
+        )
+        v = g[g["event_type"] == "view"].merge(
+            t1, left_on="user_id", right_index=True
+        )
+        t2 = (
+            v[v["ts"] > v["t1"]]
+            .groupby("user_id")["ts"].min().rename("t2")
+        )
+        p = g[g["event_type"] == "purchase"].merge(
+            t2, left_on="user_id", right_index=True
+        )
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "p_signup": [int(len(t1))],
+                "p_viewed": [int(len(t2))],
+                "p_purchased": [int(len(t3))],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: funnel_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .aggregate(
+            Sum("p_signup", alias_name="n_signup"),
+            Sum("p_viewed", alias_name="n_viewed_after"),
+            Sum("p_purchased", alias_name="n_purchased_after"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_signup": [int(out["n_signup"])],
+            "n_viewed_after": [int(out["n_viewed_after"])],
+            "n_purchased_after": [int(out["n_purchased_after"])],
+        }
+    )
+
+
+register(
+    "signup_view_purchase_funnel",
+    signup_view_purchase_funnel,
+    """
+    WITH s AS (SELECT user_id, min(ts) t1 FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    v AS (SELECT e.user_id, min(e.ts) t2 FROM events e
+          JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) t3 FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY 1)
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+           (SELECT count(*) FROM v)::BIGINT AS n_viewed_after,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchased_after
+    """,
+)
+
+
+# -- stratified sampling ------------------------------------------------------
+
+STRATA_PCT = {"en": 10, "fr": 50, "de": 50, "es": 50, "zh": 80}
+STRATA_DEFAULT_PCT = 25
+
+
+def stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling over documents: each language
+    keeps its own rate (down-sample the head language, keep more of the
+    tail — the standard training-mix rebalancing op). Same md5 key hash
+    as dataset_split: reproducible across runs/engines, no RNG state,
+    pure map-side filter."""
+    import ray.data as rd
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        hv = np.array(
+            [
+                int(_hl.md5(str(int(d)).encode()).hexdigest()[:4], 16)
+                for d in df["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        pct = df["lang"].map(STRATA_PCT).fillna(STRATA_DEFAULT_PCT).to_numpy()
+        keep = (hv * 100 // 65536) < pct
+        out = df.loc[keep, ["doc_id", "lang"]].reset_index(drop=True)
+        return out.astype({"doc_id": "int64"})
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(sample, batch_format="pandas")
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+)
+
+register(
+    "stratified_sample",
+    stratified_sample,
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS hv,
+             CASE {_STRATA_CASE} ELSE {STRATA_DEFAULT_PCT} END AS pct
+      FROM documents)
+    SELECT doc_id, lang FROM h WHERE hv * 100 // 65536 < pct
+    """,
+)

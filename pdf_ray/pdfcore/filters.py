@@ -230,6 +230,16 @@ def run_length_decode(data: bytes, parms: dict | None) -> bytes:
     return bytes(out)
 
 
+def crypt_identity(data: bytes, parms: dict | None) -> bytes:
+    """Crypt filter (PDF 32000-1 §7.4.10): /Identity means the stream
+    bypassed encryption — pass through. Named crypt filters would need
+    the document's CF map at this layer; they fail the row instead."""
+    name = str((parms or {}).get("Name", "Identity"))
+    if name == "Identity":
+        return data
+    raise PdfParseError(f"Crypt filter {name!r} unsupported")
+
+
 FILTERS = {
     "FlateDecode": flate_decode,
     "Fl": flate_decode,
@@ -244,6 +254,7 @@ FILTERS = {
     "CCITTFaxDecode": ccitt_decode,
     "CCF": ccitt_decode,
     "JBIG2Decode": jbig2_decode,
+    "Crypt": crypt_identity,
     "DCTDecode": lambda data, parms: data,  # raw JPEG passthrough
     "DCT": lambda data, parms: data,
 }

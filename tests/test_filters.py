@@ -186,3 +186,19 @@ def test_indexed_out_of_range_index_clamps_to_hival():
     )
     with pytest.raises(PdfParseError):
         decode_image_pixels(bad, resolve)
+
+
+def test_crypt_filter_identity_passthrough():
+    import pytest as _pt
+
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    s = Stream(
+        {"Filter": "Crypt", "DecodeParms": {"Name": "Identity"}}, b"payload"
+    )
+    assert decode_stream(s) == b"payload"
+    assert decode_stream(Stream({"Filter": "Crypt"}, b"x")) == b"x"
+    with _pt.raises(PdfParseError):
+        decode_stream(
+            Stream({"Filter": "Crypt", "DecodeParms": {"Name": "StdCF"}}, b"x")
+        )

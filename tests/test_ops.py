@@ -35,6 +35,8 @@ SUBSET = [
     "simhash_pairs",
     "doc_chunks",
     "redact_terms",
+    "signup_view_purchase_funnel",
+    "stratified_sample",
 ]
 
 
