@@ -9,10 +9,10 @@ actor-pool ``map_batches`` stages. In this container:
 - **audio**: REAL for uncompressed WAV/PCM (the engine's own RIFF parser,
   pdfcore/wav.py); compressed codecs surface as explicit
   ``codec='unknown'`` rows (no decoder library exists here)
-- **video**: the codec is STUBBED — deterministic pseudo-frame hashes
-  stand in for keyframe sampling (clearly marked), so the Ray-side
-  plumbing (schema, batch size, actor lifecycle, output layout) is real
-  and tested end-to-end.
+- **video**: REAL for MJPEG-in-AVI — the engine's own RIFF walk
+  (pdfcore/avi.py) extracts per-frame JPEG chunks and the from-scratch
+  JPEG codec decodes the sampled frames; other codecs surface as
+  explicit ``codec='unknown'`` rows (no H.264/VP9 decoder exists here).
 """
 
 from __future__ import annotations
@@ -137,34 +137,74 @@ class AudioFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """(media_ref, video: binary) -> k frame refs.
+    """(media_ref, video: binary) -> sampled decoded frames.
 
-    STUB decode (no video codec here): emits deterministic pseudo-frame
-    content hashes at evenly spaced offsets of the payload, standing in
-    for ffmpeg-style keyframe sampling. Schema and actor shape are real."""
+    REAL for MJPEG-in-AVI: the RIFF walk (pdfcore/avi.py) extracts the
+    per-frame JPEG chunks and the engine's own JPEG codec decodes the
+    sampled frames to pixels; ``frame_ref`` is the decoded-PIXEL content
+    hash (identical frames collapse, like image media_refs). Codecs with
+    no decoder in this container (H.264, VP9, ...) surface as one
+    ``codec='unknown'`` row with -1 sentinels — explicit, never fake
+    values (same convention as compressed audio)."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs_out, frame_idx, frame_refs = [], [], []
+        import numpy as np
+
+        from ..pdfcore.avi import parse_avi
+        from ..pdfcore.images import media_ref_for_pixels
+        from ..pdfcore.jpeg import decode_jpeg
+
+        refs_out: list[str] = []
+        codec: list[str] = []
+        frame_idx: list[int] = []
+        n_total: list[int] = []
+        frame_refs: list[str | None] = []
+        widths: list[int] = []
+        heights: list[int] = []
         for ref, blob in zip(
             batch.column("media_ref").to_pylist(),
             batch.column("video").to_pylist(),
         ):
-            n = max(1, len(blob))
-            for i in range(self.n_frames):
-                off = i * n // self.n_frames
-                chunk = blob[off : off + 4096]
+            try:
+                _, _, frames = parse_avi(blob)
+                k = min(self.n_frames, len(frames))
+                picks = [i * len(frames) // k for i in range(k)]
+                decoded = []
+                for i in picks:
+                    w, h, nc, px = decode_jpeg(frames[i])
+                    if nc == 1:
+                        px = np.repeat(
+                            np.frombuffer(px, np.uint8), 3
+                        ).tobytes()
+                    decoded.append((i, w, h, px))
+            except Exception:
                 refs_out.append(ref)
+                codec.append("unknown")
+                frame_idx.append(-1)
+                n_total.append(-1)
+                frame_refs.append(None)
+                widths.append(-1)
+                heights.append(-1)
+                continue
+            for i, w, h, px in decoded:
+                refs_out.append(ref)
+                codec.append("mjpeg_avi")
                 frame_idx.append(i)
-                frame_refs.append(
-                    "frame:" + hashlib.sha256(chunk).hexdigest()[:32]
-                )
+                n_total.append(len(frames))
+                frame_refs.append(media_ref_for_pixels(w, h, px))
+                widths.append(w)
+                heights.append(h)
         return pa.table(
             {
                 "media_ref": pa.array(refs_out, pa.string()),
+                "codec": pa.array(codec, pa.string()),
                 "frame_index": pa.array(frame_idx, pa.int32()),
+                "n_frames_total": pa.array(n_total, pa.int32()),
                 "frame_ref": pa.array(frame_refs, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
             }
         )

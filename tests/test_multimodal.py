@@ -103,7 +103,40 @@ def test_wav_decoder_formats():
         decode_wav(b"RIFFxxxxNOPE")
 
 
-def test_video_frame_sample_stage():
+def test_video_frame_sample_stage_mjpeg():
+    """REAL video path: MJPEG frames in an AVI container decode through
+    the engine's own JPEG codec; frame refs are exact decoded-pixel
+    hashes (uniform-block frames make the pixels hand-derivable)."""
+    import numpy as np
+
+    from pdf_ray.fixtures.avienc import encode_avi_mjpeg
+    from pdf_ray.fixtures.jpegenc import encode_jpeg
+    from pdf_ray.pdfcore.images import media_ref_for_pixels
+
+    # 6 frames, uniform gray values that round-trip exactly at q=16
+    values = [96, 128, 160, 192, 96, 128]
+    frames = [
+        encode_jpeg(np.full((8, 16), v, np.uint8), qtable=16) for v in values
+    ]
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=5)
+    batch = pa.table(
+        {"media_ref": ["v1"], "video": pa.array([avi], pa.large_binary())}
+    )
+    out = VideoFrameSampleStage(n_frames=3)(batch)
+    assert out.num_rows == 3
+    assert out.column("codec").to_pylist() == ["mjpeg_avi"] * 3
+    assert out.column("frame_index").to_pylist() == [0, 2, 4]
+    assert out.column("n_frames_total").to_pylist() == [6, 6, 6]
+    want = [
+        media_ref_for_pixels(16, 8, bytes([v, v, v]) * (16 * 8))
+        for v in (96, 160, 96)
+    ]
+    assert out.column("frame_ref").to_pylist() == want
+    # identical frames collapse to identical refs
+    assert want[0] == want[2]
+
+
+def test_video_unknown_codec_sentinel():
     batch = pa.table(
         {
             "media_ref": ["v1"],
@@ -111,9 +144,10 @@ def test_video_frame_sample_stage():
         }
     )
     out = VideoFrameSampleStage(n_frames=4)(batch)
-    assert out.num_rows == 4
-    assert out.column("frame_index").to_pylist() == [0, 1, 2, 3]
-    assert all(r.startswith("frame:") for r in out.column("frame_ref").to_pylist())
+    assert out.num_rows == 1
+    assert out.column("codec").to_pylist() == ["unknown"]
+    assert out.column("frame_index").to_pylist() == [-1]
+    assert out.column("frame_ref").to_pylist() == [None]
 
 
 def test_image_blob_pipeline(ray_session):
