@@ -218,3 +218,82 @@ def test_wav_decoder_never_hangs_on_garbage(data):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE" + data)
     except Exception:
         pass
+
+
+@given(
+    bits=st.lists(st.integers(0, 1), min_size=1, max_size=600),
+    nctx=st.integers(1, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_mq_coder_roundtrip_property(bits, nctx):
+    """Any bit sequence over any context assignment must roundtrip
+    through the MQ encoder/decoder pair (independent T.88 Annex E
+    transcriptions)."""
+    import numpy as np
+
+    from pdf_ray.fixtures.jbig2enc import MQEncoder
+    from pdf_ray.pdfcore.jbig2 import MQDecoder
+
+    ctxs = [(i * 7) % nctx for i in range(len(bits))]
+    idx = np.zeros(nctx, np.uint8)
+    mps = np.zeros(nctx, np.uint8)
+    enc = MQEncoder()
+    for b, c in zip(bits, ctxs):
+        enc.encode(int(b), int(c), idx, mps)
+    data = enc.finish()
+    idx2 = np.zeros(nctx, np.uint8)
+    mps2 = np.zeros(nctx, np.uint8)
+    dec = MQDecoder(data)
+    assert [dec.decode(int(c), idx2, mps2) for c in ctxs] == bits
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-5000, 5000),
+            st.sampled_from([0, 3, 4, 19, 20, 83, 84, 339, 340, 4435,
+                             4436, 100000, -4436, None]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jbig2_integer_coding_roundtrip_property(vals):
+    """IAx integer encode/decode roundtrip across every range bucket
+    boundary (T.88 Annex A), including OOB (None)."""
+    from pdf_ray.fixtures.jbig2enc import IntEncoder, MQEncoder
+    from pdf_ray.pdfcore.jbig2 import OOB, IntDecoder, MQDecoder
+
+    enc = MQEncoder()
+    ie = IntEncoder()
+    for v in vals:
+        ie.encode(enc, v)
+    data = enc.finish()
+    dec = MQDecoder(data)
+    id_ = IntDecoder()
+    got = [id_.decode(dec) for _ in vals]
+    want = [OOB if v is None else v for v in vals]
+    assert got == want
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    q=st.sampled_from([1, 7, 16]),
+    al=st.integers(0, 2),
+)
+@settings(max_examples=15, deadline=None)
+def test_progressive_jpeg_equals_sequential_property(w, h, seed, q, al):
+    """Progressive and sequential encodings of the same image decode to
+    identical pixels (same coefficients, same IDCT)."""
+    import numpy as np
+
+    from pdf_ray.fixtures.jpegenc import encode_jpeg, encode_jpeg_progressive
+    from pdf_ray.pdfcore.jpeg import decode_jpeg
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg_progressive(img, qtable=q, al=al)) == (
+        decode_jpeg(encode_jpeg(img, qtable=q))
+    )
