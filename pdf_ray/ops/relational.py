@@ -234,38 +234,71 @@ ANTI_CUTOFF = "2001-01-01"
 
 
 def customers_without_recent_orders(sf_dir: str):
-    """Anti-join: customers with no orders on/after ANTI_CUTOFF. The
-    recent-order custkey set is broadcast (at scale: a Bloom filter) and
-    applied as a vectorized filter inside map_batches — no shuffle. The
-    date filter is pushed into the parquet read."""
-    import pyarrow.compute as pc
+    """Anti-join: customers with no orders on/after ANTI_CUTOFF.
+
+    Shape: partitioned hash ANTI-join — both sides bucket on custkey %% B
+    (B sized from the orders parquet footer), per-bucket vectorized
+    ``~isin`` against that bucket's recent-order keys. The recent-order
+    key set is FACT-scale at TPC-H-100TB, so it is never collected on
+    the driver or broadcast; the date filter is pushed into the parquet
+    read so only matching row groups leave storage. (A Bloom-filter
+    broadcast is the cheaper-but-approximate alternative when a shuffle
+    must be avoided entirely.)"""
     import pyarrow.dataset as pads
-    import ray
     import ray.data as rd
 
+    n_buckets = _join_buckets(sf_dir, "orders")
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["c_custkey"] % n_buckets).astype("int32"),
+                "side": "C",
+                "key": df["c_custkey"].astype("int64"),
+                "c_mktsegment": df["c_mktsegment"],
+            }
+        )
+
+    def tag_recent(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side dedup: one key row per distinct custkey per batch
+        k = df["o_custkey"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "bucket": (k % n_buckets).astype("int32"),
+                "side": "O",
+                "key": k.astype("int64"),
+                "c_mktsegment": None,
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        tag_customer, batch_format="pandas"
+    )
     recent = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pads.field("o_orderdate") >= pd.Timestamp(ANTI_CUTOFF),
-    )
-    key_set = set(recent.unique("o_custkey"))
-    kref = ray.put(key_set)
+    ).map_batches(tag_recent, batch_format="pandas")
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(kref)
-        return df[~df["c_custkey"].isin(ks)][["c_custkey", "c_mktsegment"]]
-
-    out = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        anti, batch_format="pandas"
-    ).to_pandas()
-    if out.empty:  # keep schema stable even when no rows survive
-        out = pd.DataFrame(
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == "C"]
+        seen = g.loc[g["side"] == "O", "key"]
+        keep = c[~c["key"].isin(seen)]
+        return pd.DataFrame(
             {
-                "c_custkey": pd.Series(dtype="int64"),
-                "c_mktsegment": pd.Series(dtype=object),
+                "c_custkey": keep["key"].astype("int64"),
+                "c_mktsegment": keep["c_mktsegment"],
             }
         )
-    return out
+
+    return (
+        cust.union(recent)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: anti_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
 
 
 register(
@@ -493,7 +526,9 @@ def user_sessions(sf_dir: str):
             }
         )
 
-    out = (
+    # returned as a Dataset: the per-user result is fact-scale, so it
+    # must stream to its consumer rather than land on the driver
+    return (
         _read(sf_dir, "events", ["user_id", "ts"])
         .map_batches(tag, batch_format="pandas")
         .groupby("bucket")
@@ -501,10 +536,7 @@ def user_sessions(sf_dir: str):
             lambda g: sessions_bucket(g.drop(columns="bucket")),
             batch_format="pandas",
         )
-        .to_pandas()
     )
-    out = out.astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
-    return out
 
 
 register(
