@@ -750,3 +750,152 @@ register(
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_TAU}
     """,
 )
+
+
+# -- dedup clusters (connected components over near-dup pairs) ---------------
+
+CC_MAX_ITERS = 12
+
+
+def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
+    """Connected components over the exact near-dup pair graph: every
+    document gets a ``cluster_id`` = the smallest doc_id reachable
+    through Jaccard >= tau pairs (singletons cluster with themselves) —
+    pairs are what the dedup queries emit; CLUSTERS are what a corpus
+    pipeline actually consumes (keep one doc per cluster).
+
+    Algorithm: iterative min-label propagation (the BSP / Pregel shape
+    on Ray Data): labels start at doc_id; each round propagates labels
+    across edges with a bucketed hash join keyed on the source node,
+    then a fixed-fan-in groupby-min re-labels; convergence is detected
+    with a one-row Sum aggregate (labels only ever decrease, so an
+    unchanged sum == fixpoint). Each round materializes the label table
+    — one row per doc, the standard per-superstep barrier; everything
+    wide stays a B-bucket shuffle. Diameter of near-dup clusters is
+    tiny, so rounds ~ 2-3 in practice (CC_MAX_ITERS caps adversarial
+    chains; a doubling/pointer-jumping variant is the fix if real
+    corpora ever exceed it)."""
+    from ray.data.aggregate import Sum
+
+    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (src % N_SHINGLE_BUCKETS).astype("int32")
+                ),
+                "side": pa.array(["E"] * len(src), pa.string()),
+                "key": pa.array(src),
+                "dst": pa.array(dst),
+                "label": pa.array(np.zeros(len(src), np.int64)),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table(
+            {"node": pa.array(d), "label": pa.array(d.astype(np.int64))}
+        )
+
+    labels = (
+        _read_documents(sf_dir, ["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((n % N_SHINGLE_BUCKETS).astype("int32")),
+                "side": pa.array(["L"] * len(n), pa.string()),
+                "key": pa.array(n),
+                "dst": pa.array(np.zeros(len(n), np.int64)),
+                "label": t.column("label"),
+            }
+        )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == "L"][["key", "label"]]
+        e = g[g["side"] == "E"][["key", "dst"]]
+        j = e.merge(lab, on="key", how="inner")
+        # candidates: neighbors' labels land on dst; own labels stay
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [j["dst"].to_numpy(), lab["key"].to_numpy()]
+                ).astype("int64"),
+                "label": np.concatenate(
+                    [j["label"].to_numpy(), lab["label"].to_numpy()]
+                ).astype("int64"),
+            }
+        )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    def add_node_bucket(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy()
+        return t.append_column(
+            "nbucket", pa.array((n % N_SHINGLE_BUCKETS).astype("int32"))
+        )
+
+    for _ in range(CC_MAX_ITERS):
+        labels = (
+            edges.union(
+                labels.map_batches(tag_labels, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(
+                lambda g: propagate(g.drop(columns="bucket")),
+                batch_format="pandas",
+            )
+            .map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(
+                lambda g: min_label(g.drop(columns="nbucket")),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = cur_sum
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node"),
+                "cluster_id": t.column("label"),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+register(
+    "dedup_clusters",
+    dedup_clusters,
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIR_SQL}),
+    edges AS (
+      SELECT doc_a a, doc_b b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+    SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)

@@ -213,3 +213,35 @@ def test_minhash_recall_guard_mid_j_pair(ray_session, tmp_path):
     g = {tuple(r) for r in got[["doc_a", "doc_b"]].itertuples(index=False)}
     assert (0, 1) in e  # the corpus does contain a just-above-tau pair
     assert g == e
+
+
+def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
+    """Clustering must close transitively: A~B and B~C land in one
+    cluster even when A and C share nothing (a pair-level dedup cannot
+    see this)."""
+    import numpy as np
+    import pandas as pd
+
+    import pdf_ray.ops.dedup as dd
+    from check_oracles import to_pandas
+
+    w = [f"w{i}" for i in range(40)]
+    texts = {
+        0: " ".join(w[0:20]),        # overlaps 1 heavily
+        1: " ".join(w[9:29]),        # overlaps 0 and 2
+        2: " ".join(w[18:38]),       # overlaps 1; no shared 3-gram w/ 0
+        5: " ".join(f"x{i}" for i in range(30)),  # isolated
+        9: " ".join(f"y{i}" for i in range(30)),  # isolated
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = to_pandas(dd.dedup_clusters(str(tmp_path)))
+    lbl = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert lbl[0] == lbl[1] == lbl[2] == 0  # one chain-cluster, min id
+    assert lbl[5] == 5 and lbl[9] == 9      # singletons self-cluster
+    # sanity: 0 and 2 are NOT a direct pair (the chain did the work)
+    pairs = to_pandas(dd.dedup_ngram_jaccard(str(tmp_path)))
+    direct = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 2) not in direct and (0, 1) in direct and (1, 2) in direct
