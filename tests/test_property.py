@@ -297,3 +297,55 @@ def test_progressive_jpeg_equals_sequential_property(w, h, seed, q, al):
     assert decode_jpeg(encode_jpeg_progressive(img, qtable=q, al=al)) == (
         decode_jpeg(encode_jpeg(img, qtable=q))
     )
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_interpreter_never_crashes_on_garbage_content(data):
+    """Random bytes as a page content stream must either interpret or
+    raise PdfParseError — never crash with another exception type or
+    hang (row-level poison containment depends on this)."""
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.interp import extract_spans
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    # keep the *document* well-formed; only the content stream is fuzzed
+    pdf = simple_page_pdf(b"BT (ok) Tj ET")
+    marker = b"BT (ok) Tj ET"
+    assert marker in pdf
+    fuzzed = pdf.replace(marker, data[:13].ljust(13, b" "), 1)
+    try:
+        extract_spans(fuzzed)
+    except PdfParseError:
+        pass
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            [b"BT", b"ET", b"q", b"Q", b"(x) Tj", b"[(a) 5 (b)] TJ",
+             b"1 0 0 1 5 5 cm", b"/F1 9 Tf", b"3 Tc", b"(y) '",
+             b"1 2 (z) \"", b"7 8 Td", b"T*", b"BI /W 1 /H 1 ID \x00 EI",
+             b"/MC BMC", b"EMC", b"9 9 m", b"f", b"<41> Tj"]
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_interpreter_operator_soup(ops):
+    """Arbitrary sequences of real operators (possibly ill-nested BT/ET,
+    q/Q, BMC/EMC) must interpret without crashing; emitted spans are
+    always a subsequence of the Tj/TJ/'/\" payloads."""
+    from pdf_ray.fixtures.builder import simple_page_pdf
+    from pdf_ray.pdfcore.interp import extract_spans
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    content = b" ".join(ops)
+    pdf = simple_page_pdf(content)
+    try:
+        spans, _ = extract_spans(pdf)
+    except PdfParseError:
+        return
+    texts = [t for k, t, *_ in spans if k == "text"]
+    assert all(t in ("x", "ab", "y", "z", "A", "a", "b") for t in texts)
