@@ -459,3 +459,114 @@ register(
     FROM documents
     """,
 )
+
+
+# -- distinctive terms per language (TF-IDF shape, integer-scored) -----------
+
+TFIDF_TOP_K = 5
+_TFIDF_BUCKETS = 64
+
+
+def distinctive_terms(sf_dir: str):
+    """Per-language distinctive terms — the TF-IDF shape with a pure-
+    integer score (``tf * 100000 // df_all``) so ranking is bit-stable
+    across engines. df_all (docs containing the term, any language) is
+    computable inside the term's bucket because each doc has exactly one
+    language: df_all = sum of per-language partial dfs.
+
+    Shape: per-batch pandas explode + partial (lang, token) aggregates
+    -> bucket = hash(token) %% B reduce (token colocation makes both tf
+    and df_all local) -> per-bucket per-language top-K -> tiny driver
+    merge of B x langs x K rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "lang": df["lang"],
+                    "token": df["text"].str.lower().str.split(" "),
+                }
+            )
+            .explode("token")
+        )
+        tf = ex.groupby(["lang", "token"], as_index=False).agg(
+            p_tf=("doc_id", "size")
+        )
+        dfl = (
+            ex.drop_duplicates(["doc_id", "token"])
+            .groupby(["lang", "token"], as_index=False)
+            .agg(p_df=("doc_id", "size"))
+        )
+        out = tf.merge(dfl, on=["lang", "token"])
+        out["bucket"] = (
+            out["token"].map(hash_token) % _TFIDF_BUCKETS
+        ).astype("int32")
+        return out
+
+    def hash_token(t: str) -> int:
+        import hashlib as _hl
+
+        return int.from_bytes(_hl.md5(t.encode()).digest()[:4], "little")
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["lang", "token"], as_index=False).agg(
+            tf=("p_tf", "sum"), df_lang=("p_df", "sum")
+        )
+        df_all = agg.groupby("token")["df_lang"].sum().rename("df_all")
+        agg = agg.merge(df_all, left_on="token", right_index=True)
+        agg["score"] = agg["tf"] * 100000 // agg["df_all"]
+        agg = agg.sort_values(
+            ["lang", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return agg.groupby("lang", as_index=False).head(TFIDF_TOP_K)[
+            ["lang", "token", "tf", "df_all", "score"]
+        ]
+
+    out = (
+        _read_documents(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_top(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= B x langs x K rows: tiny
+        .sort_values(
+            ["lang", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+    )
+    top = out.groupby("lang", as_index=False).head(TFIDF_TOP_K).copy()
+    top["rank"] = top.groupby("lang").cumcount() + 1
+    return top[["lang", "rank", "token", "tf", "df_all", "score"]].astype(
+        {"tf": "int64", "df_all": "int64", "score": "int64", "rank": "int64"}
+    ).reset_index(drop=True)
+
+
+register(
+    "distinctive_terms",
+    distinctive_terms,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (SELECT lang, token, count(*) tf FROM tok GROUP BY 1, 2),
+    dfall AS (SELECT token, count(DISTINCT doc_id) df_all
+              FROM tok GROUP BY 1),
+    scored AS (
+      SELECT lang, t.token, tf, df_all, tf * 100000 // df_all AS score
+      FROM tf t JOIN dfall USING (token)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY score DESC, token) rn
+      FROM scored)
+    SELECT lang, rn::BIGINT AS rank, token, tf::BIGINT AS tf,
+           df_all::BIGINT AS df_all, score::BIGINT AS score
+    FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+)

@@ -37,6 +37,7 @@ SUBSET = [
     "redact_terms",
     "signup_view_purchase_funnel",
     "stratified_sample",
+    "distinctive_terms",
 ]
 
 
