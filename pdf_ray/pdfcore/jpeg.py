@@ -286,6 +286,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 1, planes[0].astype(np.uint8).tobytes()
     if len(planes) == 4:
         return w, h, 3, _cmyk_to_rgb(planes, adobe_transform)
+    if adobe_transform == 0:
+        # APP14 transform 0 on a 3-component frame: the samples ARE RGB
+        # (Adobe writers; no YCbCr inverse to apply)
+        rgb = np.stack([p.astype(np.uint8) for p in planes], axis=-1)
+        return w, h, 3, rgb.tobytes()
     y, cb, cr = (p.astype(np.float64) for p in planes)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

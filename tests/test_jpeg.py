@@ -196,3 +196,18 @@ def test_cmyk_no_adobe_marker_direct_ink():
     w, h, nc, px = decode_jpeg(encode_jpeg_components([zero, zero, zero, k], qtable=8))
     arr = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
     assert (arr == 0).all()
+
+
+def test_rgb_adobe_transform0_no_color_transform():
+    """APP14 transform 0 on a 3-component frame means the samples are
+    stored RGB — no YCbCr inverse must be applied."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_components
+
+    r = np.full((8, 8), 200.0)
+    g = np.full((8, 8), 100.0)
+    b = np.full((8, 8), 50.0)
+    w, h, nc, px = decode_jpeg(
+        encode_jpeg_components([r, g, b], qtable=8, adobe_transform=0)
+    )
+    arr = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
+    assert (arr == [200, 100, 50]).all()
