@@ -1414,3 +1414,98 @@ register(
     SELECT doc_id, lang FROM h WHERE hv * 100 // 65536 < pct
     """,
 )
+
+
+# -- retention cohorts --------------------------------------------------------
+
+RETENTION_MAX_WEEKS = 8
+
+
+def retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by the week of their FIRST
+    signup; for each cohort, how many were active (any event) in week
+    w0+k. The training-analytics staple alongside the funnel.
+
+    Shape: bucket = user_id %% B -> per-bucket vectorized cohort
+    computation (signup-min, Monday-start week floor, distinct
+    (user, offset), partial counts per (cohort_week, offset)) -> small
+    Sum reduce (cohorts x offsets keys)."""
+    from ray.data.aggregate import Sum
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (df["user_id"] % N_STREAM_BUCKETS).astype("int32"),
+                "user_id": df["user_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "ts": df["ts"],
+            }
+        )
+
+    def week_floor(ts: pd.Series) -> pd.Series:
+        return ts.dt.normalize() - pd.to_timedelta(ts.dt.weekday, unit="D")
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        su = g[g["event_type"] == "signup"]
+        if su.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series(dtype=object),
+                    "week_offset": pd.Series(dtype="int64"),
+                    "p_users": pd.Series(dtype="int64"),
+                }
+            )
+        w0 = week_floor(su.groupby("user_id")["ts"].min()).rename("w0")
+        e = g.merge(w0, left_on="user_id", right_index=True)
+        wk = (week_floor(e["ts"]) - e["w0"]).dt.days // 7
+        e = pd.DataFrame(
+            {"user_id": e["user_id"], "w0": e["w0"], "wk": wk.astype("int64")}
+        )
+        e = e[(e["wk"] >= 0) & (e["wk"] <= RETENTION_MAX_WEEKS)]
+        d = e.drop_duplicates(["user_id", "wk"])
+        out = d.groupby(["w0", "wk"], as_index=False).agg(
+            p_users=("user_id", "size")
+        )
+        return pd.DataFrame(
+            {
+                "cohort_week": out["w0"].dt.strftime("%Y-%m-%d"),
+                "week_offset": out["wk"].astype("int64"),
+                "p_users": out["p_users"].astype("int64"),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: cohort_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("p_users", alias_name="n_users"))
+        .to_pandas()  # cohorts x offsets: tiny
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["week_offset"] = out["week_offset"].astype("int64")
+    return out
+
+
+register(
+    "retention_cohorts",
+    retention_cohorts,
+    f"""
+    WITH su AS (
+      SELECT user_id, date_trunc('week', min(ts)) w0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id, su.w0,
+             ((epoch(date_trunc('week', e.ts)) - epoch(su.w0))
+              / 604800)::INT wk
+      FROM events e JOIN su USING (user_id))
+    SELECT strftime(w0, '%Y-%m-%d') AS cohort_week, wk::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM act WHERE wk >= 0 AND wk <= {RETENTION_MAX_WEEKS}
+    GROUP BY 1, 2
+    """,
+)

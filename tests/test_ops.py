@@ -38,6 +38,7 @@ SUBSET = [
     "signup_view_purchase_funnel",
     "stratified_sample",
     "distinctive_terms",
+    "retention_cohorts",
 ]
 
 
