@@ -195,8 +195,10 @@ def load_font(doc, font_dict: dict, cache=None) -> FontInfo:
             font = _cached_parse(cache, prog, parse_cff)
 
             def cff_width(code: int) -> float:
-                # no charset mapping: identity gid (fixture-grade)
-                w = font.width(code)
+                # code -> GID through the CFF's own Encoding + charset
+                # (Standard-encoding default resolved via SIDs); fonts
+                # with no encoding data keep the identity fallback
+                w = font.width_for_code(code)
                 return w if w is not None else missing
 
             return FontInfo(subtype, 1, cff_width, tounicode, encoding)

@@ -127,13 +127,106 @@ def _t2_width(cs: bytes, default_w: float, nominal_w: float) -> float:
 
 
 class CffFont:
-    def __init__(self, widths_by_gid: list[float]):
+    def __init__(
+        self,
+        widths_by_gid: list[float],
+        code_to_gid: dict[int, int] | None = None,
+    ):
         self.widths_by_gid = widths_by_gid
+        # byte code -> GID from the CFF's own Encoding + charset; None
+        # means identity (no encoding data in the font)
+        self.code_to_gid = code_to_gid
+
+    def gid_for_code(self, code: int) -> int:
+        if self.code_to_gid is not None:
+            return self.code_to_gid.get(code, 0)
+        return code
 
     def width(self, gid: int) -> float | None:
         if 0 <= gid < len(self.widths_by_gid):
             return self.widths_by_gid[gid]
         return None
+
+    def width_for_code(self, code: int) -> float | None:
+        return self.width(self.gid_for_code(code))
+
+
+def _parse_charset(data: bytes, off: int, n_glyphs: int) -> list[int]:
+    """charset -> sid_by_gid (CFF spec §13). Offsets 0-2 are the
+    predefined charsets (ISOAdobe/Expert/ExpertSubset) — ISOAdobe is
+    SID == GID and the Expert ones are treated the same way (widths-only
+    approximation); formats 0/1/2 cover embedded charsets."""
+    if off in (0, 1, 2):
+        return list(range(n_glyphs))
+    sids = [0]
+    fmt = data[off]
+    pos = off + 1
+    if fmt == 0:
+        for _ in range(n_glyphs - 1):
+            sids.append(int.from_bytes(data[pos : pos + 2], "big"))
+            pos += 2
+    elif fmt in (1, 2):
+        nleft_size = 1 if fmt == 1 else 2
+        while len(sids) < n_glyphs:
+            first = int.from_bytes(data[pos : pos + 2], "big")
+            nleft = int.from_bytes(data[pos + 2 : pos + 2 + nleft_size], "big")
+            pos += 2 + nleft_size
+            for k in range(nleft + 1):
+                if len(sids) < n_glyphs:
+                    sids.append(first + k)
+    else:  # predefined Expert charsets etc.: fall back to identity
+        return list(range(n_glyphs))
+    return sids
+
+
+def _parse_encoding(
+    data: bytes, off: int, sid_by_gid: list[int]
+) -> dict[int, int] | None:
+    """Encoding -> code_to_gid (CFF spec §12). Offset 0 = Standard
+    (codes 32..126 are SIDs 1..95 in order, resolved through the
+    charset); formats 0/1 assign codes to glyphs in GID order;
+    supplements map extra codes by SID."""
+    sid2gid = {s: g for g, s in enumerate(sid_by_gid)}
+    if off == 0:  # Standard encoding
+        out = {}
+        for code in range(32, 127):
+            gid = sid2gid.get(code - 31)
+            if gid is not None:
+                out[code] = gid
+        return out
+    if off == 1:  # Expert encoding: not carried; identity fallback
+        return None
+    fmt = data[off]
+    pos = off + 1
+    out = {}
+    if fmt & 0x7F == 0:
+        n_codes = data[pos]
+        pos += 1
+        for gid in range(1, n_codes + 1):
+            out[data[pos]] = gid
+            pos += 1
+    elif fmt & 0x7F == 1:
+        n_ranges = data[pos]
+        pos += 1
+        gid = 1
+        for _ in range(n_ranges):
+            first, nleft = data[pos], data[pos + 1]
+            pos += 2
+            for k in range(nleft + 1):
+                out[first + k] = gid
+                gid += 1
+    else:
+        return None
+    if fmt & 0x80:  # supplements
+        n_sups = data[pos]
+        pos += 1
+        for _ in range(n_sups):
+            code = data[pos]
+            sid = int.from_bytes(data[pos + 1 : pos + 3], "big")
+            pos += 3
+            if sid in sid2gid:
+                out[code] = sid2gid[sid]
+    return out
 
 
 def parse_cff(data: bytes) -> CffFont:
@@ -153,4 +246,14 @@ def parse_cff(data: bytes) -> CffFont:
         default_w = float(priv.get(20, [0.0])[0])
         nominal_w = float(priv.get(21, [0.0])[0])
     widths = [_t2_width(cs, default_w, nominal_w) for cs in charstrings]
-    return CffFont(widths)
+    code_to_gid = None
+    try:
+        sid_by_gid = _parse_charset(
+            data, int(top.get(15, [0])[0]), len(charstrings)
+        )
+        code_to_gid = _parse_encoding(
+            data, int(top.get(16, [0])[0]), sid_by_gid
+        )
+    except Exception:
+        code_to_gid = None  # malformed tables: identity fallback
+    return CffFont(widths, code_to_gid)

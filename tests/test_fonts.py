@@ -348,3 +348,48 @@ def test_predefined_legacy_cmap_codecs():
             predefined_cmap_info(name)
     with pytest.raises(PdfParseError):
         predefined_cmap_info("NotACMap-H")
+
+
+def test_cff_charset_and_encoding_mapping():
+    """code -> GID resolution through the CFF's own charset + Encoding
+    tables (formats 0/1, supplements, Standard default)."""
+    from pdf_ray.pdfcore.fonts.cff import (
+        CffFont,
+        _parse_charset,
+        _parse_encoding,
+    )
+
+    pad = b"\x00\x00\x00"  # real offsets are > 2 (0-2 are predefined)
+
+    # charset format 0: GIDs 1..3 -> SIDs 5, 9, 100
+    cs = bytes([0]) + (5).to_bytes(2, "big") + (9).to_bytes(2, "big") + (
+        100
+    ).to_bytes(2, "big")
+    assert _parse_charset(cs, 0, 4) == [0, 1, 2, 3]  # predefined: identity
+    assert _parse_charset(pad + cs, 3, 4) == [0, 5, 9, 100]
+
+    # charset format 1: range first=20 nLeft=2 -> SIDs 20,21,22
+    cs1 = bytes([1, 0, 20, 2])
+    assert _parse_charset(pad + cs1, 3, 4) == [0, 20, 21, 22]
+
+    # encoding format 0: codes 65, 66 -> GIDs 1, 2
+    enc0 = bytes([0, 2, 65, 66])
+    sid_by_gid = [0, 1, 2]
+    m = _parse_encoding(pad + enc0, 3, sid_by_gid)
+    assert m == {65: 1, 66: 2}
+
+    # encoding format 1 with supplement (0x80 flag): range 48..50 ->
+    # GIDs 1..3; supplement maps code 200 to the glyph with SID 2
+    enc1 = bytes([0x81, 1, 48, 2, 1, 200]) + (2).to_bytes(2, "big")
+    m = _parse_encoding(pad + enc1, 3, [0, 7, 2, 9])
+    assert m[48] == 1 and m[49] == 2 and m[50] == 3 and m[200] == 2
+
+    # Standard encoding default: code 'A' (65) -> SID 34 -> that GID
+    sid_by_gid = [0] + list(range(1, 96))  # identity-ish charset
+    m = _parse_encoding(b"", 0, sid_by_gid)
+    assert m[32] == 1      # space = SID 1
+    assert m[65] == 34     # A = SID 34
+
+    f = CffFont([100.0, 200.0, 300.0], {65: 2})
+    assert f.width_for_code(65) == 300.0
+    assert f.gid_for_code(99) == 0  # unmapped -> .notdef
