@@ -1509,3 +1509,61 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# -- supplier stats per region (dimension-chain broadcast join) ---------------
+
+
+def suppliers_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region, per-region supplier counts + exact
+    account-balance sum. nation (25 rows) and region (5 rows) are the
+    GENUINELY tiny dimensions — the one case where a ``ray.put``
+    broadcast join is the right call at any scale; supplier streams
+    through map_batches partials into a 5-key reduce."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2name_ = ray.get(ref)
+        rname = df["s_nationkey"].map(n2r_).map(r2name_)
+        g = pd.DataFrame(
+            {"r_name": rname, "bal_c": _cents(df["s_acctbal"])}
+        ).groupby("r_name", as_index=False).agg(
+            p_bal_c=("bal_c", "sum"), p_n=("bal_c", "count")
+        )
+        return g
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("p_n", alias_name="n_suppliers"),
+            Sum("p_bal_c", alias_name="sum_acctbal"),
+        )
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["sum_acctbal"] = _cents_to_f64(out["sum_acctbal"])
+    return out
+
+
+register(
+    "suppliers_by_region",
+    suppliers_by_region,
+    """
+    SELECT r_name, count(*)::BIGINT AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)

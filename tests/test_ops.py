@@ -39,6 +39,7 @@ SUBSET = [
     "stratified_sample",
     "distinctive_terms",
     "retention_cohorts",
+    "suppliers_by_region",
 ]
 
 
