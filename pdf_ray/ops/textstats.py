@@ -570,3 +570,51 @@ register(
     FROM ranked WHERE rn <= {TFIDF_TOP_K}
     """,
 )
+
+
+# -- BPE-style regex tokenization (system brief: "whitespace + a BPE-ish
+#    regex") -----------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the ASCII classes both Python
+# re and DuckDB's RE2 interpret identically (no lookahead, no \p classes):
+# a leading optional space binds to the following letter/digit/symbol run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_stats(sf_dir: str):
+    """Per-doc token counts under BOTH tokenizers the brief names:
+    whitespace split and the BPE-ish pre-tokenizer regex (compiled once
+    per actor batch; vectorized str.count does the matching)."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_ws_tokens": df["text"].str.split(" ").map(len).astype(
+                    "int64"
+                ),
+                "n_bpe_tokens": [
+                    len(pat.findall(t)) for t in df["text"]
+                ],
+            }
+        ).astype({"n_bpe_tokens": "int64"})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+
+register(
+    "bpe_token_stats",
+    bpe_token_stats,
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)

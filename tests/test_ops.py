@@ -40,6 +40,7 @@ SUBSET = [
     "distinctive_terms",
     "retention_cohorts",
     "suppliers_by_region",
+    "bpe_token_stats",
 ]
 
 
