@@ -323,6 +323,8 @@ def encode_symbol_dict_and_text(
     region_h: int,
     template: int = 0,
     refcorner: int = 1,
+    log_strips: int = 0,
+    transposed: bool = False,
 ) -> bytes:
     """PDF-embedded JBIG2: page info + symbol dictionary (all symbols
     exported) + one immediate text region placing ``placements`` =
@@ -369,25 +371,38 @@ def encode_symbol_dict_and_text(
 
     # --- text region segment payload
     mq = MQEncoder()
-    iadt, iafs, iads = IntEncoder(), IntEncoder(), IntEncoder()
+    iadt, iafs, iads, iait = (
+        IntEncoder(), IntEncoder(), IntEncoder(), IntEncoder(),
+    )
     symcodelen = max(1, (max(1, nsyms) - 1).bit_length())
     iaid = IaidEncoder(symcodelen)
-    # group placements into strips by encoded T (strips=1: stript == T);
-    # bottom corners (0=BL, 2=BR) pin T to the instance's BOTTOM edge
-    strips: dict[int, list[tuple[int, int]]] = {}
+    # group placements into strips; bottom corners (0=BL, 2=BR) pin T to
+    # the instance's BOTTOM edge; right corners pin T's horizontal twin
+    # when transposed. With strips > 1 each strip holds STRIPT..+strips-1
+    # and per-instance CURT carries the offset (IAIT-coded).
+    n_strips = 1 << log_strips
+    strips: dict[int, list[tuple[int, int, int]]] = {}
     for sym_id, s, t in placements:
-        if refcorner in (0, 2):
-            t = t + symbols[sym_id].shape[0] - 1
-        strips.setdefault(t, []).append((s, sym_id))
+        if transposed:
+            # S runs vertically, T horizontally; swap roles on entry
+            s, t = t, s
+            if refcorner in (2, 3):  # *RIGHT pins t to the right edge
+                t = t + symbols[sym_id].shape[1] - 1
+        else:
+            if refcorner in (0, 2):
+                t = t + symbols[sym_id].shape[0] - 1
+        base = (t // n_strips) * n_strips
+        strips.setdefault(base, []).append((s, sym_id, t - base))
     iadt.encode(mq, 0)  # initial STRIPT = -0
     stript = 0
     firsts = 0  # FIRSTS accumulates ACROSS strips (6.4.5 step 3b)
-    for t in sorted(strips):
-        iadt.encode(mq, t - stript)
-        stript = t
-        insts = sorted(strips[t])
+    for base in sorted(strips):
+        assert (base - stript) % n_strips == 0
+        iadt.encode(mq, (base - stript) // n_strips)
+        stript = base
+        insts = sorted(strips[base])
         curs = 0
-        for j, (s, sym_id) in enumerate(insts):
+        for j, (s, sym_id, curt) in enumerate(insts):
             if j == 0:
                 iafs.encode(mq, s - firsts)
                 firsts = s
@@ -395,8 +410,15 @@ def encode_symbol_dict_and_text(
             else:
                 iads.encode(mq, s - curs)
                 curs = s
+            if n_strips > 1:
+                iait.encode(mq, curt)
             iaid.encode(mq, sym_id)
-            curs += symbols[sym_id].shape[1] - 1
+            adv = (
+                symbols[sym_id].shape[0]
+                if transposed
+                else symbols[sym_id].shape[1]
+            )
+            curs += adv - 1
         iads.encode(mq, None)  # OOB ends the strip
     tr_data = mq.finish()
 
@@ -404,9 +426,14 @@ def encode_symbol_dict_and_text(
     tr += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
     tr += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
     tr += bytes([0])  # region comb op OR
-    # SBFLAGS: huff=0, refine=0, logstrips=0, refcorner as given,
-    # transposed=0, combop=OR, defpixel=0, dsoffset=0, rtemplate=0
-    tr += ((refcorner & 3) << 4).to_bytes(2, "big")
+    # SBFLAGS: huff=0, refine=0, logstrips/refcorner/transposed as
+    # given, combop=OR, defpixel=0, dsoffset=0, rtemplate=0
+    flags = (
+        ((log_strips & 3) << 2)
+        | ((refcorner & 3) << 4)
+        | ((1 if transposed else 0) << 6)
+    )
+    tr += flags.to_bytes(2, "big")
     tr += len(placements).to_bytes(4, "big")
     tr += tr_data
 

@@ -234,3 +234,45 @@ def test_symbol_dict_huffman_raises():
     payload = (1).to_bytes(2, "big") + b"\x00" * 16  # SDHUFF=1
     with pytest.raises(PdfParseError):
         decode_symbol_dictionary(payload, [])
+
+
+@pytest.mark.parametrize("log_strips", [1, 2])
+def test_text_region_multi_strip(log_strips):
+    """SBSTRIPS > 1: per-instance CURT offsets are IAIT-coded; varied T
+    coordinates within a strip must land exactly."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+
+    T, L = _glyphs()
+    placements = [(0, 1, 1), (1, 8, 2), (0, 15, 3), (1, 2, 9), (0, 9, 8)]
+    stream = encode_symbol_dict_and_text(
+        [T, L], placements, 24, 16, log_strips=log_strips
+    )
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(16, -1), axis=1
+    )[:, :24]
+    page = np.zeros((16, 24), np.uint8)
+    for sid, s, t in placements:
+        page[t : t + 5, s : s + 5] |= (T, L)[sid]
+    assert (rows == 1 - page).all()
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+def test_text_region_transposed(refcorner):
+    """TRANSPOSED=1: S runs vertically, T horizontally; every reference
+    corner must still place the glyphs at the same page positions."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+
+    T, L = _glyphs()
+    placements = [(0, 2, 1), (1, 3, 9), (0, 9, 4)]
+    stream = encode_symbol_dict_and_text(
+        [T, L], placements, 16, 15, refcorner=refcorner, transposed=True
+    )
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(15, -1), axis=1
+    )[:, :16]
+    page = np.zeros((15, 16), np.uint8)
+    for sid, s, t in placements:
+        page[t : t + 5, s : s + 5] |= (T, L)[sid]
+    assert (rows == 1 - page).all()
