@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_outlines": p.pdf_outlines,
         "pdf_actualtext_spans": p.pdf_actualtext_spans,
         "pdf_extract_recovered": p.pdf_extract_recovered,
+        "pdf_span_text_dedup": p.pdf_span_text_dedup,
     }
     q.update(registry.QUERIES)
     return q

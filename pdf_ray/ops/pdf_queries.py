@@ -346,6 +346,49 @@ def pdf_extract_metrics(sf_dir: str | None = None):
     )
 
 
+def pdf_span_text_dedup(sf_dir: str | None = None):
+    """Composition demo: the EXTRACTION pipeline chained straight into
+    the DEDUP family — text spans grouped by content with span and
+    distinct-document counts (the "which boilerplate strings repeat
+    across the corpus" question). Per-batch partials (text, doc_id,
+    count) -> bucket = hash(text) %% B reduce with a vectorized
+    nunique."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from ..pipelines.extract import explode_spans
+
+    N_B = 32
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "text"]
+        g = df.groupby(["text", "doc_id"], as_index=False).agg(
+            p_spans=("order", "size")
+        )
+        g["bucket"] = [
+            int.from_bytes(_hl.md5(t.encode()).digest()[:4], "little") % N_B
+            for t in g["text"]
+        ]
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", as_index=False).agg(
+            n_spans=("p_spans", "sum"), n_docs=("doc_id", "nunique")
+        )
+        return out.astype({"n_spans": "int64", "n_docs": "int64"})
+
+    return (
+        explode_spans(_load())
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: combine(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
 GOLDEN = os.path.join(FIXTURES_DIR, "golden.parquet")
 
 GOLDEN_UNICODE = os.path.join(FIXTURES_DIR, "golden_unicode.parquet")
@@ -384,6 +427,13 @@ PDF_ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+PDF_ORACLE_SQL["pdf_span_text_dedup"] = f"""
+    SELECT s.text AS text, count(*)::BIGINT AS n_spans,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{GOLDEN}'))
+    WHERE s.kind = 'text'
+    GROUP BY 1
+"""
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
 PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()
