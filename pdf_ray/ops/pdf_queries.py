@@ -351,8 +351,10 @@ def pdf_span_text_dedup(sf_dir: str | None = None):
     the DEDUP family — text spans grouped by content with span and
     distinct-document counts (the "which boilerplate strings repeat
     across the corpus" question). Per-batch partials (text, doc_id,
-    count) -> bucket = hash(text) %% B reduce with a vectorized
-    nunique."""
+    count) -> bucket = hash(text) %% B reduce with a vectorized nunique.
+    The group key is emitted as md5(text): content-addressed like the
+    other dedup outputs (raw span text with control bytes also trips
+    engine-dependent string collation in value comparison)."""
     import hashlib as _hl
 
     import pandas as pd
@@ -376,7 +378,12 @@ def pdf_span_text_dedup(sf_dir: str | None = None):
         out = g.groupby("text", as_index=False).agg(
             n_spans=("p_spans", "sum"), n_docs=("doc_id", "nunique")
         )
-        return out.astype({"n_spans": "int64", "n_docs": "int64"})
+        out["text_md5"] = [
+            _hl.md5(t.encode()).hexdigest() for t in out["text"]
+        ]
+        return out[["text_md5", "n_spans", "n_docs"]].astype(
+            {"n_spans": "int64", "n_docs": "int64"}
+        )
 
     return (
         explode_spans(_load())
@@ -428,7 +435,7 @@ PDF_ORACLE_SQL = {
     """,
 }
 PDF_ORACLE_SQL["pdf_span_text_dedup"] = f"""
-    SELECT s.text AS text, count(*)::BIGINT AS n_spans,
+    SELECT md5(s.text) AS text_md5, count(*)::BIGINT AS n_spans,
            count(DISTINCT doc_id)::BIGINT AS n_docs
     FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{GOLDEN}'))
     WHERE s.kind = 'text'
