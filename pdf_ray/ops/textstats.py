@@ -618,3 +618,58 @@ register(
     FROM documents
     """,
 )
+
+
+# -- rolling-window content fingerprint (winnowing-style) --------------------
+
+FP_WINDOW = 32
+FP_STRIDE = 4
+
+
+def doc_rolling_fingerprint(sf_dir: str):
+    """Shift-robust content fingerprint (the brief's rolling-hash
+    fingerprinting): hash every FP_WINDOW-char window at FP_STRIDE
+    offsets and keep the MINIMUM — the 1-fingerprint winnowing sketch.
+    Unlike the exact md5 (`doc_fingerprint`), this survives local edits
+    outside the minimizing window, so near-identical revisions collide.
+    Short docs (< window) hash whole-text."""
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df["text"]:
+            n = len(t)
+            if n <= FP_WINDOW:
+                out.append(hashlib.md5(t.encode()).hexdigest())
+                continue
+            out.append(
+                min(
+                    hashlib.md5(
+                        t[i : i + FP_WINDOW].encode()
+                    ).hexdigest()
+                    for i in range(0, n - FP_WINDOW + 1, FP_STRIDE)
+                )
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "fingerprint": out}
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pandas"
+    )
+
+
+register(
+    "doc_rolling_fingerprint",
+    doc_rolling_fingerprint,
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(text) <= {FP_WINDOW} THEN md5(text)
+                ELSE list_aggregate(
+                    list_transform(
+                        range(1, len(text) - {FP_WINDOW} + 2, {FP_STRIDE}),
+                        i -> md5(substr(text, i, {FP_WINDOW}))),
+                    'min')
+           END AS fingerprint
+    FROM documents
+    """,
+)

@@ -41,6 +41,7 @@ SUBSET = [
     "retention_cohorts",
     "suppliers_by_region",
     "bpe_token_stats",
+    "doc_rolling_fingerprint",
 ]
 
 
@@ -249,3 +250,25 @@ def test_dedup_clusters_transitive_chain(ray_session, tmp_path):
     pairs = to_pandas(dd.dedup_ngram_jaccard(str(tmp_path)))
     direct = {tuple(r) for r in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
     assert (0, 2) not in direct and (0, 1) in direct and (1, 2) in direct
+
+
+def test_rolling_fingerprint_survives_local_edit(ray_session, tmp_path):
+    """Edits outside the minimizing window keep the fingerprint; the
+    exact md5 fingerprint changes — the property that makes the rolling
+    sketch a near-dup key."""
+    import pandas as pd
+
+    import pdf_ray.ops.textstats as ts
+    from check_oracles import to_pandas
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    edited = base[:-10] + "CHANGED!!!"  # tail edit, far from most windows
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base, edited]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    roll = to_pandas(ts.doc_rolling_fingerprint(str(tmp_path)))
+    exact = to_pandas(ts.doc_fingerprint(str(tmp_path)))
+    r = dict(zip(roll["doc_id"], roll["fingerprint"]))
+    e = dict(zip(exact["doc_id"], exact["fingerprint"]))
+    assert r[1] == r[2]      # rolling sketch collides for the revision
+    assert e[1] != e[2]      # exact fingerprint separates them
