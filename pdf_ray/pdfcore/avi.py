@@ -49,7 +49,8 @@ def parse_avi(data: bytes) -> tuple[int, int, list[bytes]]:
                     _parse_strl(body0 + 4, body1)
                     stream_count += 1
                 else:
-                    walk(body0 + 4, body1, subtype == b"movi")
+                    # 'rec ' LISTs group frames INSIDE movi: stay in-movi
+                    walk(body0 + 4, body1, in_movi or subtype == b"movi")
             elif in_movi and len(fourcc) == 4 and fourcc[2:4] in (
                 b"dc", b"db"
             ):

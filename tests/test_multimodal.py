@@ -188,3 +188,30 @@ def test_image_blob_pipeline(ray_session):
     }
     assert sizes[IMG_REF] == (4, 3)
     assert sizes[IDX_REF] == (4, 2)
+
+
+def test_avi_rec_list_grouped_frames():
+    """Frames wrapped in 'rec ' LISTs inside movi (the interleaved-AVI
+    convention) must still be found."""
+    import numpy as np
+
+    from pdf_ray.fixtures.avienc import _chunk, _list, encode_avi_mjpeg
+    from pdf_ray.fixtures.jpegenc import encode_jpeg
+    from pdf_ray.pdfcore.avi import parse_avi
+
+    frames = [
+        encode_jpeg(np.full((8, 8), v, np.uint8), qtable=16)
+        for v in (96, 160)
+    ]
+    # rebuild the container with each 00dc chunk wrapped in a 'rec ' list
+    plain = encode_avi_mjpeg(frames, 8, 8)
+    movi = _list(
+        b"movi",
+        b"".join(_list(b"rec ", _chunk(b"00dc", f)) for f in frames),
+    )
+    head = plain[12 : plain.rfind(b"LIST", 0, plain.rfind(b"movi"))]
+    body = b"AVI " + head + movi
+    rebuilt = b"RIFF" + len(body).to_bytes(4, "little") + body
+    w, h, got = parse_avi(rebuilt)
+    assert (w, h) == (8, 8)
+    assert got == frames
