@@ -457,3 +457,78 @@ def _segment_ref(
     head += bytes([page])
     head += len(payload).to_bytes(4, "big")
     return head + payload
+
+
+# -- refinement region encoding (T.88 6.3) -----------------------------------
+
+from ..pdfcore.jbig2 import GR_AT_NOMINAL, GR_TEMPLATES  # noqa: E402
+
+
+def encode_refinement_region_data(
+    target: np.ndarray,
+    reference: np.ndarray,
+    template: int = 0,
+    at: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """MQ-coded refinement data — exact inverse of
+    pdfcore.jbig2.decode_refinement_region (TPGRON off)."""
+    h, w = target.shape
+    if at is None:
+        at = GR_AT_NOMINAL
+    coding, ref_tmpl = GR_TEMPLATES[template]
+    if template == 0:
+        coding = sorted(coding + [tuple(at[0])], key=lambda p: (p[1], p[0]))
+        ref_tmpl = sorted(
+            ref_tmpl + [tuple(at[1])], key=lambda p: (p[1], p[0])
+        )
+    nbits = len(coding) + len(ref_tmpl)
+    idx = bytearray(1 << nbits)
+    mps = bytearray(1 << nbits)
+    enc = MQEncoder()
+    rh, rw = reference.shape
+    tgt = [[int(v) for v in r] for r in target]
+    ref = [[int(v) for v in r] for r in reference]
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dx, dy in coding:
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < w and 0 <= yy < h and (
+                    yy < y or (yy == y and xx < x)
+                ):
+                    ctx = (ctx << 1) | tgt[yy][xx]
+                else:
+                    ctx <<= 1
+            for dx, dy in ref_tmpl:
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < rw and 0 <= yy < rh:
+                    ctx = (ctx << 1) | ref[yy][xx]
+                else:
+                    ctx <<= 1
+            enc.encode(tgt[y][x], ctx, idx, mps)
+    return enc.finish()
+
+
+def refinement_region_segment_payload(
+    target: np.ndarray,
+    x: int,
+    y: int,
+    comb_op: int = 4,
+    template: int = 0,
+    reference: np.ndarray | None = None,
+) -> bytes:
+    """Refinement region segment payload; ``reference`` must equal the
+    page content under the region at decode time (REPLACE comb_op is
+    the usual choice for refinement)."""
+    h, w = target.shape
+    out = bytearray()
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    out += x.to_bytes(4, "big") + y.to_bytes(4, "big")
+    out += bytes([comb_op & 7])
+    out += bytes([template & 1])  # TPGRON off
+    if template == 0:
+        for dx, dy in GR_AT_NOMINAL:
+            out += dx.to_bytes(1, "big", signed=True)
+            out += dy.to_bytes(1, "big", signed=True)
+    out += encode_refinement_region_data(target, reference, template)
+    return bytes(out)

@@ -16,11 +16,13 @@ way ccitt.py did for CCITTFaxDecode:
   real scanned PDFs use: glyph bitmaps decoded once into a dictionary,
   then placed at decoded (S, T) instance coordinates with reference-
   corner / transposed / strip semantics and per-instance composition,
+- REFINEMENT REGION segments (6.3, GR templates 0/1) decoded against
+  the page as composed so far,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Huffman-coded variants (SDHUFF/SBHUFF), refinement/aggregate coding and
-halftone regions raise PdfParseError (row-level error downstream, the
-documented containment model).
+Huffman-coded variants (SDHUFF/SBHUFF), refinement-aggregate symbol
+coding, TPGRON and halftone regions raise PdfParseError (row-level
+error downstream, the documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
 public table reproduced in every JBIG2/JPEG2000 implementation); it is
@@ -619,7 +621,111 @@ def _decode_region_segment(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return bitmap, x, y, comb_op
 
 
+
+# Refinement templates (T.88 6.3.5.3): context = coding pixels over the
+# TARGET bitmap (already-decoded neighbors) then reference pixels over
+# the REFERENCE bitmap, each list sorted by (y, x), assembled MSB-first.
+# Template 0 appends one AT pixel to each list (nominal (-1,-1) both).
+GR_TEMPLATES = {
+    0: ([(0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)]),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+}
+GR_AT_NOMINAL = [(-1, -1), (-1, -1)]
+
+
+def decode_refinement_region(
+    data: bytes,
+    w: int,
+    h: int,
+    template: int,
+    at: list[tuple[int, int]],
+    reference: np.ndarray,
+) -> np.ndarray:
+    """Refinement region decoding procedure (T.88 6.3.5.6, TPGRON off):
+    each target pixel's context combines already-decoded target
+    neighbors with a window of the reference bitmap (the page content
+    under the region for refinement region segments)."""
+    if template not in GR_TEMPLATES:
+        raise PdfParseError(f"JBIG2 bad GR template {template}")
+    coding, ref_tmpl = GR_TEMPLATES[template]
+    if template == 0:
+        coding = sorted(coding + [tuple(at[0])], key=lambda p: (p[1], p[0]))
+        ref_tmpl = sorted(
+            ref_tmpl + [tuple(at[1])], key=lambda p: (p[1], p[0])
+        )
+    nbits = len(coding) + len(ref_tmpl)
+    idx = bytearray(1 << nbits)
+    mps = bytearray(1 << nbits)
+    mq = MQDecoder(data)
+    rh, rw = reference.shape
+    ref_rows = [[int(v) for v in r] for r in reference]
+    zero = [0] * max(w, rw)
+    rows: list[list[int]] = []
+    for y in range(h):
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            ctx = 0
+            for dx, dy in coding:
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < w and 0 <= yy < h and (
+                    yy < y or (yy == y and xx < x)
+                ):
+                    ctx = (ctx << 1) | rows[yy][xx]
+                else:
+                    ctx <<= 1
+            for dx, dy in ref_tmpl:
+                xx, yy = x + dx, y + dy
+                if 0 <= xx < rw and 0 <= yy < rh:
+                    ctx = (ctx << 1) | ref_rows[yy][xx]
+                else:
+                    ctx <<= 1
+            row[x] = mq.decode(ctx, idx, mps)
+    return np.array(rows, np.uint8).reshape(h, w)
+
+
+def _decode_refinement_segment(
+    payload: bytes, page: np.ndarray
+) -> tuple[np.ndarray, int, int, int]:
+    """Refinement region segment (type 40/42/43) -> (bitmap, x, y, op).
+    The reference is the page content under the region rectangle
+    (T.88 6.3: region segments refine the page)."""
+    if len(payload) < 18:
+        raise PdfParseError("JBIG2 short refinement region")
+    w = _u32(payload, 0)
+    h = _u32(payload, 4)
+    x = _u32(payload, 8)
+    y = _u32(payload, 12)
+    comb_op = payload[16] & 7
+    flags = payload[17]
+    template = flags & 1
+    tpgron = (flags >> 1) & 1
+    if tpgron:
+        raise PdfParseError("JBIG2 refinement TPGRON unsupported")
+    pos = 18
+    at: list[tuple[int, int]] = []
+    if template == 0:
+        for _ in range(2):
+            dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+            dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
+            at.append((dx, dy))
+            pos += 2
+    if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS:
+        raise PdfParseError("JBIG2 refinement region: bad geometry")
+    if y + h > page.shape[0] or x + w > page.shape[1]:
+        raise PdfParseError("JBIG2 refinement region outside page")
+    reference = page[y : y + h, x : x + w]
+    bitmap = decode_refinement_region(
+        payload[pos:], w, h, template, at or GR_AT_NOMINAL, reference
+    )
+    return bitmap, x, y, comb_op
+
+
 _GENERIC_REGION_TYPES = (36, 38, 39)
+_REFINEMENT_REGION_TYPES = (40, 42, 43)
 _TEXT_REGION_TYPES = (4, 6, 7)
 _IGNORED_TYPES = (49, 50, 51, 62)  # end-of-page/stripe/file, extension
 
@@ -630,7 +736,10 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
     JBIG2's 1 = black to the DeviceGray sense, see module docstring)."""
     page_w = page_h = 0
     default_pixel = 0
-    regions: list[tuple[np.ndarray, int, int, int]] = []
+    # entries: ("bm", bitmap, x, y, op) decoded eagerly, or
+    # ("refine", payload) — refinement decodes against the page as
+    # composed SO FAR, so it must run during the compose pass below
+    entries: list[tuple] = []
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> exports
     for num, seg_type, referred, payload in _segments(
         bytes(globals_data) + bytes(data)
@@ -649,24 +758,35 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
             syms: list[np.ndarray] = []
             for r in referred:
                 syms.extend(sym_dicts.get(r, []))
-            regions.append(decode_text_region(payload, syms))
+            entries.append(("bm",) + decode_text_region(payload, syms))
         elif seg_type in _GENERIC_REGION_TYPES:
-            regions.append(_decode_region_segment(payload))
+            entries.append(("bm",) + _decode_region_segment(payload))
+        elif seg_type in _REFINEMENT_REGION_TYPES:
+            entries.append(("refine", payload))
         elif seg_type in _IGNORED_TYPES:
             continue
         else:
             raise PdfParseError(
                 f"JBIG2 segment type {seg_type} unsupported "
-                "(halftone/refinement/table)"
+                "(halftone/table)"
             )
-    if not regions:
-        raise PdfParseError("JBIG2 stream has no generic region")
+    bms = [e for e in entries if e[0] == "bm"]
+    if not entries:
+        raise PdfParseError("JBIG2 stream has no region segments")
     if page_h in (0, 0xFFFFFFFF):  # striped/unknown: size from regions
-        page_h = max(y + r.shape[0] for r, _, y, _ in regions)
+        if not bms:
+            raise PdfParseError("JBIG2 page height unknown")
+        page_h = max(y + r.shape[0] for _, r, _, y, _ in bms)
     if page_w == 0:
-        page_w = max(x + r.shape[1] for r, x, _, _ in regions)
+        if not bms:
+            raise PdfParseError("JBIG2 page width unknown")
+        page_w = max(x + r.shape[1] for _, r, x, _, _ in bms)
     page = np.full((page_h, page_w), default_pixel, np.uint8)
-    for region, x, y, op in regions:
+    for e in entries:
+        if e[0] == "bm":
+            _, region, x, y, op = e
+        else:
+            region, x, y, op = _decode_refinement_segment(e[1], page)
         _compose(page, region, x, y, op)
     packed = np.packbits(page, axis=1)
     return (~packed).tobytes()  # 1=black -> 0=black

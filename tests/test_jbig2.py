@@ -276,3 +276,33 @@ def test_text_region_transposed(refcorner):
     for sid, s, t in placements:
         page[t : t + 5, s : s + 5] |= (T, L)[sid]
     assert (rows == 1 - page).all()
+
+
+@pytest.mark.parametrize("template", [0, 1])
+def test_refinement_region_roundtrip(template):
+    """Refinement regions decode against the page-so-far: a generic
+    region lays down a base bitmap, then a refinement segment REPLACEs
+    it with a corrected version coded relative to that reference."""
+    from pdf_ray.fixtures.jbig2enc import (
+        _page_info,
+        _segment,
+        refinement_region_segment_payload,
+    )
+
+    rng = np.random.RandomState(13)
+    base = (rng.rand(12, 18) < 0.3).astype(np.uint8)
+    target = base.copy()
+    flips = rng.rand(12, 18) < 0.08  # sparse corrections
+    target[flips] ^= 1
+    stream = encode_jbig2_embedded([{"bitmap": base}], 18, 12)
+    stream = stream[:-11]  # drop the 11-byte end-of-page segment
+    payload = refinement_region_segment_payload(
+        target, 0, 0, comb_op=4, template=template, reference=base
+    )
+    stream += _segment(2, 42, payload)  # immediate refinement region
+    stream += _segment(3, 49, b"")
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(12, -1), axis=1
+    )[:, :18]
+    assert (rows == 1 - target).all()
