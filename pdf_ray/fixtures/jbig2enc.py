@@ -469,9 +469,14 @@ def encode_refinement_region_data(
     reference: np.ndarray,
     template: int = 0,
     at: list[tuple[int, int]] | None = None,
+    tpgron: bool = False,
 ) -> bytes:
     """MQ-coded refinement data — exact inverse of
-    pdfcore.jbig2.decode_refinement_region (TPGRON off)."""
+    pdfcore.jbig2.decode_refinement_region. With TPGRON a row may only
+    be flagged typical (LTP) when every typical-position pixel already
+    equals its reference value — the encoder checks and flags greedily."""
+    from ..pdfcore.jbig2 import TPGR_CTX, _ref_typical
+
     h, w = target.shape
     if at is None:
         at = GR_AT_NOMINAL
@@ -488,8 +493,24 @@ def encode_refinement_region_data(
     rh, rw = reference.shape
     tgt = [[int(v) for v in r] for r in target]
     ref = [[int(v) for v in r] for r in reference]
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            # row may be typical only if all uniform-neighborhood pixels
+            # already match their reference values
+            ok = all(
+                (not t) or tgt[y][x] == v
+                for x in range(w)
+                for t, v in [_ref_typical(ref, rw, rh, x, y)]
+            )
+            enc.encode(1 if ok != bool(ltp) else 0, TPGR_CTX[template],
+                       idx, mps)
+            ltp = 1 if ok else 0
         for x in range(w):
+            if tpgron and ltp:
+                typical, _v = _ref_typical(ref, rw, rh, x, y)
+                if typical:
+                    continue
             ctx = 0
             for dx, dy in coding:
                 xx, yy = x + dx, y + dy

@@ -16,12 +16,12 @@ way ccitt.py did for CCITTFaxDecode:
   real scanned PDFs use: glyph bitmaps decoded once into a dictionary,
   then placed at decoded (S, T) instance coordinates with reference-
   corner / transposed / strip semantics and per-instance composition,
-- REFINEMENT REGION segments (6.3, GR templates 0/1) decoded against
-  the page as composed so far,
+- REFINEMENT REGION segments (6.3, GR templates 0/1, TPGRON typical
+  prediction) decoded against the page as composed so far,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
 Huffman-coded variants (SDHUFF/SBHUFF), refinement-aggregate symbol
-coding, TPGRON and halftone regions raise PdfParseError (row-level
+coding and halftone regions raise PdfParseError (row-level
 error downstream, the documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
@@ -634,6 +634,21 @@ GR_TEMPLATES = {
         [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
 }
 GR_AT_NOMINAL = [(-1, -1), (-1, -1)]
+# TPGRON pseudo-pixel contexts (6.3.5.6) for the sorted assembly below
+TPGR_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def _ref_typical(ref_rows, rw, rh, x, y):
+    """True when the 3x3 reference neighborhood of (x, y) is uniform —
+    the 'typical' pixel condition; returns (is_typical, value)."""
+    v = ref_rows[y][x] if 0 <= x < rw and 0 <= y < rh else 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xx, yy = x + dx, y + dy
+            n = ref_rows[yy][xx] if 0 <= xx < rw and 0 <= yy < rh else 0
+            if n != v:
+                return False, v
+    return True, v
 
 
 def decode_refinement_region(
@@ -643,11 +658,14 @@ def decode_refinement_region(
     template: int,
     at: list[tuple[int, int]],
     reference: np.ndarray,
+    tpgron: bool = False,
 ) -> np.ndarray:
-    """Refinement region decoding procedure (T.88 6.3.5.6, TPGRON off):
-    each target pixel's context combines already-decoded target
-    neighbors with a window of the reference bitmap (the page content
-    under the region for refinement region segments)."""
+    """Refinement region decoding procedure (T.88 6.3.5.6): each target
+    pixel's context combines already-decoded target neighbors with a
+    window of the reference bitmap (the page content under the region
+    for refinement region segments). With TPGRON, rows flagged typical
+    copy reference pixels wherever the 3x3 reference neighborhood is
+    uniform and only decode the rest."""
     if template not in GR_TEMPLATES:
         raise PdfParseError(f"JBIG2 bad GR template {template}")
     coding, ref_tmpl = GR_TEMPLATES[template]
@@ -662,12 +680,20 @@ def decode_refinement_region(
     mq = MQDecoder(data)
     rh, rw = reference.shape
     ref_rows = [[int(v) for v in r] for r in reference]
-    zero = [0] * max(w, rw)
     rows: list[list[int]] = []
+    ltp = 0
     for y in range(h):
         row = [0] * w
         rows.append(row)
+        if tpgron:
+            if mq.decode(TPGR_CTX[template], idx, mps):
+                ltp ^= 1
         for x in range(w):
+            if tpgron and ltp:
+                typical, v = _ref_typical(ref_rows, rw, rh, x, y)
+                if typical:
+                    row[x] = v
+                    continue
             ctx = 0
             for dx, dy in coding:
                 xx, yy = x + dx, y + dy
@@ -702,9 +728,7 @@ def _decode_refinement_segment(
     comb_op = payload[16] & 7
     flags = payload[17]
     template = flags & 1
-    tpgron = (flags >> 1) & 1
-    if tpgron:
-        raise PdfParseError("JBIG2 refinement TPGRON unsupported")
+    tpgron = bool((flags >> 1) & 1)
     pos = 18
     at: list[tuple[int, int]] = []
     if template == 0:
@@ -719,7 +743,8 @@ def _decode_refinement_segment(
         raise PdfParseError("JBIG2 refinement region outside page")
     reference = page[y : y + h, x : x + w]
     bitmap = decode_refinement_region(
-        payload[pos:], w, h, template, at or GR_AT_NOMINAL, reference
+        payload[pos:], w, h, template, at or GR_AT_NOMINAL, reference,
+        tpgron,
     )
     return bitmap, x, y, comb_op
 

@@ -306,3 +306,48 @@ def test_refinement_region_roundtrip(template):
         np.frombuffer(packed, np.uint8).reshape(12, -1), axis=1
     )[:, :18]
     assert (rows == 1 - target).all()
+
+
+@pytest.mark.parametrize("template", [0, 1])
+def test_refinement_tpgron_roundtrip(template):
+    """TPGRON typical-prediction: rows whose uniform-reference pixels
+    already match are LTP-flagged and skip decoding those pixels."""
+    from pdf_ray.fixtures.jbig2enc import encode_refinement_region_data
+    from pdf_ray.pdfcore.jbig2 import GR_AT_NOMINAL, decode_refinement_region
+
+    rng = np.random.RandomState(21)
+    base = (rng.rand(14, 20) < 0.35).astype(np.uint8)
+    target = base.copy()
+    # corrections only on a couple of rows: the rest become typical
+    target[3, 4] ^= 1
+    target[9, 15] ^= 1
+    data = encode_refinement_region_data(
+        target, base, template=template, tpgron=True
+    )
+    out = decode_refinement_region(
+        data, 20, 14, template, GR_AT_NOMINAL, base, tpgron=True
+    )
+    assert (out == target).all()
+    # identical target: every row typical, stream stays tiny
+    data2 = encode_refinement_region_data(
+        base, base, template=template, tpgron=True
+    )
+    out2 = decode_refinement_region(
+        data2, 20, 14, template, GR_AT_NOMINAL, base, tpgron=True
+    )
+    assert (out2 == base).all()
+    # with a mostly-uniform reference, typical rows make the identical-
+    # target stream much smaller than coding every pixel
+    flat = np.zeros((14, 20), np.uint8)
+    flat[6:8, 8:12] = 1
+    d_tp = encode_refinement_region_data(flat, flat, template=template,
+                                         tpgron=True)
+    d_no = encode_refinement_region_data(flat, flat, template=template,
+                                         tpgron=False)
+    assert (
+        decode_refinement_region(
+            d_tp, 20, 14, template, GR_AT_NOMINAL, flat, tpgron=True
+        )
+        == flat
+    ).all()
+    assert len(d_tp) <= len(d_no)
