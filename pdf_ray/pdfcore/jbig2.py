@@ -159,6 +159,16 @@ GB_AT_NOMINAL = {
 }
 TPGD_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
+
+def _check_at(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """AT pixels must reference positions strictly before the current
+    pixel in raster order (dy < 0, or dy == 0 with dx < 0) — corrupted
+    values pointing at undecoded rows must fail the row, not crash."""
+    for dx, dy in at:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise PdfParseError(f"JBIG2 invalid AT pixel ({dx}, {dy})")
+    return at
+
 # Decode budget: the arithmetic decoders are serial Python loops, so a
 # corrupt stream that parses into a huge "plausible" region must not burn
 # minutes of worker CPU before failing. 16M pixels covers an A4 scan at
@@ -335,6 +345,7 @@ def decode_symbol_dictionary(
         dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
         at.append((dx, dy))
         pos += 2
+    _check_at(at)
     n_ex = _u32(payload, pos)
     n_new = _u32(payload, pos + 4)
     pos += 8
@@ -602,6 +613,7 @@ def _decode_region_segment(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
             at.append((dx, dy))
             pos += 2
+        _check_at(at)
     data = payload[pos:]
     if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS:
         raise PdfParseError(f"JBIG2 bad region geometry {w}x{h}")

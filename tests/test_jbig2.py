@@ -160,8 +160,29 @@ def test_fuzz_no_crash_or_hang(monkeypatch):
     good = encode_jbig2_embedded(
         [{"bitmap": np.eye(6, dtype=np.uint8)}], 6, 6
     )
+    from pdf_ray.fixtures.jbig2enc import (
+        _segment,
+        encode_symbol_dict_and_text,
+        refinement_region_segment_payload,
+    )
+
     cases = [bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist()) for n in (0, 3, 11, 40, 200)]
     cases += [good[:k] for k in range(0, len(good), 7)]
+    T = np.eye(4, dtype=np.uint8)
+    symtext = encode_symbol_dict_and_text([T], [(0, 1, 1)], 8, 8)
+    cases += [symtext[:k] for k in range(0, len(symtext), 11)]
+    base = np.eye(6, dtype=np.uint8)
+    ref = good[:-11] + _segment(
+        2, 42, refinement_region_segment_payload(base, 0, 0, reference=base)
+    ) + _segment(3, 49, b"")
+    cases += [ref[:k] for k in range(0, len(ref), 13)]
+    # bit-flip corruption of valid streams
+    for seed in range(5):
+        r2 = np.random.RandomState(seed)
+        blob = bytearray(symtext)
+        for _ in range(4):
+            blob[r2.randint(0, len(blob))] ^= 1 << r2.randint(0, 8)
+        cases.append(bytes(blob))
     for i, blob in enumerate(cases):
         try:
             decode_jbig2_embedded(blob)
