@@ -28,6 +28,8 @@ sequential decode of the same coefficients)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from .objects import PdfParseError
@@ -154,7 +156,19 @@ class _Component:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a sequential or progressive JPEG. Returns ``(width, height,
     ncomp, pixels)`` with pixels gray8 (ncomp=1) or rgb8 (ncomp=3),
-    row-major."""
+    row-major. Malformed streams raise PdfParseError (the row-level
+    containment type), never bare Index/Key/ValueError."""
+    try:
+        return _decode_jpeg(data)
+    except PdfParseError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error) as e:
+        raise PdfParseError(
+            f"malformed JPEG: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise PdfParseError("not a JPEG (no SOI)")
     pos = 2

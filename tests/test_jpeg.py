@@ -211,3 +211,27 @@ def test_rgb_adobe_transform0_no_color_transform():
     )
     arr = np.frombuffer(px, np.uint8).reshape(8, 8, 3)
     assert (arr == [200, 100, 50]).all()
+
+
+def test_fuzz_truncation_and_bitflips_raise_typed():
+    """Truncated or bit-flipped streams must raise PdfParseError (the
+    row-containment type), never bare Index/Key errors."""
+    from pdf_ray.fixtures.jpegenc import encode_jpeg_progressive
+
+    img = (np.arange(16 * 24).reshape(16, 24) % 251).astype(np.uint8)
+    for good in (encode_jpeg(img, qtable=7),
+                 encode_jpeg_progressive(img, qtable=7, al=1)):
+        for k in range(0, len(good), 17):
+            try:
+                decode_jpeg(good[:k])
+            except PdfParseError:
+                pass
+        for seed in range(20):
+            rng = np.random.RandomState(seed)
+            blob = bytearray(good)
+            for _ in range(3):
+                blob[rng.randint(0, len(blob))] ^= 1 << rng.randint(0, 8)
+            try:
+                decode_jpeg(bytes(blob))
+            except PdfParseError:
+                pass
