@@ -18,7 +18,17 @@ from .objects import PdfParseError
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Returns ``(sample_rate, n_channels, samples)`` with samples float64
-    in [-1, 1], shape (n_frames, n_channels)."""
+    in [-1, 1], shape (n_frames, n_channels). Malformed containers raise
+    PdfParseError, never bare struct/ValueError."""
+    try:
+        return _decode_wav(data)
+    except PdfParseError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise PdfParseError(f"malformed WAV: {type(e).__name__}: {e}") from e
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise PdfParseError("not a RIFF/WAVE file")
     pos = 12
