@@ -553,3 +553,74 @@ def refinement_region_segment_payload(
             out += dy.to_bytes(1, "big", signed=True)
     out += encode_refinement_region_data(target, reference, template)
     return bytes(out)
+
+
+# -- pattern dictionary + halftone region encoding (T.88 6.7 / 6.6) ----------
+
+
+def encode_pattern_dictionary(
+    patterns: list[np.ndarray], template: int = 0
+) -> bytes:
+    """Pattern dictionary payload: the collective side-by-side bitmap
+    generic-encoded with the special AT1 = (-HDPW, 0)."""
+    hdph, hdpw = patterns[0].shape
+    collective = np.concatenate(patterns, axis=1).astype(np.uint8)
+    at = (
+        [(-hdpw, 0)] + GB_AT_NOMINAL[0][1:]
+        if template == 0
+        else [(-hdpw, 0)]
+    )
+    out = bytearray()
+    out += bytes([(template & 3) << 1])  # HDMMR=0
+    out += bytes([hdpw, hdph])
+    out += (len(patterns) - 1).to_bytes(4, "big")  # GRAYMAX
+    out += encode_generic_region_data(collective, template, at, False)
+    return bytes(out)
+
+
+def encode_halftone_region(
+    values: np.ndarray,
+    patterns: list[np.ndarray],
+    region_w: int,
+    region_h: int,
+    hgx: int = 0,
+    hgy: int = 0,
+    hrx: int | None = None,
+    hry: int = 0,
+    template: int = 0,
+    comb_op: int = 0,
+) -> bytes:
+    """Halftone region payload: per-cell gray values Gray-coded into
+    bitplanes, each generic-encoded through ONE shared encoder/stats
+    (C.5). Default grid: axis-aligned with spacing = pattern width."""
+    hgh, hgw = values.shape
+    ph, pw = patterns[0].shape
+    if hrx is None:
+        hrx = pw << 8  # 8.8 fixed point
+    graymax = len(patterns) - 1
+    bpp = max(1, graymax.bit_length())
+    at = GB_AT_NOMINAL[template]
+    nbits = len(GB_TEMPLATES[template]) + len(at)
+    idx = np.zeros(1 << nbits, np.uint8)
+    mps = np.zeros(1 << nbits, np.uint8)
+    enc = MQEncoder()
+    prev = None
+    for j in range(bpp - 1, -1, -1):
+        bit = (values >> j) & 1
+        plane = bit if prev is None else (bit ^ prev)
+        _encode_bitmap_shared(enc, idx, mps, plane.astype(np.uint8),
+                              template, at)
+        prev = bit
+    data = enc.finish()
+
+    out = bytearray()
+    out += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
+    out += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    out += bytes([comb_op & 7])
+    out += bytes([(template & 3) << 1])  # HMMR=0, SKIP=0, HCOMBOP=OR, defpix=0
+    out += hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+    out += hgx.to_bytes(4, "big", signed=True)
+    out += hgy.to_bytes(4, "big", signed=True)
+    out += hrx.to_bytes(2, "big") + hry.to_bytes(2, "big")
+    out += data
+    return bytes(out)

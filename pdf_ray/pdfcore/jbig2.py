@@ -18,10 +18,13 @@ way ccitt.py did for CCITTFaxDecode:
   corner / transposed / strip semantics and per-instance composition,
 - REFINEMENT REGION segments (6.3, GR templates 0/1, TPGRON typical
   prediction) decoded against the page as composed so far,
+- PATTERN DICTIONARIES (6.7) and HALFTONE REGIONS (6.6): Gray-coded
+  generic bitplanes select per-cell patterns stamped on the (skewable
+  8.8 fixed-point) halftone grid,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Huffman-coded variants (SDHUFF/SBHUFF), refinement-aggregate symbol
-coding and halftone regions raise PdfParseError (row-level
+Huffman-coded variants (SDHUFF/SBHUFF/HMMR), refinement-aggregate
+symbol coding and ENABLESKIP halftones raise PdfParseError (row-level
 error downstream, the documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
@@ -761,8 +764,135 @@ def _decode_refinement_segment(
     return bitmap, x, y, comb_op
 
 
+
+# -- pattern dictionary + halftone region (T.88 6.7 / 6.6) -------------------
+
+
+def decode_pattern_dictionary(payload: bytes) -> list[np.ndarray]:
+    """Pattern dictionary segment (type 16): one collective generic
+    bitmap of (GRAYMAX+1) patterns side by side, decoded with the
+    special nominal AT1 = (-HDPW, 0), then split."""
+    if len(payload) < 7:
+        raise PdfParseError("JBIG2 short pattern dictionary")
+    flags = payload[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw = payload[1]
+    hdph = payload[2]
+    graymax = _u32(payload, 3)
+    if hdpw == 0 or hdph == 0 or graymax > 255:
+        raise PdfParseError("JBIG2 pattern dictionary: bad geometry")
+    total_w = (graymax + 1) * hdpw
+    if total_w * hdph > MAX_REGION_PIXELS:
+        raise PdfParseError("JBIG2 pattern dictionary: too large")
+    data = payload[7:]
+    if hdmmr:
+        from .ccitt import ccitt_fax_decode
+
+        packed = ccitt_fax_decode(
+            data, {"K": -1, "Columns": total_w, "Rows": hdph,
+                   "BlackIs1": True}
+        )
+        rowlen = (total_w + 7) // 8
+        arr = np.frombuffer(packed, np.uint8).reshape(hdph, rowlen)
+        collective = np.unpackbits(arr, axis=1)[:, :total_w]
+    else:
+        at = [(-hdpw, 0)] + GB_AT_NOMINAL[0][1:] if template == 0 else [
+            (-hdpw, 0)
+        ]
+        collective = decode_generic_region(
+            data, total_w, hdph, template, at, False
+        )
+    return [
+        collective[:, i * hdpw : (i + 1) * hdpw]
+        for i in range(graymax + 1)
+    ]
+
+
+def decode_halftone_region(
+    payload: bytes, patterns: list[np.ndarray]
+) -> tuple[np.ndarray, int, int, int]:
+    """Halftone region segment (types 20/22/23): a grayscale cell image
+    decoded as Gray-coded generic bitplanes (one shared MQ decoder +
+    stats, C.5), then each cell's pattern stamped on the (possibly
+    skewed 8.8 fixed-point) halftone grid."""
+    if len(payload) < 18 + 16:
+        raise PdfParseError("JBIG2 short halftone region")
+    w = _u32(payload, 0)
+    h = _u32(payload, 4)
+    x = _u32(payload, 8)
+    y = _u32(payload, 12)
+    comb_op = payload[16] & 7
+    flags = payload[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    h_comb_op = (flags >> 4) & 7
+    def_pixel = (flags >> 7) & 1
+    if hmmr or enable_skip:
+        raise PdfParseError(
+            "JBIG2 halftone: MMR/ENABLESKIP coding unsupported"
+        )
+    pos = 18
+    hgw = _u32(payload, pos)
+    hgh = _u32(payload, pos + 4)
+    hgx = int.from_bytes(payload[pos + 8 : pos + 12], "big", signed=True)
+    hgy = int.from_bytes(payload[pos + 12 : pos + 16], "big", signed=True)
+    hrx = int.from_bytes(payload[pos + 16 : pos + 18], "big")
+    hry = int.from_bytes(payload[pos + 18 : pos + 20], "big")
+    pos += 20
+    if not patterns:
+        raise PdfParseError("JBIG2 halftone: no referred patterns")
+    if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS or (
+        hgw * hgh > MAX_REGION_PIXELS
+    ):
+        raise PdfParseError("JBIG2 halftone: bad geometry")
+    graymax = len(patterns) - 1
+    bpp = max(1, graymax.bit_length())
+    # C.5: bitplanes MSB->LSB through ONE decoder/stats set, Gray-decoded
+    at = GB_AT_NOMINAL[template]
+    nbits = len(GB_TEMPLATES[template]) + len(at)
+    idx = bytearray(1 << nbits)
+    mps = bytearray(1 << nbits)
+    mq = MQDecoder(payload[pos:])
+    value = np.zeros((hgh, hgw), np.int32)
+    prev = None
+    for j in range(bpp - 1, -1, -1):
+        plane = _decode_bitmap(mq, idx, mps, hgw, hgh, template, at, False)
+        bit = plane if prev is None else (plane ^ prev)
+        value |= bit.astype(np.int32) << j
+        prev = bit
+    np.minimum(value, graymax, out=value)
+
+    region = np.full((h, w), def_pixel, np.uint8)
+    ph, pw = patterns[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            px = hgx + ((mg * hry + ng * hrx) >> 8)
+            py = hgy + ((mg * hrx - ng * hry) >> 8)
+            pat = patterns[int(value[mg, ng])]
+            x0, y0 = max(0, px), max(0, py)
+            x1, y1 = min(w, px + pw), min(h, py + ph)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            src = pat[y0 - py : y1 - py, x0 - px : x1 - px]
+            dst = region[y0:y1, x0:x1]
+            if h_comb_op == 0:
+                dst |= src
+            elif h_comb_op == 1:
+                dst &= src
+            elif h_comb_op == 2:
+                dst ^= src
+            elif h_comb_op == 3:
+                dst[:] = 1 - (dst ^ src)
+            else:
+                dst[:] = src
+    return region, x, y, comb_op
+
+
 _GENERIC_REGION_TYPES = (36, 38, 39)
 _REFINEMENT_REGION_TYPES = (40, 42, 43)
+_HALFTONE_REGION_TYPES = (20, 22, 23)
 _TEXT_REGION_TYPES = (4, 6, 7)
 _IGNORED_TYPES = (49, 50, 51, 62)  # end-of-page/stripe/file, extension
 
@@ -778,6 +908,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
     # composed SO FAR, so it must run during the compose pass below
     entries: list[tuple] = []
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> exports
+    pat_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> patterns
     for num, seg_type, referred, payload in _segments(
         bytes(globals_data) + bytes(data)
     ):
@@ -798,14 +929,20 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
             entries.append(("bm",) + decode_text_region(payload, syms))
         elif seg_type in _GENERIC_REGION_TYPES:
             entries.append(("bm",) + _decode_region_segment(payload))
+        elif seg_type == 16:  # pattern dictionary
+            pat_dicts[num] = decode_pattern_dictionary(payload)
+        elif seg_type in _HALFTONE_REGION_TYPES:
+            pats: list[np.ndarray] = []
+            for r in referred:
+                pats.extend(pat_dicts.get(r, []))
+            entries.append(("bm",) + decode_halftone_region(payload, pats))
         elif seg_type in _REFINEMENT_REGION_TYPES:
             entries.append(("refine", payload))
         elif seg_type in _IGNORED_TYPES:
             continue
         else:
             raise PdfParseError(
-                f"JBIG2 segment type {seg_type} unsupported "
-                "(halftone/table)"
+                f"JBIG2 segment type {seg_type} unsupported (table)"
             )
     bms = [e for e in entries if e[0] == "bm"]
     if not entries:

@@ -372,3 +372,44 @@ def test_refinement_tpgron_roundtrip(template):
         == flat
     ).all()
     assert len(d_tp) <= len(d_no)
+
+
+def test_halftone_region_roundtrip():
+    """Pattern dictionary + halftone region: gray-coded bitplanes select
+    per-cell patterns stamped on the grid — the page must equal the
+    hand-composed stamping."""
+    from pdf_ray.fixtures.jbig2enc import (
+        _page_info,
+        _segment,
+        _segment_ref,
+        encode_halftone_region,
+        encode_pattern_dictionary,
+    )
+
+    # 4 gray levels as 4x4 density patterns
+    p0 = np.zeros((4, 4), np.uint8)
+    p1 = np.zeros((4, 4), np.uint8); p1[1:3, 1:3] = 1
+    p2 = np.zeros((4, 4), np.uint8); p2[0:3, 0:3] = 1
+    p3 = np.ones((4, 4), np.uint8)
+    patterns = [p0, p1, p2, p3]
+    rng = np.random.RandomState(3)
+    values = rng.randint(0, 4, (5, 6)).astype(np.int32)
+
+    stream = bytearray()
+    stream += _segment(0, 48, _page_info(24, 20))
+    stream += _segment(1, 16, encode_pattern_dictionary(patterns))
+    stream += _segment_ref(
+        2, 22, [1], encode_halftone_region(values, patterns, 24, 20)
+    )
+    stream += _segment(3, 49, b"")
+    packed = decode_jbig2_embedded(bytes(stream))
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(20, -1), axis=1
+    )[:, :24]
+    page = np.zeros((20, 24), np.uint8)
+    for mg in range(5):
+        for ng in range(6):
+            page[mg * 4 : mg * 4 + 4, ng * 4 : ng * 4 + 4] |= patterns[
+                values[mg, ng]
+            ]
+    assert (rows == 1 - page).all()
