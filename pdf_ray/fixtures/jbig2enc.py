@@ -470,7 +470,11 @@ def encode_refinement_region_data(
     template: int = 0,
     at: list[tuple[int, int]] | None = None,
     tpgron: bool = False,
-) -> bytes:
+    ref_dx: int = 0,
+    ref_dy: int = 0,
+    enc: "MQEncoder | None" = None,
+    stats: tuple | None = None,
+) -> bytes | None:
     """MQ-coded refinement data — exact inverse of
     pdfcore.jbig2.decode_refinement_region. With TPGRON a row may only
     be flagged typical (LTP) when every typical-position pixel already
@@ -487,9 +491,14 @@ def encode_refinement_region_data(
             ref_tmpl + [tuple(at[1])], key=lambda p: (p[1], p[0])
         )
     nbits = len(coding) + len(ref_tmpl)
-    idx = bytearray(1 << nbits)
-    mps = bytearray(1 << nbits)
-    enc = MQEncoder()
+    if stats is not None:
+        idx, mps = stats
+    else:
+        idx = bytearray(1 << nbits)
+        mps = bytearray(1 << nbits)
+    own_encoder = enc is None
+    if own_encoder:
+        enc = MQEncoder()
     rh, rw = reference.shape
     tgt = [[int(v) for v in r] for r in target]
     ref = [[int(v) for v in r] for r in reference]
@@ -501,14 +510,18 @@ def encode_refinement_region_data(
             ok = all(
                 (not t) or tgt[y][x] == v
                 for x in range(w)
-                for t, v in [_ref_typical(ref, rw, rh, x, y)]
+                for t, v in [
+                    _ref_typical(ref, rw, rh, x - ref_dx, y - ref_dy)
+                ]
             )
             enc.encode(1 if ok != bool(ltp) else 0, TPGR_CTX[template],
                        idx, mps)
             ltp = 1 if ok else 0
         for x in range(w):
             if tpgron and ltp:
-                typical, _v = _ref_typical(ref, rw, rh, x, y)
+                typical, _v = _ref_typical(
+                    ref, rw, rh, x - ref_dx, y - ref_dy
+                )
                 if typical:
                     continue
             ctx = 0
@@ -521,13 +534,13 @@ def encode_refinement_region_data(
                 else:
                     ctx <<= 1
             for dx, dy in ref_tmpl:
-                xx, yy = x + dx, y + dy
+                xx, yy = x + dx - ref_dx, y + dy - ref_dy
                 if 0 <= xx < rw and 0 <= yy < rh:
                     ctx = (ctx << 1) | ref[yy][xx]
                 else:
                     ctx <<= 1
             enc.encode(tgt[y][x], ctx, idx, mps)
-    return enc.finish()
+    return enc.finish() if own_encoder else None
 
 
 def refinement_region_segment_payload(
@@ -622,5 +635,68 @@ def encode_halftone_region(
     out += hgx.to_bytes(4, "big", signed=True)
     out += hgy.to_bytes(4, "big", signed=True)
     out += hrx.to_bytes(2, "big") + hry.to_bytes(2, "big")
+    out += data
+    return bytes(out)
+
+
+def encode_refagg_symbol_dict(
+    targets: list[tuple[np.ndarray, int, int, int]],
+    input_symbols: list[np.ndarray],
+    rtemplate: int = 0,
+) -> bytes:
+    """SDREFAGG=1 symbol dictionary payload: every new symbol coded as a
+    single-instance refinement (IAAI=1, IAID, IARDX/IARDY) of an input
+    or earlier-new symbol. ``targets`` = [(bitmap, ref_id, rdx, rdy)],
+    sorted by ascending height; all new symbols exported."""
+    from ..pdfcore.jbig2 import GR_TEMPLATES as _GRT
+
+    mq = MQEncoder()
+    iadh, iadw, iaex = IntEncoder(), IntEncoder(), IntEncoder()
+    iaai, iardx, iardy = IntEncoder(), IntEncoder(), IntEncoder()
+    n_new = len(targets)
+    symcodelen = max(1, (max(1, len(input_symbols) + n_new) - 1).bit_length())
+    iaid = IaidEncoder(symcodelen)
+    coding, ref_tmpl = _GRT[rtemplate]
+    gr_nbits = len(coding) + len(ref_tmpl) + (2 if rtemplate == 0 else 0)
+    gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
+
+    pool = list(input_symbols)
+    hcheight = 0
+    i = 0
+    while i < n_new:
+        hgt = targets[i][0].shape[0]
+        iadh.encode(mq, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < n_new and targets[i][0].shape[0] == hcheight:
+            bm, ref_id, rdx, rdy = targets[i]
+            iadw.encode(mq, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            iaai.encode(mq, 1)
+            iaid.encode(mq, ref_id)
+            iardx.encode(mq, rdx)
+            iardy.encode(mq, rdy)
+            encode_refinement_region_data(
+                bm, pool[ref_id], rtemplate, GR_AT_NOMINAL, False,
+                rdx, rdy, enc=mq, stats=gr_stats,
+            )
+            pool.append(bm)
+            i += 1
+        iadw.encode(mq, None)
+    iaex.encode(mq, len(input_symbols))  # input symbols not re-exported
+    iaex.encode(mq, n_new)
+    data = mq.finish()
+
+    out = bytearray()
+    flags = 2 | ((rtemplate & 1) << 12)  # SDREFAGG=1, SDTEMPLATE=0
+    out += flags.to_bytes(2, "big")
+    for dx, dy in GB_AT_NOMINAL[0]:  # SDTEMPLATE 0 AT pixels
+        out += dx.to_bytes(1, "big", signed=True)
+        out += dy.to_bytes(1, "big", signed=True)
+    for dx, dy in GR_AT_NOMINAL:  # refinement AT pixels
+        out += dx.to_bytes(1, "big", signed=True)
+        out += dy.to_bytes(1, "big", signed=True)
+    out += n_new.to_bytes(4, "big")  # SDNUMEXSYMS
+    out += n_new.to_bytes(4, "big")  # SDNUMNEWSYMS
     out += data
     return bytes(out)

@@ -23,9 +23,12 @@ way ccitt.py did for CCITTFaxDecode:
   8.8 fixed-point) halftone grid,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Huffman-coded variants (SDHUFF/SBHUFF/HMMR), refinement-aggregate
-symbol coding and ENABLESKIP halftones raise PdfParseError (row-level
-error downstream, the documented containment model).
+Refinement-AGGREGATE symbol coding is carried for the single-instance
+case (6.5.8.2.2 — new symbols as refinements of dictionary symbols,
+shared GR stats); huffman-coded variants (SDHUFF/SBHUFF/HMMR),
+REFAGGNINST > 1 (nested text-region aggregation) and ENABLESKIP
+halftones raise PdfParseError (row-level error downstream, the
+documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
 public table reproduced in every JBIG2/JPEG2000 implementation); it is
@@ -337,9 +340,10 @@ def decode_symbol_dictionary(
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdhuff or sdrefagg:
+    rtemplate = (flags >> 12) & 1
+    if sdhuff:
         raise PdfParseError(
-            "JBIG2 symbol dictionary: huffman/refinement coding unsupported"
+            "JBIG2 symbol dictionary: huffman coding unsupported"
         )
     pos = 2
     at: list[tuple[int, int]] = []
@@ -349,6 +353,13 @@ def decode_symbol_dictionary(
         at.append((dx, dy))
         pos += 2
     _check_at(at)
+    r_at: list[tuple[int, int]] = []
+    if sdrefagg:
+        for _ in range(2):
+            dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+            dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
+            r_at.append((dx, dy))
+            pos += 2
     n_ex = _u32(payload, pos)
     n_new = _u32(payload, pos + 4)
     pos += 8
@@ -357,9 +368,21 @@ def decode_symbol_dictionary(
 
     mq = MQDecoder(payload[pos:])
     iadh, iadw, iaex = IntDecoder(), IntDecoder(), IntDecoder()
+    iaai, iardx, iardy = IntDecoder(), IntDecoder(), IntDecoder()
     nbits = len(GB_TEMPLATES[template]) + len(at)
     gb_idx = bytearray(1 << nbits)
     gb_mps = bytearray(1 << nbits)
+    iaid = None
+    gr_stats = None
+    if sdrefagg:
+        # SBSYMCODELEN over input + new symbols (6.5.8.2.3); one shared
+        # GR stats set for every refined symbol
+        iaid = IaidDecoder(
+            _symcodelen(len(input_symbols) + n_new)
+        )
+        coding, ref_tmpl = GR_TEMPLATES[rtemplate]
+        gr_nbits = len(coding) + len(ref_tmpl) + (2 if rtemplate == 0 else 0)
+        gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
 
     new_syms: list[np.ndarray] = []
     area_budget = [MAX_REGION_PIXELS]  # shared cap across all symbols
@@ -390,12 +413,44 @@ def decode_symbol_dictionary(
                 )
             if len(new_syms) >= n_new:
                 raise PdfParseError("JBIG2 symbol dictionary: count overflow")
-            new_syms.append(
-                _decode_bitmap(
-                    mq, gb_idx, gb_mps, symwidth, hcheight, template, at,
-                    False,
+            if sdrefagg:
+                # 6.5.8.2: aggregate instance count; only the single-
+                # instance refinement case is carried (REFAGGNINST > 1
+                # nests a full text region)
+                n_inst = iaai.decode(mq)
+                if n_inst is OOB or n_inst != 1:
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: aggregate REFAGGNINST"
+                        " != 1 unsupported"
+                    )
+                sym_id = iaid.decode(mq)
+                rdx = iardx.decode(mq)
+                rdy = iardy.decode(mq)
+                if rdx is OOB or rdy is OOB:
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: OOB refinement offset"
+                    )
+                pool = list(input_symbols) + new_syms
+                if sym_id >= len(pool):
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: refinement id range"
+                    )
+                new_syms.append(
+                    decode_refinement_region(
+                        b"", symwidth, hcheight, rtemplate,
+                        GR_AT_NOMINAL if rtemplate else r_at or
+                        GR_AT_NOMINAL,
+                        pool[sym_id], False, rdx, rdy, mq=mq,
+                        stats=gr_stats,
+                    )
                 )
-            )
+            else:
+                new_syms.append(
+                    _decode_bitmap(
+                        mq, gb_idx, gb_mps, symwidth, hcheight, template,
+                        at, False,
+                    )
+                )
 
     # export flags (6.5.10): alternating non-export/export run lengths
     # over input symbols + new symbols
@@ -674,6 +729,10 @@ def decode_refinement_region(
     at: list[tuple[int, int]],
     reference: np.ndarray,
     tpgron: bool = False,
+    ref_dx: int = 0,
+    ref_dy: int = 0,
+    mq: "MQDecoder | None" = None,
+    stats: tuple | None = None,
 ) -> np.ndarray:
     """Refinement region decoding procedure (T.88 6.3.5.6): each target
     pixel's context combines already-decoded target neighbors with a
@@ -690,9 +749,13 @@ def decode_refinement_region(
             ref_tmpl + [tuple(at[1])], key=lambda p: (p[1], p[0])
         )
     nbits = len(coding) + len(ref_tmpl)
-    idx = bytearray(1 << nbits)
-    mps = bytearray(1 << nbits)
-    mq = MQDecoder(data)
+    if stats is not None:
+        idx, mps = stats  # caller-owned (symbol-dictionary sharing)
+    else:
+        idx = bytearray(1 << nbits)
+        mps = bytearray(1 << nbits)
+    if mq is None:
+        mq = MQDecoder(data)
     rh, rw = reference.shape
     ref_rows = [[int(v) for v in r] for r in reference]
     rows: list[list[int]] = []
@@ -704,8 +767,11 @@ def decode_refinement_region(
             if mq.decode(TPGR_CTX[template], idx, mps):
                 ltp ^= 1
         for x in range(w):
+            # reference coordinates shifted by (ref_dx, ref_dy)
             if tpgron and ltp:
-                typical, v = _ref_typical(ref_rows, rw, rh, x, y)
+                typical, v = _ref_typical(
+                    ref_rows, rw, rh, x - ref_dx, y - ref_dy
+                )
                 if typical:
                     row[x] = v
                     continue
@@ -719,7 +785,7 @@ def decode_refinement_region(
                 else:
                     ctx <<= 1
             for dx, dy in ref_tmpl:
-                xx, yy = x + dx, y + dy
+                xx, yy = x + dx - ref_dx, y + dy - ref_dy
                 if 0 <= xx < rw and 0 <= yy < rh:
                     ctx = (ctx << 1) | ref_rows[yy][xx]
                 else:

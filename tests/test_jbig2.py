@@ -413,3 +413,24 @@ def test_halftone_region_roundtrip():
                 values[mg, ng]
             ]
     assert (rows == 1 - page).all()
+
+
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_symbol_dict_refinement_aggregate(rtemplate):
+    """SDREFAGG=1 (single-instance): new symbols decode as refinements
+    of input-dictionary symbols, including a shifted reference and a
+    chained refinement of an earlier new symbol."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    rng = np.random.RandomState(33)
+    base = (rng.rand(7, 9) < 0.4).astype(np.uint8)
+    t1 = base.copy(); t1[2, 3] ^= 1; t1[5, 7] ^= 1
+    t2 = t1.copy(); t2[0, 0] ^= 1  # refines the NEW symbol t1 (id 1)
+    payload = encode_refagg_symbol_dict(
+        [(t1, 0, 0, 0), (t2, 1, 1, -1)], [base], rtemplate=rtemplate
+    )
+    out = decode_symbol_dictionary(payload, [base])
+    assert len(out) == 2
+    assert (out[0] == t1).all()
+    assert (out[1] == t2).all()
