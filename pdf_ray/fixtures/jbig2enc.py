@@ -376,13 +376,29 @@ def encode_symbol_dict_and_text(
     )
     symcodelen = max(1, (max(1, nsyms) - 1).bit_length())
     iaid = IaidEncoder(symcodelen)
+    # instance refinement (SBREFINE): placements may be
+    # (sym_id, s, t, refined_bitmap, rdx, rdy)
+    sbrefine = any(len(p) > 3 for p in placements)
+    iari, iardw, iardh, iardx, iardy = (
+        IntEncoder(), IntEncoder(), IntEncoder(), IntEncoder(),
+        IntEncoder(),
+    )
+    gr_stats = None
+    if sbrefine:
+        from ..pdfcore.jbig2 import GR_TEMPLATES as _GRT
+
+        c_t, r_t = _GRT[0]
+        gr_nbits = len(c_t) + len(r_t) + 2
+        gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
     # group placements into strips; bottom corners (0=BL, 2=BR) pin T to
     # the instance's BOTTOM edge; right corners pin T's horizontal twin
     # when transposed. With strips > 1 each strip holds STRIPT..+strips-1
     # and per-instance CURT carries the offset (IAIT-coded).
     n_strips = 1 << log_strips
-    strips: dict[int, list[tuple[int, int, int]]] = {}
-    for sym_id, s, t in placements:
+    strips: dict[int, list[tuple]] = {}
+    for pl in placements:
+        sym_id, s, t = pl[0], pl[1], pl[2]
+        refine = pl[3:] if len(pl) > 3 else None
         if transposed:
             # S runs vertically, T horizontally; swap roles on entry
             s, t = t, s
@@ -392,7 +408,7 @@ def encode_symbol_dict_and_text(
             if refcorner in (0, 2):
                 t = t + symbols[sym_id].shape[0] - 1
         base = (t // n_strips) * n_strips
-        strips.setdefault(base, []).append((s, sym_id, t - base))
+        strips.setdefault(base, []).append((s, sym_id, t - base, refine))
     iadt.encode(mq, 0)  # initial STRIPT = -0
     stript = 0
     firsts = 0  # FIRSTS accumulates ACROSS strips (6.4.5 step 3b)
@@ -400,9 +416,9 @@ def encode_symbol_dict_and_text(
         assert (base - stript) % n_strips == 0
         iadt.encode(mq, (base - stript) // n_strips)
         stript = base
-        insts = sorted(strips[base])
+        insts = sorted(strips[base], key=lambda e: e[:3])
         curs = 0
-        for j, (s, sym_id, curt) in enumerate(insts):
+        for j, (s, sym_id, curt, refine) in enumerate(insts):
             if j == 0:
                 iafs.encode(mq, s - firsts)
                 firsts = s
@@ -413,11 +429,26 @@ def encode_symbol_dict_and_text(
             if n_strips > 1:
                 iait.encode(mq, curt)
             iaid.encode(mq, sym_id)
-            adv = (
-                symbols[sym_id].shape[0]
-                if transposed
-                else symbols[sym_id].shape[1]
-            )
+            inst_bm = symbols[sym_id]
+            if sbrefine:
+                if refine is None:
+                    iari.encode(mq, 0)
+                else:
+                    rbm, rdx, rdy = refine
+                    rdw = rbm.shape[1] - inst_bm.shape[1]
+                    rdh = rbm.shape[0] - inst_bm.shape[0]
+                    iari.encode(mq, 1)
+                    iardw.encode(mq, rdw)
+                    iardh.encode(mq, rdh)
+                    iardx.encode(mq, rdx)
+                    iardy.encode(mq, rdy)
+                    encode_refinement_region_data(
+                        rbm, inst_bm, 0, GR_AT_NOMINAL, False,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        enc=mq, stats=gr_stats,
+                    )
+                    inst_bm = rbm
+            adv = inst_bm.shape[0] if transposed else inst_bm.shape[1]
             curs += adv - 1
         iads.encode(mq, None)  # OOB ends the strip
     tr_data = mq.finish()
@@ -426,14 +457,19 @@ def encode_symbol_dict_and_text(
     tr += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
     tr += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
     tr += bytes([0])  # region comb op OR
-    # SBFLAGS: huff=0, refine=0, logstrips/refcorner/transposed as
-    # given, combop=OR, defpixel=0, dsoffset=0, rtemplate=0
+    # SBFLAGS: huff=0; refine/logstrips/refcorner/transposed as given,
+    # combop=OR, defpixel=0, dsoffset=0, rtemplate=0
     flags = (
-        ((log_strips & 3) << 2)
+        ((1 if sbrefine else 0) << 1)
+        | ((log_strips & 3) << 2)
         | ((refcorner & 3) << 4)
         | ((1 if transposed else 0) << 6)
     )
     tr += flags.to_bytes(2, "big")
+    if sbrefine:  # rtemplate 0: refinement AT pixels
+        for dx, dy in GR_AT_NOMINAL:
+            tr += dx.to_bytes(1, "big", signed=True)
+            tr += dy.to_bytes(1, "big", signed=True)
     tr += len(placements).to_bytes(4, "big")
     tr += tr_data
 

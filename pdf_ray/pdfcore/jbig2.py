@@ -15,7 +15,9 @@ way ccitt.py did for CCITTFaxDecode:
   integer decoding (Annex A IAx procedures + IAID) — the dominant mode
   real scanned PDFs use: glyph bitmaps decoded once into a dictionary,
   then placed at decoded (S, T) instance coordinates with reference-
-  corner / transposed / strip semantics and per-instance composition,
+  corner / transposed / strip semantics, per-instance composition and
+  SBREFINE instance refinement (6.4.11 — a placed instance may be a
+  refined, even resized, variant of its symbol),
 - REFINEMENT REGION segments (6.3, GR templates 0/1, TPGRON typical
   prediction) decoded against the page as composed so far,
 - PATTERN DICTIONARIES (6.7) and HALFTONE REGIONS (6.6): Gray-coded
@@ -495,11 +497,17 @@ def decode_text_region(
     ds_offset = (flags >> 10) & 0x1F
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
-    if sbhuff or sbrefine:
-        raise PdfParseError(
-            "JBIG2 text region: huffman/refinement coding unsupported"
-        )
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise PdfParseError("JBIG2 text region: huffman coding unsupported")
     pos = 19
+    r_at: list[tuple[int, int]] = []
+    if sbrefine and rtemplate == 0:
+        for _ in range(2):
+            dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+            dy = int.from_bytes(payload[pos + 1 : pos + 2], "big", signed=True)
+            r_at.append((dx, dy))
+            pos += 2
     n_instances = _u32(payload, pos)
     pos += 4
     if w == 0 or h == 0 or w * h > MAX_REGION_PIXELS or (
@@ -515,6 +523,17 @@ def decode_text_region(
         IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
     )
     iaid = IaidDecoder(_symcodelen(len(symbols)))
+    iari, iardw, iardh, iardx, iardy = (
+        IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
+        IntDecoder(),
+    )
+    gr_stats = None
+    if sbrefine:
+        coding_t, ref_t = GR_TEMPLATES[rtemplate]
+        gr_nbits = len(coding_t) + len(ref_t) + (
+            2 if rtemplate == 0 else 0
+        )
+        gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
 
     region = np.full((h, w), sb_def_pixel, np.uint8)
 
@@ -581,7 +600,34 @@ def decode_text_region(
             sym_id = iaid.decode(mq)
             if sym_id >= len(symbols):
                 raise PdfParseError("JBIG2 text region: symbol id out of range")
-            curs += draw(symbols[sym_id], curs, stript + curt)
+            sym = symbols[sym_id]
+            if sbrefine:
+                ri = iari.decode(mq)
+                if ri is OOB:
+                    raise PdfParseError("JBIG2 text region: OOB RI")
+                if ri:
+                    # 6.4.11: instance = refinement of the symbol with
+                    # size delta (RDW, RDH) and centered+offset reference
+                    rdw = iardw.decode(mq)
+                    rdh = iardh.decode(mq)
+                    rdx = iardx.decode(mq)
+                    rdy = iardy.decode(mq)
+                    if OOB in (rdw, rdh, rdx, rdy):
+                        raise PdfParseError(
+                            "JBIG2 text region: OOB refinement delta"
+                        )
+                    nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                    if nw <= 0 or nh <= 0 or nw * nh > MAX_REGION_PIXELS:
+                        raise PdfParseError(
+                            "JBIG2 text region: bad refined size"
+                        )
+                    sym = decode_refinement_region(
+                        b"", nw, nh, rtemplate,
+                        r_at or GR_AT_NOMINAL, sym, False,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        mq=mq, stats=gr_stats,
+                    )
+            curs += draw(sym, curs, stript + curt)
             ninst += 1
             if ninst > n_instances:
                 raise PdfParseError("JBIG2 text region: instance overflow")

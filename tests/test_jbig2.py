@@ -434,3 +434,30 @@ def test_symbol_dict_refinement_aggregate(rtemplate):
     assert len(out) == 2
     assert (out[0] == t1).all()
     assert (out[1] == t2).all()
+
+
+def test_text_region_instance_refinement():
+    """SBREFINE: a placed instance may be a refined (even resized)
+    variant of its dictionary symbol, coded relative to it (6.4.11)."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+
+    T, L = _glyphs()
+    big_t = np.zeros((6, 6), np.uint8)
+    big_t[0, :5] = 1
+    big_t[1:, 2] = 1
+    big_t[3, 4] = 1
+    placements = [
+        (0, 1, 1),                      # plain instance
+        (1, 8, 1, big_t, 0, 0),         # refined + resized instance of L
+        (0, 16, 1, T ^ np.eye(5, dtype=np.uint8), 0, 0),  # same-size fix
+    ]
+    stream = encode_symbol_dict_and_text([T, L], placements, 24, 10)
+    packed = decode_jbig2_embedded(stream)
+    rows = np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(10, -1), axis=1
+    )[:, :24]
+    page = np.zeros((10, 24), np.uint8)
+    page[1:6, 1:6] |= T
+    page[1:7, 8:14] |= big_t
+    page[1:6, 16:21] |= T ^ np.eye(5, dtype=np.uint8)
+    assert (rows == 1 - page).all()
