@@ -10,9 +10,9 @@ raise PdfParseError; the stage surfaces them as ``codec='unknown'``
 rows, same convention as compressed audio.
 
 MJPEG frames that omit their huffman tables (the DHT-less MJPEG
-convention implying the T.81 Annex K defaults) are currently rejected
-explicitly rather than silently misdecoded; our fixture encoder always
-embeds tables.
+convention) decode via the T.81 Annex K default tables, which jpeg.py
+installs automatically when a stream reaches its first SOS with no DHT
+defined.
 """
 
 from __future__ import annotations
@@ -93,9 +93,5 @@ def parse_avi(data: bytes) -> tuple[int, int, list[bytes]]:
         raise PdfParseError("AVI video stream is not MJPEG")
     if not frames:
         raise PdfParseError("AVI has no video frames")
-    for f in frames:
-        if b"\xff\xc4" not in f:
-            raise PdfParseError(
-                "MJPEG frame without embedded huffman tables unsupported"
-            )
+    # DHT-less frames are fine: jpeg.py injects the Annex K defaults
     return width, height, frames

@@ -235,3 +235,40 @@ def test_fuzz_truncation_and_bitflips_raise_typed():
                 decode_jpeg(bytes(blob))
             except PdfParseError:
                 pass
+
+
+def _strip_dht(blob: bytes) -> bytes:
+    """Remove every DHT segment from a JPEG byte stream (the DHT-less
+    MJPEG convention: tables implied = T.81 Annex K defaults)."""
+    out = bytearray(blob[:2])
+    pos = 2
+    while pos + 4 <= len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += blob[pos:]
+            break
+        seglen = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if marker != 0xC4:
+            out += blob[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def test_dhtless_mjpeg_uses_annex_k_defaults():
+    """The fixture encoder emits the Annex K luminance tables, so a
+    DHT-stripped stream must decode bit-identically via the injected
+    defaults."""
+    img = (np.arange(24 * 16).reshape(24, 16) % 251).astype(np.uint8)
+    full = encode_jpeg(img, qtable=8)
+    bare = _strip_dht(full)
+    assert b"\xff\xc4" not in bare[:bare.index(b"\xff\xda")]
+    assert len(bare) < len(full)
+    assert decode_jpeg(bare) == decode_jpeg(full)
+
+
+def test_dhtless_rgb_restart_annex_k():
+    img = np.full((16, 16, 3), 77, np.uint8)
+    img[8:, :, 0] = 200
+    full = encode_jpeg(img, qtable=4, restart_interval=2)
+    assert decode_jpeg(_strip_dht(full)) == decode_jpeg(full)

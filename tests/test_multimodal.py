@@ -215,3 +215,28 @@ def test_avi_rec_list_grouped_frames():
     w, h, got = parse_avi(rebuilt)
     assert (w, h) == (8, 8)
     assert got == frames
+
+
+def test_video_mjpeg_dhtless_frames_decode_with_annex_k():
+    """MJPEG AVIs commonly strip DHT from every frame (tables implied =
+    T.81 Annex K defaults); the stage must decode them identically to
+    table-carrying frames."""
+    import numpy as np
+
+    from pdf_ray.fixtures.avienc import encode_avi_mjpeg
+    from pdf_ray.fixtures.jpegenc import encode_jpeg
+    from tests.test_jpeg import _strip_dht
+
+    values = [96, 160, 192]
+    frames = [
+        encode_jpeg(np.full((8, 16), v, np.uint8), qtable=16) for v in values
+    ]
+    full = encode_avi_mjpeg(frames, 16, 8, fps=5)
+    bare = encode_avi_mjpeg([_strip_dht(f) for f in frames], 16, 8, fps=5)
+    stage = VideoFrameSampleStage(n_frames=3)
+    mk = lambda avi: pa.table(
+        {"media_ref": ["v1"], "video": pa.array([avi], pa.large_binary())}
+    )
+    a, b = stage(mk(full)), stage(mk(bare))
+    assert a.column("frame_ref").to_pylist() == b.column("frame_ref").to_pylist()
+    assert b.column("codec").to_pylist() == ["mjpeg_avi"] * 3
