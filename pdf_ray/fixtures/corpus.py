@@ -1274,6 +1274,46 @@ def f36_jbig2_text_region():
     ]
 
 
+def f37_jbig2_huffman_text():
+    """JBIG2 HUFFMAN-coded symbol dictionary + text region (T.88
+    SDHUFF/SBHUFF with Annex B standard tables, per-height-class
+    collective bitmaps) — same glyph layout and hand-written pixel
+    golden as f36, different coding mode; the reference todo!()s the
+    whole filter (src/filter/mod.rs:52)."""
+    import numpy as np
+
+    from .jbig2enc import encode_symbol_dict_and_text_huffman
+
+    T = np.array(
+        [[1 if c == "#" else 0 for c in r] for r in JB2T_GLYPH_T], np.uint8
+    )
+    L = np.array(
+        [[1 if c == "#" else 0 for c in r] for r in JB2T_GLYPH_L], np.uint8
+    )
+    jb2 = encode_symbol_dict_and_text_huffman(
+        [T, L], JB2T_PLACE, JB2T_W, JB2T_H
+    )
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before jbig2 huffman) Tj ET q /Im1 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 22 /Height 15 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length "
+                + str(len(jb2)).encode()
+                + b" >>\nstream\n"
+                + jb2
+                + b"\nendstream"
+            )
+        },
+    )
+    return pdf, [
+        ("text", "Before jbig2 huffman", None, 0),
+        ("image", None, JB2T_REF, 1),
+    ]
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1356,4 +1396,5 @@ FIXTURES = {
     "f34": f34_jbig2_image,
     "f35": f35_type0_legacy_rksj,
     "f36": f36_jbig2_text_region,
+    "f37": f37_jbig2_huffman_text,
 }

@@ -736,3 +736,304 @@ def encode_refagg_symbol_dict(
     out += n_new.to_bytes(4, "big")  # SDNUMNEWSYMS
     out += data
     return bytes(out)
+
+
+# -- huffman-coded symbol dictionary + text region (SDHUFF/SBHUFF) -----------
+
+from ..pdfcore import jbig2_huffman as _JH  # noqa: E402
+
+
+class BitWriter:
+    """MSB-first bit writer (inverse of jbig2_huffman.BitReader)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        if nbits:
+            self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+            self.n += nbits
+            while self.n >= 8:
+                self.n -= 8
+                self.buf.append((self.acc >> self.n) & 0xFF)
+            self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def write_bytes(self, b: bytes) -> None:
+        assert self.n == 0, "write_bytes on unaligned stream"
+        self.buf += b
+
+    def finish(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _huff_codes(lines):
+    out = []
+    code = 0
+    for length in range(1, 33):
+        code <<= 1
+        for p, r, lo, kind in lines:
+            if p == length:
+                out.append((p, code, r, lo, kind))
+                code += 1
+    return out
+
+
+class HuffEncoder:
+    """Encode values against an Annex B line list (standard or custom);
+    the exact inverse of jbig2_huffman.HuffTable."""
+
+    def __init__(self, lines):
+        self.codes = _huff_codes(lines)
+
+    def encode(self, bw: BitWriter, v) -> None:
+        if v is None:  # OOB
+            for p, code, r, lo, kind in self.codes:
+                if kind == 3:
+                    bw.write(code, p)
+                    return
+            raise ValueError("table has no OOB line")
+        for p, code, r, lo, kind in self.codes:
+            if kind == 0 and lo <= v < lo + (1 << r):
+                bw.write(code, p)
+                bw.write(v - lo, r)
+                return
+        for p, code, r, lo, kind in self.codes:
+            if kind == 1 and v <= lo:
+                bw.write(code, p)
+                bw.write(lo - v, 32)
+                return
+            if kind == 2 and v >= lo:
+                bw.write(code, p)
+                bw.write(v - lo, 32)
+                return
+        raise ValueError(f"value {v} not representable by table")
+
+
+def _std_enc(n: int) -> HuffEncoder:
+    return HuffEncoder(_JH._STANDARD_LINES[n])
+
+
+def encode_table_segment_payload(
+    htlow: int,
+    hthigh: int,
+    pairs: list[tuple[int, int]],
+    lower_pref: int = 0,
+    upper_pref: int = 0,
+    oob_pref: int | None = None,
+) -> bytes:
+    """Custom huffman table segment payload (T.88 B.2): ``pairs`` =
+    [(preflen, rangelen), ...] covering [htlow, hthigh)."""
+    htps = max([p for p, _ in pairs] + [lower_pref, upper_pref,
+                                        oob_pref or 0]).bit_length()
+    htrs = max(r for _, r in pairs).bit_length()
+    htps, htrs = max(htps, 1), max(htrs, 1)
+    out = bytearray()
+    out.append(
+        (1 if oob_pref is not None else 0)
+        | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    )
+    out += htlow.to_bytes(4, "big", signed=True)
+    out += hthigh.to_bytes(4, "big", signed=True)
+    bw = BitWriter()
+    for p, r in pairs:
+        bw.write(p, htps)
+        bw.write(r, htrs)
+    bw.write(lower_pref, htps)
+    bw.write(upper_pref, htps)
+    if oob_pref is not None:
+        bw.write(oob_pref, htps)
+    return bytes(out) + bw.finish()
+
+
+def encode_symbol_dict_and_text_huffman(
+    symbols: list[np.ndarray],
+    placements: list[tuple],
+    region_w: int,
+    region_h: int,
+    log_strips: int = 0,
+    refcorner: int = 1,
+    transposed: bool = False,
+    mmr_collective: bool = False,
+    dh_sel: int = 0,
+    dw_sel: int = 0,
+    dh_custom_payload: bytes | None = None,
+) -> bytes:
+    """Huffman-coded twin of encode_symbol_dict_and_text: SDHUFF=1
+    symbol dictionary (per-height-class collective bitmaps, uncompressed
+    or MMR) + SBHUFF=1 text region (run-code symbol ID table, standard
+    tables B.1/B.6/B.8/B.11/B.15). Symbols must be sorted by ascending
+    (height, width) when dh_sel/dw_sel select the non-negative tables
+    B.4/B.2 (selection 0); selections 1 pick B.5/B.3 which carry signed
+    deltas. Placements may include refinement entries
+    (sym_id, s, t, refined_bitmap, rdx, rdy) like the arithmetic
+    encoder."""
+    nsyms = len(symbols)
+
+    # --- symbol dictionary (SDHUFF=1, SDREFAGG=0)
+    bw = BitWriter()
+    if dh_custom_payload is not None:
+        dh_sel = 3  # custom table via referred type-53 segment
+        enc_dh = HuffEncoder(_JH.parse_table_lines(dh_custom_payload))
+    else:
+        enc_dh = _std_enc(5 if dh_sel else 4)
+    enc_dw = _std_enc(3 if dw_sel else 2)
+    enc_bm = _std_enc(1)
+    enc_ex = _std_enc(1)
+    hcheight = 0
+    i = 0
+    while i < nsyms:
+        hgt = symbols[i].shape[0]
+        enc_dh.encode(bw, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        cls = []
+        while i < nsyms and symbols[i].shape[0] == hcheight:
+            wdt = symbols[i].shape[1]
+            enc_dw.encode(bw, wdt - symwidth)
+            symwidth = wdt
+            cls.append(symbols[i])
+            i += 1
+        enc_dw.encode(bw, None)  # OOB ends the height class
+        coll = np.concatenate(cls, axis=1).astype(np.uint8)
+        if mmr_collective:
+            from .ccittenc import encode_g4
+
+            data = encode_g4(coll)
+            enc_bm.encode(bw, len(data))
+            bw.align()
+            bw.write_bytes(data)
+        else:
+            enc_bm.encode(bw, 0)
+            bw.align()
+            bw.write_bytes(np.packbits(coll, axis=1).tobytes())
+    enc_ex.encode(bw, 0)      # run of 0 non-exported
+    enc_ex.encode(bw, nsyms)  # export all
+    sd_data = bw.finish()
+
+    sd = bytearray()
+    flags = 1 | (dh_sel << 2) | (dw_sel << 4)  # SDHUFF=1
+    sd += flags.to_bytes(2, "big")
+    sd += nsyms.to_bytes(4, "big")  # SDNUMEXSYMS
+    sd += nsyms.to_bytes(4, "big")  # SDNUMNEWSYMS
+    sd += sd_data
+
+    # --- text region (SBHUFF=1)
+    sbrefine = any(len(p) > 3 for p in placements)
+    bw = BitWriter()
+    # run-code symbol ID table: every symbol gets the same L-bit code;
+    # the single used run-code gets a 1-bit code, the rest length 0
+    symlen = max(1, (nsyms - 1).bit_length())
+    for rc in range(35):
+        bw.write(1 if rc == symlen else 0, 4)
+    for _ in range(nsyms):
+        bw.write(0, 1)  # the lone run-code's canonical code is '0'
+    bw.align()  # decoder aligns after the symbol ID table
+
+    enc_fs = _std_enc(6)
+    enc_ds = _std_enc(8)
+    enc_dt = _std_enc(11)
+    enc_rd = _std_enc(15)
+    enc_rs = _std_enc(1)
+    n_strips = 1 << log_strips
+    strips: dict[int, list[tuple]] = {}
+    for pl in placements:
+        sym_id, s, t = pl[0], pl[1], pl[2]
+        refine = pl[3:] if len(pl) > 3 else None
+        if transposed:
+            s, t = t, s
+            if refcorner in (2, 3):
+                t = t + symbols[sym_id].shape[1] - 1
+        else:
+            if refcorner in (0, 2):
+                t = t + symbols[sym_id].shape[0] - 1
+        base = (t // n_strips) * n_strips
+        strips.setdefault(base, []).append((s, sym_id, t - base, refine))
+    enc_dt.encode(bw, 1)  # initial STRIPT = -1 * SBSTRIPS (B.11 min is 1)
+    stript = -n_strips
+    firsts = 0
+    for base in sorted(strips):
+        enc_dt.encode(bw, (base - stript) // n_strips)
+        stript = base
+        insts = sorted(strips[base], key=lambda e: e[:3])
+        curs = 0
+        for j, (s, sym_id, curt, refine) in enumerate(insts):
+            if j == 0:
+                enc_fs.encode(bw, s - firsts)
+                firsts = s
+                curs = s
+            else:
+                enc_ds.encode(bw, s - curs)
+                curs = s
+            if n_strips > 1:
+                bw.write(curt, log_strips)  # fixed-length TI in huffman
+            bw.write(sym_id, symlen)
+            inst_bm = symbols[sym_id]
+            if sbrefine:
+                if refine is None:
+                    bw.write(0, 1)
+                else:
+                    rbm, rdx, rdy = refine
+                    rdw = rbm.shape[1] - inst_bm.shape[1]
+                    rdh = rbm.shape[0] - inst_bm.shape[0]
+                    bw.write(1, 1)
+                    enc_rd.encode(bw, rdw)
+                    enc_rd.encode(bw, rdh)
+                    enc_rd.encode(bw, rdx)
+                    enc_rd.encode(bw, rdy)
+                    mq = MQEncoder()
+                    encode_refinement_region_data(
+                        rbm, inst_bm, 0, GR_AT_NOMINAL, False,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, enc=mq,
+                    )
+                    rdata = mq.finish()
+                    enc_rs.encode(bw, len(rdata))
+                    bw.align()
+                    bw.write_bytes(rdata)
+                    inst_bm = rbm
+            adv = inst_bm.shape[0] if transposed else inst_bm.shape[1]
+            curs += adv - 1
+        enc_ds.encode(bw, None)  # OOB ends the strip
+    tr_data = bw.finish()
+
+    tr = bytearray()
+    tr += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
+    tr += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    tr += bytes([0])  # region comb op OR
+    flags = (
+        1  # SBHUFF
+        | ((1 if sbrefine else 0) << 1)
+        | ((log_strips & 3) << 2)
+        | ((refcorner & 3) << 4)
+        | ((1 if transposed else 0) << 6)
+    )
+    tr += flags.to_bytes(2, "big")
+    # huffman flags: FS=B.6, DS=B.8, DT=B.11, RDW/RDH/RDX/RDY=B.15
+    # (selection 1), RSIZE=B.1
+    hflags = (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+    tr += hflags.to_bytes(2, "big")
+    if sbrefine:  # rtemplate 0 refinement AT pixels
+        for dx, dy in GR_AT_NOMINAL:
+            tr += dx.to_bytes(1, "big", signed=True)
+            tr += dy.to_bytes(1, "big", signed=True)
+    tr += len(placements).to_bytes(4, "big")
+    tr += tr_data
+
+    out = bytearray()
+    out += _segment(0, 48, _page_info(region_w, region_h))
+    if dh_custom_payload is not None:
+        out += _segment(1, 53, dh_custom_payload)    # custom table
+        out += _segment_ref(2, 0, [1], sd)           # symbol dictionary
+        out += _segment_ref(3, 6, [2], bytes(tr))    # text region
+        out += _segment(4, 49, b"")
+    else:
+        out += _segment_ref(1, 0, [], sd)          # symbol dictionary
+        out += _segment_ref(2, 6, [1], bytes(tr))  # immediate text region
+        out += _segment(3, 49, b"")
+    return bytes(out)

@@ -25,12 +25,16 @@ way ccitt.py did for CCITTFaxDecode:
   8.8 fixed-point) halftone grid,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Refinement-AGGREGATE symbol coding is carried for the single-instance
-case (6.5.8.2.2 — new symbols as refinements of dictionary symbols,
-shared GR stats); huffman-coded variants (SDHUFF/SBHUFF/HMMR),
-REFAGGNINST > 1 (nested text-region aggregation) and ENABLESKIP
-halftones raise PdfParseError (row-level error downstream, the
-documented containment model).
+HUFFMAN-coded variants (SDHUFF symbol dictionaries with collective
+bitmaps — uncompressed or MMR — and SBHUFF text regions incl. the
+run-code symbol ID table, standard tables B.1-B.15 and custom table
+segments) are implemented in jbig2_huffman.py and dispatched from the
+same segment walker. Refinement-AGGREGATE symbol coding is carried for
+the single-instance case (6.5.8.2.2 — new symbols as refinements of
+dictionary symbols, shared GR stats); SDHUFF+SDREFAGG, REFAGGNINST > 1
+(nested text-region aggregation) and ENABLESKIP halftones raise
+PdfParseError (row-level error downstream, the documented containment
+model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
 public table reproduced in every JBIG2/JPEG2000 implementation); it is
@@ -330,12 +334,14 @@ def _symcodelen(nsyms: int) -> int:
 
 
 def decode_symbol_dictionary(
-    payload: bytes, input_symbols: list[np.ndarray]
+    payload: bytes, input_symbols: list[np.ndarray],
+    tables: list | None = None,
 ) -> list[np.ndarray]:
-    """Symbol dictionary segment (T.88 6.5), arithmetic coding only —
-    SDHUFF / SDREFAGG raise. Returns the EXPORTED symbol bitmaps
-    (input symbols from referred dictionaries participate in the export
-    run-length flagging per 6.5.10)."""
+    """Symbol dictionary segment (T.88 6.5) -> the EXPORTED symbol
+    bitmaps (input symbols from referred dictionaries participate in
+    the export run-length flagging per 6.5.10). Both arithmetic and
+    huffman (SDHUFF) coding; ``tables`` holds referred custom huffman
+    tables in segment order."""
     if len(payload) < 2:
         raise PdfParseError("JBIG2 short symbol dictionary")
     flags = int.from_bytes(payload[0:2], "big")
@@ -344,8 +350,12 @@ def decode_symbol_dictionary(
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        raise PdfParseError(
-            "JBIG2 symbol dictionary: huffman coding unsupported"
+        if sdrefagg:
+            raise PdfParseError(
+                "JBIG2 symbol dictionary: huffman+refagg unsupported"
+            )
+        return _decode_symbol_dictionary_huffman(
+            payload, input_symbols, flags, tables or []
         )
     pos = 2
     at: list[tuple[int, int]] = []
@@ -473,12 +483,129 @@ def decode_symbol_dictionary(
     return exported
 
 
+def _unpack_collective(raw: bytes, totwidth: int, hcheight: int) -> np.ndarray:
+    stride = (totwidth + 7) // 8
+    arr = np.frombuffer(raw, np.uint8).reshape(hcheight, stride)
+    return np.unpackbits(arr, axis=1)[:, :totwidth]
+
+
+def _decode_symbol_dictionary_huffman(
+    payload: bytes, input_symbols: list[np.ndarray], flags: int,
+    tables: list,
+) -> list[np.ndarray]:
+    """SDHUFF=1 symbol dictionary (6.5.5 huffman variant): per height
+    class, run of width deltas then one byte-aligned COLLECTIVE bitmap
+    (BMSIZE=0 -> uncompressed rows, else MMR/T.6) split by widths."""
+    from . import jbig2_huffman as JH
+
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    sel_bm = (flags >> 6) & 1
+    # (flags >> 7) & 1 is SDHUFFAGGINST — unused with SDREFAGG=0
+    tab_dh, tab_dw, tab_bm = JH.assign_tables(
+        [sel_dh, sel_dw, sel_bm], tables, [(4, 5), (2, 3), (1,)]
+    )
+    n_ex = _u32(payload, 2)
+    n_new = _u32(payload, 6)
+    if n_new > 10_000 or n_ex > 10_000:
+        raise PdfParseError("JBIG2 symbol dictionary: implausible counts")
+    br = JH.BitReader(payload, 10)
+
+    new_syms: list[np.ndarray] = []
+    area_budget = MAX_REGION_PIXELS
+    hcheight = 0
+    classes = 0
+    while len(new_syms) < n_new:
+        classes += 1
+        if classes > n_new + 64:
+            raise PdfParseError("JBIG2 symbol dictionary: class overflow")
+        dh = tab_dh.decode(br)
+        if dh is JH.OOB:
+            raise PdfParseError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 2048:
+            raise PdfParseError("JBIG2 symbol dictionary: bad height class")
+        symwidth = 0
+        totwidth = 0
+        class_widths: list[int] = []
+        while True:
+            dw = tab_dw.decode(br)
+            if dw is JH.OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 2048:
+                raise PdfParseError("JBIG2 symbol dictionary: bad width")
+            if len(new_syms) + len(class_widths) >= n_new:
+                raise PdfParseError("JBIG2 symbol dictionary: count overflow")
+            area_budget -= symwidth * hcheight
+            if area_budget < 0:
+                raise PdfParseError(
+                    "JBIG2 symbol dictionary: pixel budget exceeded"
+                )
+            class_widths.append(symwidth)
+            totwidth += symwidth
+        bmsize = tab_bm.decode(br)
+        if bmsize is JH.OOB or bmsize < 0:
+            raise PdfParseError("JBIG2 symbol dictionary: bad BMSIZE")
+        br.align()
+        start = br.byte_pos()
+        if bmsize == 0:  # uncompressed, rows padded to byte boundary
+            need = hcheight * ((totwidth + 7) // 8)
+            raw = payload[start : start + need]
+            if len(raw) < need:
+                raise PdfParseError(
+                    "JBIG2 symbol dictionary: collective bitmap truncated"
+                )
+            coll = _unpack_collective(raw, totwidth, hcheight)
+            br.seek_byte(start + need)
+        else:  # MMR (T.6) coded collective bitmap
+            from .ccitt import ccitt_fax_decode
+
+            data = payload[start : start + bmsize]
+            if len(data) < bmsize:
+                raise PdfParseError(
+                    "JBIG2 symbol dictionary: MMR collective truncated"
+                )
+            packed = ccitt_fax_decode(
+                data,
+                {"K": -1, "Columns": totwidth, "Rows": hcheight,
+                 "BlackIs1": True},
+            )
+            coll = _unpack_collective(packed, totwidth, hcheight)
+            br.seek_byte(start + bmsize)
+        x0 = 0
+        for wd in class_widths:
+            new_syms.append(coll[:, x0 : x0 + wd].copy())
+            x0 += wd
+
+    # export flags (6.5.10): EXRUNLENGTH via standard table B.1
+    tab_ex = JH.standard_table(1)
+    all_syms = list(input_symbols) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(all_syms) and len(exported) < n_ex:
+        run = tab_ex.decode(br)
+        if run is JH.OOB or run < 0:
+            raise PdfParseError("JBIG2 symbol dictionary: bad export run")
+        if exflag:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise PdfParseError("JBIG2 symbol dictionary: export count mismatch")
+    return exported
+
+
 def decode_text_region(
-    payload: bytes, symbols: list[np.ndarray]
+    payload: bytes, symbols: list[np.ndarray],
+    tables: list | None = None,
 ) -> tuple[np.ndarray, int, int, int]:
-    """Text region segment (T.88 6.4), arithmetic, no refinement ->
-    (bitmap, x, y, comb_op). Symbol instances are drawn onto the region
-    bitmap at arithmetic-decoded (S, T) coordinates."""
+    """Text region segment (T.88 6.4) -> (bitmap, x, y, comb_op).
+    Symbol instances are drawn onto the region bitmap at decoded (S, T)
+    coordinates; both arithmetic and huffman (SBHUFF) coding, with
+    per-instance SBREFINE refinement in either mode. ``tables`` holds
+    referred custom huffman tables in segment order."""
     if len(payload) < 17 + 2 + 4:
         raise PdfParseError("JBIG2 short text region")
     w = _u32(payload, 0)
@@ -498,9 +625,11 @@ def decode_text_region(
     if ds_offset > 15:
         ds_offset -= 32  # signed 5-bit
     rtemplate = (flags >> 15) & 1
-    if sbhuff:
-        raise PdfParseError("JBIG2 text region: huffman coding unsupported")
     pos = 19
+    hflags = 0
+    if sbhuff:
+        hflags = int.from_bytes(payload[19:21], "big")
+        pos = 21
     r_at: list[tuple[int, int]] = []
     if sbrefine and rtemplate == 0:
         for _ in range(2):
@@ -518,22 +647,94 @@ def decode_text_region(
         raise PdfParseError("JBIG2 text region: no referred symbols")
     strips = 1 << log_strips
 
-    mq = MQDecoder(payload[pos:])
-    iadt, iafs, iads, iait = (
-        IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
-    )
-    iaid = IaidDecoder(_symcodelen(len(symbols)))
-    iari, iardw, iardh, iardx, iardy = (
-        IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
-        IntDecoder(),
-    )
-    gr_stats = None
-    if sbrefine:
-        coding_t, ref_t = GR_TEMPLATES[rtemplate]
-        gr_nbits = len(coding_t) + len(ref_t) + (
-            2 if rtemplate == 0 else 0
+    # decode callbacks: the instance-placement loop below is coding-
+    # agnostic; OOB is normalized to this module's sentinel
+    if sbhuff:
+        from . import jbig2_huffman as JH
+
+        sels = [hflags & 3, (hflags >> 2) & 3, (hflags >> 4) & 3,
+                (hflags >> 6) & 3, (hflags >> 8) & 3, (hflags >> 10) & 3,
+                (hflags >> 12) & 3, (hflags >> 14) & 1]
+        (tab_fs, tab_ds, tab_dt, tab_rdw, tab_rdh, tab_rdx, tab_rdy,
+         tab_rsize) = JH.assign_tables(
+            sels, tables or [],
+            [(6, 7), (8, 9, 10), (11, 12, 13), (14, 15), (14, 15),
+             (14, 15), (14, 15), (1,)],
         )
-        gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
+        br = JH.BitReader(payload, pos)
+        symtab = JH.read_symbol_id_table(br, len(symbols))
+
+        def _norm(v):
+            return OOB if v is JH.OOB else v
+
+        dec_dt = lambda: _norm(tab_dt.decode(br))  # noqa: E731
+        dec_fs = lambda: _norm(tab_fs.decode(br))  # noqa: E731
+        dec_ds = lambda: _norm(tab_ds.decode(br))  # noqa: E731
+        dec_t = (  # 6.4.5: TI is a FIXED-length field in huffman mode
+            (lambda: 0) if strips == 1 else (lambda: br.bits(log_strips))
+        )
+        dec_id = lambda: symtab.decode(br)  # noqa: E731
+        dec_ri = lambda: br.bit()  # noqa: E731
+        dec_rdeltas = lambda: (  # noqa: E731
+            _norm(tab_rdw.decode(br)), _norm(tab_rdh.decode(br)),
+            _norm(tab_rdx.decode(br)), _norm(tab_rdy.decode(br)),
+        )
+
+        def dec_refine(sym, nw, nh, rdx_off, rdy_off):
+            # 6.4.11 huffman: BMSIZE-byte, byte-aligned arithmetic
+            # refinement data per instance
+            bmsize = tab_rsize.decode(br)
+            if bmsize is JH.OOB or bmsize <= 0:
+                raise PdfParseError("JBIG2 text region: bad refinement size")
+            br.align()
+            start = br.byte_pos()
+            data = payload[start : start + bmsize]
+            if len(data) < bmsize:
+                raise PdfParseError(
+                    "JBIG2 text region: refinement data truncated"
+                )
+            out = decode_refinement_region(
+                data, nw, nh, rtemplate, r_at or GR_AT_NOMINAL, sym,
+                False, rdx_off, rdy_off,
+            )
+            br.seek_byte(start + bmsize)
+            return out
+    else:
+        mq = MQDecoder(payload[pos:])
+        iadt, iafs, iads, iait = (
+            IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
+        )
+        iaid = IaidDecoder(_symcodelen(len(symbols)))
+        iari, iardw, iardh, iardx, iardy = (
+            IntDecoder(), IntDecoder(), IntDecoder(), IntDecoder(),
+            IntDecoder(),
+        )
+        gr_stats = None
+        if sbrefine:
+            coding_t, ref_t = GR_TEMPLATES[rtemplate]
+            gr_nbits = len(coding_t) + len(ref_t) + (
+                2 if rtemplate == 0 else 0
+            )
+            gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
+
+        dec_dt = lambda: iadt.decode(mq)  # noqa: E731
+        dec_fs = lambda: iafs.decode(mq)  # noqa: E731
+        dec_ds = lambda: iads.decode(mq)  # noqa: E731
+        dec_t = (  # noqa: E731
+            (lambda: 0) if strips == 1 else (lambda: iait.decode(mq))
+        )
+        dec_id = lambda: iaid.decode(mq)  # noqa: E731
+        dec_ri = lambda: iari.decode(mq)  # noqa: E731
+        dec_rdeltas = lambda: (  # noqa: E731
+            iardw.decode(mq), iardh.decode(mq), iardx.decode(mq),
+            iardy.decode(mq),
+        )
+
+        def dec_refine(sym, nw, nh, rdx_off, rdy_off):
+            return decode_refinement_region(
+                b"", nw, nh, rtemplate, r_at or GR_AT_NOMINAL, sym,
+                False, rdx_off, rdy_off, mq=mq, stats=gr_stats,
+            )
 
     region = np.full((h, w), sb_def_pixel, np.uint8)
 
@@ -570,18 +771,18 @@ def decode_text_region(
                 dst[:] = 1 - (dst ^ src)
         return adv
 
-    stript = iadt.decode(mq)
+    stript = dec_dt()
     if stript is OOB:
         raise PdfParseError("JBIG2 text region: OOB strip T")
     stript = -stript * strips
     firsts = 0
     ninst = 0
     while ninst < n_instances:
-        dt = iadt.decode(mq)
+        dt = dec_dt()
         if dt is OOB:
             raise PdfParseError("JBIG2 text region: OOB strip delta")
         stript += dt * strips
-        dfs = iafs.decode(mq)
+        dfs = dec_fs()
         if dfs is OOB:
             raise PdfParseError("JBIG2 text region: OOB first S")
         firsts += dfs
@@ -589,29 +790,26 @@ def decode_text_region(
         first = True
         while True:
             if not first:
-                ids = iads.decode(mq)
+                ids = dec_ds()
                 if ids is OOB:
                     break  # end of strip
                 curs += ids + ds_offset
             first = False
-            curt = 0 if strips == 1 else iait.decode(mq)
+            curt = dec_t()
             if curt is OOB:
                 raise PdfParseError("JBIG2 text region: OOB T offset")
-            sym_id = iaid.decode(mq)
+            sym_id = dec_id()
             if sym_id >= len(symbols):
                 raise PdfParseError("JBIG2 text region: symbol id out of range")
             sym = symbols[sym_id]
             if sbrefine:
-                ri = iari.decode(mq)
+                ri = dec_ri()
                 if ri is OOB:
                     raise PdfParseError("JBIG2 text region: OOB RI")
                 if ri:
                     # 6.4.11: instance = refinement of the symbol with
                     # size delta (RDW, RDH) and centered+offset reference
-                    rdw = iardw.decode(mq)
-                    rdh = iardh.decode(mq)
-                    rdx = iardx.decode(mq)
-                    rdy = iardy.decode(mq)
+                    rdw, rdh, rdx, rdy = dec_rdeltas()
                     if OOB in (rdw, rdh, rdx, rdy):
                         raise PdfParseError(
                             "JBIG2 text region: OOB refinement delta"
@@ -621,11 +819,8 @@ def decode_text_region(
                         raise PdfParseError(
                             "JBIG2 text region: bad refined size"
                         )
-                    sym = decode_refinement_region(
-                        b"", nw, nh, rtemplate,
-                        r_at or GR_AT_NOMINAL, sym, False,
-                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
-                        mq=mq, stats=gr_stats,
+                    sym = dec_refine(
+                        sym, nw, nh, (rdw >> 1) + rdx, (rdh >> 1) + rdy
                     )
             curs += draw(sym, curs, stript + curt)
             ninst += 1
@@ -1021,6 +1216,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
     entries: list[tuple] = []
     sym_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> exports
     pat_dicts: dict[int, list[np.ndarray]] = {}  # segment num -> patterns
+    huff_tables: dict[int, object] = {}  # segment num -> custom HuffTable
     for num, seg_type, referred, payload in _segments(
         bytes(globals_data) + bytes(data)
     ):
@@ -1029,16 +1225,26 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> bytes:
             page_h = _u32(payload, 4)
             if len(payload) > 16:
                 default_pixel = (payload[16] >> 2) & 1
+        elif seg_type == 53:  # custom huffman table
+            from .jbig2_huffman import parse_table_segment
+
+            huff_tables[num] = parse_table_segment(payload)
         elif seg_type == 0:  # symbol dictionary
             inputs: list[np.ndarray] = []
+            tabs: list = []
             for r in referred:
                 inputs.extend(sym_dicts.get(r, []))
-            sym_dicts[num] = decode_symbol_dictionary(payload, inputs)
+                if r in huff_tables:
+                    tabs.append(huff_tables[r])
+            sym_dicts[num] = decode_symbol_dictionary(payload, inputs, tabs)
         elif seg_type in _TEXT_REGION_TYPES:
             syms: list[np.ndarray] = []
+            tabs = []
             for r in referred:
                 syms.extend(sym_dicts.get(r, []))
-            entries.append(("bm",) + decode_text_region(payload, syms))
+                if r in huff_tables:
+                    tabs.append(huff_tables[r])
+            entries.append(("bm",) + decode_text_region(payload, syms, tabs))
         elif seg_type in _GENERIC_REGION_TYPES:
             entries.append(("bm",) + _decode_region_segment(payload))
         elif seg_type == 16:  # pattern dictionary

@@ -249,10 +249,13 @@ def test_symbol_dict_multiple_height_classes():
     assert (rows == 1 - page).all()
 
 
-def test_symbol_dict_huffman_raises():
+def test_symbol_dict_huffman_refagg_raises():
+    """SDHUFF=1 is now implemented; the SDHUFF+SDREFAGG combination
+    (huffman dictionaries whose symbols are refinements) remains an
+    explicit row-level error."""
     from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
 
-    payload = (1).to_bytes(2, "big") + b"\x00" * 16  # SDHUFF=1
+    payload = (3).to_bytes(2, "big") + b"\x00" * 16  # SDHUFF+SDREFAGG
     with pytest.raises(PdfParseError):
         decode_symbol_dictionary(payload, [])
 
@@ -461,3 +464,155 @@ def test_text_region_instance_refinement():
     page[1:7, 8:14] |= big_t
     page[1:6, 16:21] |= T ^ np.eye(5, dtype=np.uint8)
     assert (rows == 1 - page).all()
+
+
+# -- huffman-coded variants (SDHUFF / SBHUFF, Annex B tables) -----------------
+
+
+def _hsyms(seed=3):
+    rng = np.random.RandomState(seed)
+    return [
+        (rng.rand(5, 4) > 0.5).astype(np.uint8),
+        (rng.rand(5, 6) > 0.5).astype(np.uint8),
+        (rng.rand(7, 3) > 0.4).astype(np.uint8),
+    ]
+
+
+_HPL = [(0, 2, 1), (1, 10, 1), (2, 20, 8), (0, 30, 8), (2, 40, 2)]
+
+
+def test_standard_tables_build_and_b3_spec_codes():
+    """All 15 Annex B standard tables construct (range contiguity is
+    asserted at import); B.3's code assignments are pinned to the
+    spec's listed codes."""
+    from pdf_ray.pdfcore import jbig2_huffman as JH
+
+    for n in range(1, 16):
+        JH.standard_table(n)
+
+    def rd(bits):
+        pad = bits + "0" * ((8 - len(bits) % 8) % 8)
+        return JH.BitReader(
+            bytes(int(pad[i : i + 8], 2) for i in range(0, len(pad), 8))
+        )
+
+    t3 = JH.standard_table(3)
+    assert t3.decode(rd("11111110" + "0" * 8)) == -256
+    assert t3.decode(rd("0")) == 0
+    assert t3.decode(rd("111110")) is JH.OOB
+    assert t3.decode(rd("1111110" + "0" * 32)) == 75
+    assert t3.decode(rd("11111111" + "0" * 31 + "1")) == -258
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"mmr_collective": True},
+        {"dh_sel": 1, "dw_sel": 1},
+        {"log_strips": 2},
+        {"refcorner": 0},
+        {"refcorner": 2, "transposed": True},
+    ],
+)
+def test_huffman_symbol_text_matches_arithmetic(kw):
+    """SDHUFF+SBHUFF streams must render pixel-identically to the
+    arithmetic coding of the same symbols/placements (collective
+    bitmaps uncompressed and MMR; B.4/B.2 and B.5/B.3 selections;
+    multi-strip; all reference corners)."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+    from pdf_ray.fixtures.jbig2enc import (
+        encode_symbol_dict_and_text_huffman as enc_h,
+    )
+
+    syms = _hsyms()
+    akw = {
+        k: v for k, v in kw.items()
+        if k in ("log_strips", "refcorner", "transposed")
+    }
+    a = decode_jbig2_embedded(
+        encode_symbol_dict_and_text(syms, _HPL, 64, 24, **akw)
+    )
+    h = decode_jbig2_embedded(enc_h(syms, _HPL, 64, 24, **kw))
+    assert a == h
+
+
+def test_huffman_text_region_refined_instance():
+    """SBHUFF text region with an SBREFINE instance: per-instance
+    byte-aligned BMSIZE arithmetic refinement data."""
+    from pdf_ray.fixtures.jbig2enc import encode_symbol_dict_and_text
+    from pdf_ray.fixtures.jbig2enc import (
+        encode_symbol_dict_and_text_huffman as enc_h,
+    )
+
+    rng = np.random.RandomState(5)
+    syms = [(rng.rand(6, 5) > 0.5).astype(np.uint8),
+            (rng.rand(6, 7) > 0.5).astype(np.uint8)]
+    rbm = (rng.rand(8, 6) > 0.45).astype(np.uint8)
+    pl = [(0, 2, 1), (1, 12, 1, rbm, 0, 0), (1, 24, 3)]
+    a = decode_jbig2_embedded(encode_symbol_dict_and_text(syms, pl, 48, 16))
+    h = decode_jbig2_embedded(enc_h(syms, pl, 48, 16))
+    assert a == h
+
+
+def test_huffman_custom_table_segment():
+    """A type-53 custom table segment (replicating B.4's lines) drives
+    the symbol dictionary's DH decode via selection 3."""
+    from pdf_ray.fixtures.jbig2enc import (
+        encode_symbol_dict_and_text,
+        encode_symbol_dict_and_text_huffman as enc_h,
+        encode_table_segment_payload,
+    )
+
+    syms = _hsyms(9)[:2]
+    pl = [(0, 1, 1), (1, 8, 2), (0, 20, 6)]
+    custom = encode_table_segment_payload(
+        1, 76, [(1, 0), (2, 0), (3, 0), (4, 3), (5, 6)], upper_pref=5
+    )
+    a = decode_jbig2_embedded(encode_symbol_dict_and_text(syms, pl, 32, 16))
+    h = decode_jbig2_embedded(
+        enc_h(syms, pl, 32, 16, dh_custom_payload=custom)
+    )
+    assert a == h
+
+
+def test_custom_table_parse_matches_standard_semantics():
+    """parse_table_segment over a payload mimicking B.2 (incl. OOB)
+    decodes identically to the built-in standard table."""
+    from pdf_ray.fixtures.jbig2enc import (
+        BitWriter, HuffEncoder, encode_table_segment_payload,
+    )
+    from pdf_ray.pdfcore import jbig2_huffman as JH
+
+    payload = encode_table_segment_payload(
+        0, 75, [(1, 0), (2, 0), (3, 0), (4, 3), (5, 6)],
+        upper_pref=6, oob_pref=6,
+    )
+    custom = JH.parse_table_segment(payload)
+    std = JH.standard_table(2)
+    enc = HuffEncoder(JH._STANDARD_LINES[2])
+    values = [0, 1, 2, 5, 10, 11, 60, 74, 75, 100, 5000, None]
+    bw = BitWriter()
+    for v in values:
+        enc.encode(bw, v)
+    blob = bw.finish()
+    for tab in (std, custom):
+        r = JH.BitReader(blob)
+        got = [tab.decode(r) for _ in values]
+        assert [None if g is JH.OOB else g for g in got] == values
+
+
+def test_huffman_stream_truncation_raises_typed():
+    """Truncations anywhere in a huffman-coded stream raise
+    PdfParseError, never bare Index/Key/struct errors."""
+    from pdf_ray.fixtures.jbig2enc import (
+        encode_symbol_dict_and_text_huffman as enc_h,
+    )
+
+    good = enc_h(_hsyms(), _HPL, 64, 24)
+    assert decode_jbig2_embedded(good)
+    for k in range(0, len(good), 7):
+        try:
+            decode_jbig2_embedded(good[:k])
+        except PdfParseError:
+            pass
