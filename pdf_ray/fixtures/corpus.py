@@ -1314,6 +1314,83 @@ def f37_jbig2_huffman_text():
     ]
 
 
+# JPX fixture (f38): JPEG 2000 5/3-reversible coding is LOSSLESS, so the
+# pixel goldens are the literal formula arrays below — decode must match
+# bit-for-bit. Two images: a gray raw codestream (2 decomposition
+# levels) and an RGB JP2 container with the reversible color transform
+# (RCT), exercising the box parser and MCT paths. The reference
+# todo!()s JPXDecode entirely (src/filter/mod.rs:54).
+JPX_W, JPX_H = 13, 9
+JPX_GRAY = [[(x * 19 + y * 31) % 256 for x in range(JPX_W)] for y in range(JPX_H)]
+JPX_PIXELS = bytes(v for row in JPX_GRAY for v in row for _ in range(3))
+JPXC_W, JPXC_H = 10, 8
+JPXC_RGB = [
+    [((x * 23 + y * 7) % 256, (x * 5 + y * 41) % 256, (x * 13 + y * 17) % 256)
+     for x in range(JPXC_W)]
+    for y in range(JPXC_H)
+]
+JPXC_PIXELS = bytes(c for row in JPXC_RGB for px in row for c in px)
+
+
+def _jpx_refs() -> tuple[str, str]:
+    import hashlib
+
+    g = hashlib.sha256(
+        f"{JPX_W}x{JPX_H}:rgb8:".encode() + JPX_PIXELS
+    ).hexdigest()[:40]
+    c = hashlib.sha256(
+        f"{JPXC_W}x{JPXC_H}:rgb8:".encode() + JPXC_PIXELS
+    ).hexdigest()[:40]
+    return f"img:{g}", f"img:{c}"
+
+
+JPX_REF, JPXC_REF = _jpx_refs()
+
+
+def f38_jpx_image():
+    """JPXDecode Image XObjects (gray codestream + RGB JP2/RCT), decoded
+    by pdfcore/jpx.py; goldens = the literal formula bitmaps above.
+    Per PDF 32000-1 §7.4.9 the codestream supplies geometry/depth/color,
+    so the dicts carry only Width/Height."""
+    import numpy as np
+
+    from .jpxenc import encode_jpx
+
+    gray = np.array(JPX_GRAY, np.uint8)
+    rgb = np.array(
+        [[list(px) for px in row] for row in JPXC_RGB], np.uint8
+    )
+    cs_g = encode_jpx(gray, levels=2)
+    cs_c = encode_jpx(rgb, jp2=True)
+    pdf = simple_page_pdf(
+        b"BT /F1 12 Tf 72 720 Td (Before jpx) Tj ET q /Im1 Do Q q /Im2 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R /Im2 10 0 R >>",
+        extra_objects={
+            9: (
+                b"<< /Type /XObject /Subtype /Image /Width 13 /Height 9 "
+                b"/Filter /JPXDecode /Length "
+                + str(len(cs_g)).encode()
+                + b" >>\nstream\n"
+                + cs_g
+                + b"\nendstream"
+            ),
+            10: (
+                b"<< /Type /XObject /Subtype /Image /Width 10 /Height 8 "
+                b"/Filter /JPXDecode /Length "
+                + str(len(cs_c)).encode()
+                + b" >>\nstream\n"
+                + cs_c
+                + b"\nendstream"
+            ),
+        },
+    )
+    return pdf, [
+        ("text", "Before jpx", None, 0),
+        ("image", None, JPX_REF, 1),
+        ("image", None, JPXC_REF, 2),
+    ]
+
+
 def f32_actualtext():
     """Marked-content /ActualText (PDF 32000-1 §14.9.4): one inline
     property dict and one /Properties-resource reference. RAW span parity
@@ -1397,4 +1474,5 @@ FIXTURES = {
     "f35": f35_type0_legacy_rksj,
     "f36": f36_jbig2_text_region,
     "f37": f37_jbig2_huffman_text,
+    "f38": f38_jpx_image,
 }

@@ -133,6 +133,14 @@ def _image_features_oracle() -> str:
         JB2T_PIXELS,
         JB2T_REF,
         JB2T_W,
+        JPX_H,
+        JPX_PIXELS,
+        JPX_REF,
+        JPX_W,
+        JPXC_H,
+        JPXC_PIXELS,
+        JPXC_REF,
+        JPXC_W,
         PROG_H,
         PROG_PIXELS,
         PROG_REF,
@@ -148,6 +156,8 @@ def _image_features_oracle() -> str:
         (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
         (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
         (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
+        (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
+        (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]

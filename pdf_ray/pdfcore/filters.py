@@ -257,6 +257,9 @@ FILTERS = {
     "Crypt": crypt_identity,
     "DCTDecode": lambda data, parms: data,  # raw JPEG passthrough
     "DCT": lambda data, parms: data,
+    # raw JPEG 2000 passthrough — decoded to pixels at the image layer
+    # (images.decode_image_pixels -> jpx.decode_jpx), same shape as DCT
+    "JPXDecode": lambda data, parms: data,
 }
 
 

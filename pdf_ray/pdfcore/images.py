@@ -61,6 +61,22 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
         gray = np.frombuffer(px, dtype=np.uint8)
         return jw, jh, np.repeat(gray, 3).tobytes()
 
+    # JPX (JPEG 2000): same passthrough-then-decode shape as DCT. Per
+    # PDF 32000-1 §7.4.9 the codestream's own geometry, depth and color
+    # model override the image dict (which may omit ColorSpace/BPC
+    # entirely for JPXDecode); the reference todo!()s this filter
+    # (src/filter/mod.rs:54).
+    if any(n == "JPXDecode" for n in _filter_names(stream, resolve)):
+        import numpy as np
+
+        from .jpx import decode_jpx
+
+        jw, jh, ncomp, px = decode_jpx(data)
+        if ncomp == 3:
+            return jw, jh, px
+        gray = np.frombuffer(px, dtype=np.uint8)
+        return jw, jh, np.repeat(gray, 3).tobytes()
+
     # Indexed color space: [/Indexed base hival lookup] -> palette expand
     # (PDF 32000-1 §8.6.6.3; the reference canvas todo!()s on it)
     if isinstance(cs, list) and cs and _abbrev(str(resolve(cs[0]))) == "Indexed":
@@ -162,18 +178,6 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
 def media_ref_for_pixels(w: int, h: int, rgb8: bytes) -> str:
     digest = hashlib.sha256(f"{w}x{h}:rgb8:".encode() + rgb8).hexdigest()
     return f"img:{digest[:40]}"
-
-
-def media_ref_for_container(data: bytes) -> str:
-    """Content ref for image formats we pass through undecoded (JPX only:
-    baseline JPEG now decodes to pixels via pdfcore.jpeg; JPEG 2000 has no
-    decoder in this environment). Hashing the container keeps the ref
-    content-addressed and stable."""
-    return f"imgraw:{hashlib.sha256(data).hexdigest()[:40]}"
-
-
-def is_passthrough_image(stream: Stream, resolve) -> bool:
-    return any(n == "JPXDecode" for n in _filter_names(stream, resolve))
 
 
 def decode_png(png: bytes) -> tuple[int, int, bytes]:

@@ -272,15 +272,6 @@ class Interpreter:
             raise PdfParseError(f"unsupported xobject subtype {subtype!r}")
 
     def _emit_image(self, stream: Stream) -> None:
-        from .images import is_passthrough_image, media_ref_for_container
-
-        if is_passthrough_image(stream, self.doc.resolve):
-            # DCT/JPX containers pass through undecoded (no codec here);
-            # the ref hashes the container bytes instead of pixels
-            self.spans.append(
-                ("image", None, media_ref_for_container(self.doc.decoded(stream)))
-            )
-            return
         w, h, rgb = decode_image_pixels(stream, self.doc.resolve)
         ref = media_ref_for_pixels(w, h, rgb)
         if self.collect_images and ref not in self.images:

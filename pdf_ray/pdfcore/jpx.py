@@ -1,0 +1,1153 @@
+"""JPEG 2000 Part-1 decoder (ISO/IEC 15444-1 / ITU-T T.800) from scratch.
+
+The reference ``todo!()``s JPXDecode entirely (src/filter/mod.rs:54);
+this implements the codestream subset that PDF-embedded JPX images use:
+
+- JP2 container boxes (jP/ftyp/jp2h/jp2c) and raw codestreams
+- main/tile-part headers: SIZ, COD, COC, QCD, QCC, COM, multiple tiles
+  and tile-parts; TLM/PLM/PLT/CRG skipped; POC/PPM/PPT/RGN rejected
+- tier-2: packet headers with tag trees (inclusion + zero-bitplanes),
+  Lblock, single-segment lengths, precincts, SOP/EPH markers,
+  LRCP and RLCP progression orders
+- tier-1: EBCOT block decoding — significance-propagation, magnitude-
+  refinement and cleanup passes with the shared T.88/T.800 MQ coder
+  (jbig2.MQDecoder — the two specs define the identical coder), run-
+  length mode, optional segmentation symbols
+- dequantization: reversible (no quant), scalar derived and expounded
+- inverse DWT: 5/3 reversible (exact integer lifting) and 9/7
+  irreversible (scaling convention validated against the published
+  analysis taps: forward low x= 1/K, high x= K, K=1.230174104914001)
+- multiple-component transforms RCT (reversible) and ICT (YCbCr)
+
+Out of scope (explicit PdfParseError, row-level poison like JBIG2's
+unsupported variants): arithmetic-bypass/termall/reset/vertically-causal
+code-block styles, POC progression changes, PPM/PPT packed headers,
+ROI (RGN), component subsampling != 1, and >16-bit precision.
+
+Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
+half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
+precinct and code-block partitions are anchored at 0, so odd origins
+exercise the ceil/floor parity paths (tested over many origins).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2 import MQDecoder
+from .objects import PdfParseError
+
+# Serial-Python decode budget, same rationale as jbig2.MAX_REGION_PIXELS:
+# a corrupt SIZ must not allocate/burn minutes before failing the row.
+MAX_JPX_PIXELS = 16_000_000
+
+# -- context allocation (T.800 Annex D): 9 ZC, 5 SC, 3 MR, RL, UNIFORM --
+_CTX_SC0 = 9
+_CTX_MR0 = 14
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class _HdrReader:
+    """Packet-header bit reader with 0xFF bit-stuffing (B.10.1): a byte
+    following 0xFF carries only 7 payload bits (MSB is a stuffed 0)."""
+
+    __slots__ = ("d", "pos", "acc", "n", "last")
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise PdfParseError("JPX: packet header past end of data")
+            b = self.d[self.pos]
+            self.pos += 1
+            self.n = 7 if self.last == 0xFF else 8
+            self.acc = b
+            self.last = b
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        """End-of-header alignment: drop in-byte bits; a header whose
+        final byte is 0xFF is followed by a stuffed 0x00 byte that
+        belongs to the header (B.10.1)."""
+        self.n = 0
+        if self.last == 0xFF:
+            self.pos += 1
+            self.last = 0
+
+
+class _TagTree:
+    """T.800 B.10.2 tag tree decoder over a w x h leaf grid."""
+
+    def __init__(self, w: int, h: int):
+        self.dims: list[tuple[int, int]] = []
+        while True:
+            self.dims.append((w, h))
+            if w <= 1 and h <= 1:
+                break
+            w = _ceil_div(w, 2)
+            h = _ceil_div(h, 2)
+        self.low = [[0] * (dw * dh) for dw, dh in self.dims]
+        self.known = [[False] * (dw * dh) for dw, dh in self.dims]
+
+    def _path(self, x: int, y: int) -> list[tuple[int, int]]:
+        p = []
+        for lvl, (dw, _dh) in enumerate(self.dims):
+            p.append((lvl, y * dw + x))
+            x >>= 1
+            y >>= 1
+        return p  # leaf .. root
+
+    def decode(self, rd: _HdrReader, x: int, y: int, threshold: int) -> bool:
+        """Advance the tree state; True iff leaf value < threshold."""
+        path = self._path(x, y)
+        low = 0
+        for lvl, idx in reversed(path):
+            if self.low[lvl][idx] < low:
+                self.low[lvl][idx] = low
+            while not self.known[lvl][idx] and self.low[lvl][idx] < threshold:
+                if rd.bit():
+                    self.known[lvl][idx] = True
+                else:
+                    self.low[lvl][idx] += 1
+            low = self.low[lvl][idx]
+            if not self.known[lvl][idx]:
+                return False  # subtree minimum already >= threshold
+        lvl, idx = path[0]
+        return self.low[lvl][idx] < threshold
+
+    def value(self, rd: _HdrReader, x: int, y: int) -> int:
+        """Fully resolve a leaf (zero-bitplanes use: raise threshold
+        until the leaf is known) and return its value."""
+        t = 1
+        while not self.decode(rd, x, y, t):
+            t += 1
+            if t > 128:
+                raise PdfParseError("JPX: runaway tag tree value")
+        lvl, idx = self._path(x, y)[0]
+        return self.low[lvl][idx]
+
+
+# -- tier-1 context tables ---------------------------------------------------
+
+
+def _build_zc_tables() -> dict[str, list[int]]:
+    """Zero-coding context (Table D.1) indexed by h*15+v*5+d clamped."""
+    tabs = {}
+    for orient in ("LL", "LH", "HL", "HH"):
+        tab = [0] * (3 * 3 * 5)
+        for h in range(3):
+            for v in range(3):
+                for d in range(5):
+                    if orient == "HL":
+                        hh, vv = v, h  # HL swaps horizontal/vertical
+                    else:
+                        hh, vv = h, v
+                    if orient == "HH":
+                        s = hh + vv
+                        if d >= 3:
+                            c = 8
+                        elif d == 2:
+                            c = 7 if s >= 1 else 6
+                        elif d == 1:
+                            c = 5 if s >= 2 else (4 if s == 1 else 3)
+                        else:
+                            c = 2 if s >= 2 else (1 if s == 1 else 0)
+                    else:
+                        if hh == 2:
+                            c = 8
+                        elif hh == 1:
+                            c = 7 if vv >= 1 else (6 if d >= 1 else 5)
+                        else:
+                            if vv == 2:
+                                c = 4
+                            elif vv == 1:
+                                c = 3
+                            else:
+                                c = 2 if d >= 2 else (1 if d == 1 else 0)
+                    tab[h * 15 + v * 5 + d] = c
+        tabs[orient] = tab
+    return tabs
+
+
+_ZC_TABLES = _build_zc_tables()
+
+# Sign-coding (Tables D.2/D.3): index (hc+1)*3 + (vc+1) -> (ctx, xorbit)
+_SC_TABLE = [
+    (_CTX_SC0 + 4, 1),  # hc=-1 vc=-1
+    (_CTX_SC0 + 3, 1),  # hc=-1 vc=0
+    (_CTX_SC0 + 2, 1),  # hc=-1 vc=1
+    (_CTX_SC0 + 1, 1),  # hc=0  vc=-1
+    (_CTX_SC0 + 0, 0),  # hc=0  vc=0
+    (_CTX_SC0 + 1, 0),  # hc=0  vc=1
+    (_CTX_SC0 + 2, 0),  # hc=1  vc=-1
+    (_CTX_SC0 + 3, 0),  # hc=1  vc=0
+    (_CTX_SC0 + 4, 0),  # hc=1  vc=1
+]
+
+
+def _decode_cblk(
+    data: bytes,
+    w: int,
+    h: int,
+    numbps: int,
+    npasses: int,
+    orient: str,
+    segsym: bool,
+) -> tuple[list[int], list[int]]:
+    """EBCOT tier-1 decode of one code-block (D.3/D.4) -> (mags, signs)
+    as flat row-major lists. Single arithmetic segment (default code-
+    block style), all contexts MQ-coded."""
+    n = w * h
+    sig = bytearray(n)
+    visited = bytearray(n)
+    refined = bytearray(n)
+    sgn = bytearray(n)
+    mag = [0] * n
+    idx = bytearray(_N_CTX)
+    mps = bytearray(_N_CTX)
+    idx[_CTX_UNI] = 46
+    idx[_CTX_RL] = 3
+    idx[0] = 4
+    mq = MQDecoder(data)
+    zc = _ZC_TABLES[orient]
+
+    def nbr_counts(pos: int, x: int, y: int) -> tuple[int, int, int]:
+        hh = vv = dd = 0
+        if x > 0 and sig[pos - 1]:
+            hh += 1
+        if x + 1 < w and sig[pos + 1]:
+            hh += 1
+        if y > 0 and sig[pos - w]:
+            vv += 1
+        if y + 1 < h and sig[pos + w]:
+            vv += 1
+        if x > 0 and y > 0 and sig[pos - w - 1]:
+            dd += 1
+        if x + 1 < w and y > 0 and sig[pos - w + 1]:
+            dd += 1
+        if x > 0 and y + 1 < h and sig[pos + w - 1]:
+            dd += 1
+        if x + 1 < w and y + 1 < h and sig[pos + w + 1]:
+            dd += 1
+        return hh, vv, dd
+
+    def decode_sign(pos: int, x: int, y: int) -> int:
+        hc = vc = 0
+        if x > 0 and sig[pos - 1]:
+            hc += -1 if sgn[pos - 1] else 1
+        if x + 1 < w and sig[pos + 1]:
+            hc += -1 if sgn[pos + 1] else 1
+        if y > 0 and sig[pos - w]:
+            vc += -1 if sgn[pos - w] else 1
+        if y + 1 < h and sig[pos + w]:
+            vc += -1 if sgn[pos + w] else 1
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx, xorbit = _SC_TABLE[(hc + 1) * 3 + (vc + 1)]
+        return mq.decode(ctx, idx, mps) ^ xorbit
+
+    def spp(p: int) -> None:
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if sig[pos]:
+                        continue
+                    hh, vv, dd = nbr_counts(pos, x, y)
+                    if hh == 0 and vv == 0 and dd == 0:
+                        continue
+                    visited[pos] = 1
+                    if mq.decode(zc[hh * 15 + vv * 5 + min(dd, 4)], idx, mps):
+                        sig[pos] = 1
+                        sgn[pos] = decode_sign(pos, x, y)
+                        mag[pos] |= bit
+
+    def mrp(p: int) -> None:
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if not sig[pos] or visited[pos]:
+                        continue
+                    if refined[pos]:
+                        ctx = _CTX_MR0 + 2
+                    else:
+                        hh, vv, dd = nbr_counts(pos, x, y)
+                        ctx = _CTX_MR0 + (1 if hh + vv + dd else 0)
+                    if mq.decode(ctx, idx, mps):
+                        mag[pos] |= bit
+                    refined[pos] = 1
+
+    def cup(p: int) -> None:
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            full = k1 - k0 == 4
+            for x in range(w):
+                start = k0
+                if full:
+                    # run-length mode: whole column uncoded + all-zero
+                    # neighborhoods (D.4.4)
+                    rl = True
+                    for y in range(k0, k1):
+                        pos = y * w + x
+                        if sig[pos] or visited[pos]:
+                            rl = False
+                            break
+                        hh, vv, dd = nbr_counts(pos, x, y)
+                        if hh or vv or dd:
+                            rl = False
+                            break
+                    if rl:
+                        if not mq.decode(_CTX_RL, idx, mps):
+                            continue  # all four stay insignificant
+                        r = (
+                            mq.decode(_CTX_UNI, idx, mps) << 1
+                        ) | mq.decode(_CTX_UNI, idx, mps)
+                        pos = (k0 + r) * w + x
+                        sig[pos] = 1
+                        sgn[pos] = decode_sign(pos, x, k0 + r)
+                        mag[pos] |= bit
+                        start = k0 + r + 1
+                for y in range(start, k1):
+                    pos = y * w + x
+                    if sig[pos] or visited[pos]:
+                        continue
+                    hh, vv, dd = nbr_counts(pos, x, y)
+                    if mq.decode(zc[hh * 15 + vv * 5 + min(dd, 4)], idx, mps):
+                        sig[pos] = 1
+                        sgn[pos] = decode_sign(pos, x, y)
+                        mag[pos] |= bit
+        if segsym:
+            s = 0
+            for _ in range(4):
+                s = (s << 1) | mq.decode(_CTX_UNI, idx, mps)
+            if s != 0xA:
+                raise PdfParseError("JPX: segmentation symbol mismatch")
+
+    done = 0
+    for p in range(numbps - 1, -1, -1):
+        if p != numbps - 1:
+            if done >= npasses:
+                break
+            spp(p)
+            done += 1
+            if done >= npasses:
+                break
+            mrp(p)
+            done += 1
+        if done >= npasses:
+            break
+        cup(p)
+        done += 1
+        for i in range(n):
+            visited[i] = 0
+    return mag, sgn
+
+
+# -- inverse DWT (Annex F) ---------------------------------------------------
+
+_K97 = 1.230174104914001
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_EXT = 4  # symmetric-extension margin (covers the 4 lifting steps of 9/7)
+
+
+def _reflect(j: int, i0: int, i1: int) -> int:
+    """Whole-sample symmetric extension of [i0, i1) (F.3.7)."""
+    n = i1 - i0
+    if n == 1:
+        return i0
+    per = 2 * (n - 1)
+    t = (j - i0) % per
+    if t >= n:
+        t = per - t
+    return i0 + t
+
+
+def _sr_1d_rows(A: np.ndarray, i0: int, reversible: bool) -> np.ndarray:
+    """Inverse 1D subband recomposition applied to every row of ``A``,
+    whose columns hold absolute indices [i0, i0+A.shape[1])."""
+    n = A.shape[1]
+    if n == 0:
+        return A
+    if n == 1:
+        # single-sample interval (F.3.4): identity at even origin; the
+        # matched forward transform doubles a lone odd sample
+        if i0 % 2:
+            return (A >> 1) if reversible else (A * 0.5)
+        return A.copy()
+    i1 = i0 + n
+    m = _EXT
+    take = np.array(
+        [_reflect(j, i0, i1) - i0 for j in range(i0 - m, i1 + m)], np.intp
+    )
+    E = A[:, take].astype(np.int64 if reversible else np.float64)
+    L = E.shape[1]
+    s = i0 - m  # absolute index of E[:, 0]
+    ev0 = 0 if s % 2 == 0 else 1  # local offset of absolute-even samples
+    od0 = 1 - ev0
+    # updatable positions of each parity within [1, L-1); each lifting
+    # step shrinks the valid region by one, the margin m=4 covers the
+    # four steps of 9/7 so locals [m, L-m) come out exact
+    ev = slice(ev0 if ev0 >= 1 else 2, L - 1, 2)
+    od = slice(od0 if od0 >= 1 else 2, L - 1, 2)
+
+    def nbrs(sl: slice) -> tuple[slice, slice]:
+        return (
+            slice(sl.start - 1, sl.stop - 1, 2),
+            slice(sl.start + 1, sl.stop + 1, 2),
+        )
+
+    if reversible:
+        lo, hi = nbrs(ev)
+        E[:, ev] -= (E[:, lo] + E[:, hi] + 2) >> 2
+        lo, hi = nbrs(od)
+        E[:, od] += (E[:, lo] + E[:, hi]) >> 1
+    else:
+        E[:, ev0::2] *= _K97
+        E[:, od0::2] *= 1.0 / _K97
+        for coef, sl in ((-_D97, ev), (-_G97, od), (-_B97, ev), (-_A97, od)):
+            lo, hi = nbrs(sl)
+            E[:, sl] += coef * (E[:, lo] + E[:, hi])
+    return E[:, m : m + n]
+
+
+def _sr_2d(
+    ll: np.ndarray,
+    hl: np.ndarray,
+    lh: np.ndarray,
+    hh: np.ndarray,
+    u0: int,
+    u1: int,
+    v0: int,
+    v1: int,
+    reversible: bool,
+) -> np.ndarray:
+    """2D_SR (F.3.2): interleave the four bands onto the resolution grid
+    [u0,u1) x [v0,v1), then inverse-filter rows and columns."""
+    dtype = np.int64 if reversible else np.float64
+    Y = np.zeros((v1 - v0, u1 - u0), dtype)
+    re = v0 % 2  # local row offset of absolute-even rows
+    ce = u0 % 2
+    Y[re::2, ce::2] = ll
+    Y[re::2, 1 - ce :: 2] = hl
+    Y[1 - re :: 2, ce::2] = lh
+    Y[1 - re :: 2, 1 - ce :: 2] = hh
+    Y = _sr_1d_rows(Y, u0, reversible)
+    Y = _sr_1d_rows(np.ascontiguousarray(Y.T), v0, reversible).T
+    return Y
+
+
+# -- codestream structures ---------------------------------------------------
+
+
+class _Cod:
+    """Coding-style parameters (COD/COC)."""
+
+    __slots__ = (
+        "prog", "layers", "mct", "levels", "xcb", "ycb", "cbstyle",
+        "transform", "precincts", "sop", "eph",
+    )
+
+    def copy(self) -> "_Cod":
+        c = _Cod.__new__(_Cod)
+        for s in self.__slots__:
+            setattr(c, s, getattr(self, s))
+        return c
+
+
+class _Qcd:
+    """Quantization parameters (QCD/QCC)."""
+
+    __slots__ = ("style", "guard", "vals")
+
+
+class _CodeBlock:
+    __slots__ = (
+        "x0", "x1", "y0", "y1", "included", "lblock", "zbp", "npasses",
+        "data",
+    )
+
+    def __init__(self, x0, x1, y0, y1):
+        self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
+        self.included = False
+        self.lblock = 3
+        self.zbp = 0
+        self.npasses = 0
+        self.data = bytearray()
+
+
+class _BandPrecinct:
+    __slots__ = ("cbs", "nw", "nh", "incl", "zbps")
+
+    def __init__(self, band, px0, px1, py0, py1, cbw, cbh):
+        x0 = max(band.x0, px0)
+        x1 = min(band.x1, px1)
+        y0 = max(band.y0, py0)
+        y1 = min(band.y1, py1)
+        if x0 >= x1 or y0 >= y1:
+            self.nw = self.nh = 0
+            self.cbs = []
+            self.incl = self.zbps = None
+            return
+        ci0, ci1 = x0 // cbw, _ceil_div(x1, cbw)
+        cj0, cj1 = y0 // cbh, _ceil_div(y1, cbh)
+        self.nw, self.nh = ci1 - ci0, cj1 - cj0
+        self.cbs = [
+            _CodeBlock(
+                max(x0, ci * cbw), min(x1, (ci + 1) * cbw),
+                max(y0, cj * cbh), min(y1, (cj + 1) * cbh),
+            )
+            for cj in range(cj0, cj1)
+            for ci in range(ci0, ci1)
+        ]
+        self.incl = _TagTree(self.nw, self.nh)
+        self.zbps = _TagTree(self.nw, self.nh)
+
+
+class _Band:
+    __slots__ = ("orient", "x0", "x1", "y0", "y1", "gain", "lev", "coefs",
+                 "mb", "delta")
+
+    def __init__(self, orient, x0, x1, y0, y1, lev):
+        self.orient = orient
+        self.x0, self.x1, self.y0, self.y1 = x0, x1, y0, y1
+        self.gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[orient]
+        self.lev = lev
+        self.coefs = None
+        self.mb = 0
+        self.delta = 1.0
+
+
+def _band_rect(tcx0, tcx1, tcy0, tcy1, nb, xob, yob):
+    if nb == 0:  # zero decomposition levels: LL is the tile itself
+        return tcx0, tcx1, tcy0, tcy1
+    sh = 1 << nb
+    half = 1 << (nb - 1)
+    return (
+        _ceil_div(tcx0 - half * xob, sh), _ceil_div(tcx1 - half * xob, sh),
+        _ceil_div(tcy0 - half * yob, sh), _ceil_div(tcy1 - half * yob, sh),
+    )
+
+
+class _Resolution:
+    __slots__ = ("r", "x0", "x1", "y0", "y1", "ppx", "ppy", "bands",
+                 "npx", "npy", "precincts")
+
+    def __init__(self, r, n_levels, tcx0, tcx1, tcy0, tcy1, cod):
+        self.r = r
+        sh = n_levels - r
+        self.x0 = _ceil_div(tcx0, 1 << sh)
+        self.x1 = _ceil_div(tcx1, 1 << sh)
+        self.y0 = _ceil_div(tcy0, 1 << sh)
+        self.y1 = _ceil_div(tcy1, 1 << sh)
+        self.ppx, self.ppy = cod.precincts[r]
+        if r == 0:
+            self.bands = [
+                _Band(
+                    "LL",
+                    *_band_rect(tcx0, tcx1, tcy0, tcy1, n_levels, 0, 0),
+                    n_levels,
+                )
+            ]
+        else:
+            nb = n_levels - r + 1
+            self.bands = [
+                _Band(o, *_band_rect(tcx0, tcx1, tcy0, tcy1, nb, xo, yo), nb)
+                for o, xo, yo in (("HL", 1, 0), ("LH", 0, 1), ("HH", 1, 1))
+            ]
+        if self.x1 > self.x0 and self.y1 > self.y0:
+            self.npx = _ceil_div(self.x1, 1 << self.ppx) - (
+                self.x0 >> self.ppx
+            )
+            self.npy = _ceil_div(self.y1, 1 << self.ppy) - (
+                self.y0 >> self.ppy
+            )
+        else:
+            self.npx = self.npy = 0
+        # code-block size clamped to the precinct (B.7)
+        xcb = min(cod.xcb, self.ppx - 1 if r else self.ppx)
+        ycb = min(cod.ycb, self.ppy - 1 if r else self.ppy)
+        cbw, cbh = 1 << xcb, 1 << ycb
+        self.precincts = []
+        for pj in range(self.npy):
+            for pi in range(self.npx):
+                # precinct rect on the resolution grid, then mapped into
+                # each band's domain (halved for r>0)
+                rx0 = ((self.x0 >> self.ppx) + pi) << self.ppx
+                ry0 = ((self.y0 >> self.ppy) + pj) << self.ppy
+                rx1, ry1 = rx0 + (1 << self.ppx), ry0 + (1 << self.ppy)
+                per_band = []
+                for b in self.bands:
+                    if r == 0:
+                        bx0, bx1, by0, by1 = rx0, rx1, ry0, ry1
+                    else:
+                        bx0, bx1, by0, by1 = (
+                            rx0 >> 1, rx1 >> 1, ry0 >> 1, ry1 >> 1,
+                        )
+                    per_band.append(
+                        _BandPrecinct(b, bx0, bx1, by0, by1, cbw, cbh)
+                    )
+                self.precincts.append(per_band)
+
+
+def _numpasses(rd: _HdrReader) -> int:
+    if not rd.bit():
+        return 1
+    if not rd.bit():
+        return 2
+    v = rd.bits(2)
+    if v < 3:
+        return 3 + v
+    v = rd.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + rd.bits(7)
+
+
+class _TileDecoder:
+    """One tile: packet parsing + per-component reconstruction."""
+
+    def __init__(self, siz, cods, qcds, tx0, tx1, ty0, ty1):
+        self.siz = siz
+        self.cods = cods  # per component
+        self.qcds = qcds
+        self.tx0, self.tx1, self.ty0, self.ty1 = tx0, tx1, ty0, ty1
+        self.data = bytearray()
+        self.comps = []
+        for c in range(siz["ncomp"]):
+            cod = cods[c]
+            n = cod.levels
+            resolutions = [
+                _Resolution(r, n, tx0, tx1, ty0, ty1, cod)
+                for r in range(n + 1)
+            ]
+            self.comps.append(resolutions)
+
+    def decode_packets(self) -> None:
+        data = bytes(self.data)
+        pos = 0
+        cod0 = self.cods[0]
+        layers = cod0.layers
+        prog = cod0.prog
+        maxres = max(len(rs) for rs in self.comps)
+        if prog == 0:  # LRCP
+            order = [
+                (c, r, layer)
+                for layer in range(layers)
+                for r in range(maxres)
+                for c in range(len(self.comps))
+                if r < len(self.comps[c])
+            ]
+        elif prog == 1:  # RLCP
+            order = [
+                (c, r, layer)
+                for r in range(maxres)
+                for layer in range(layers)
+                for c in range(len(self.comps))
+                if r < len(self.comps[c])
+            ]
+        else:
+            raise PdfParseError(f"JPX: unsupported progression order {prog}")
+        for c, r, layer in order:
+            res = self.comps[c][r]
+            cod = self.cods[c]
+            for pidx in range(len(res.precincts)):
+                pos = self._read_packet(data, pos, res, cod, layer, pidx)
+
+    def _read_packet(self, data, pos, res, cod, layer, pidx) -> int:
+        if cod.sop:
+            if data[pos : pos + 2] == b"\xff\x91":
+                pos += 6  # SOP marker + Lsop(4 bytes incl Nsop)
+        rd = _HdrReader(data, pos)
+        incl_cbs = []
+        if rd.bit():  # non-empty packet
+            for bi, band in enumerate(res.bands):
+                bp = res.precincts[pidx][bi]
+                if bp.nw == 0:
+                    continue
+                for ci, cb in enumerate(bp.cbs):
+                    x, y = ci % bp.nw, ci // bp.nw
+                    if not cb.included:
+                        inc = bp.incl.decode(rd, x, y, layer + 1)
+                    else:
+                        inc = rd.bit()
+                    if not inc:
+                        continue
+                    if not cb.included:
+                        cb.zbp = bp.zbps.value(rd, x, y)
+                        cb.included = True
+                    np_new = _numpasses(rd)
+                    while rd.bit():
+                        cb.lblock += 1
+                    nbits = cb.lblock + int(np_new).bit_length() - 1
+                    seglen = rd.bits(nbits)
+                    cb.npasses += np_new
+                    incl_cbs.append((cb, seglen, band))
+        rd.align()
+        pos = rd.pos
+        if cod.eph:
+            if data[pos : pos + 2] == b"\xff\x92":
+                pos += 2
+        for cb, seglen, _band in incl_cbs:
+            if pos + seglen > len(data):
+                raise PdfParseError("JPX: packet body past end of data")
+            cb.data += data[pos : pos + seglen]
+            pos += seglen
+        return pos
+
+    def reconstruct(self, c: int) -> np.ndarray:
+        """Tier-1 decode + dequantize + inverse DWT one tile-component;
+        returns float64/int64 samples on [ty0,ty1) x [tx0,tx1)."""
+        cod = self.cods[c]
+        qcd = self.qcds[c]
+        reversible = cod.transform == 1
+        segsym = bool(cod.cbstyle & 0x20)
+        depth = self.siz["depth"][c]
+        resolutions = self.comps[c]
+        n = cod.levels
+        # quantization exponents per band in codestream order:
+        # LL, then per level (HL, LH, HH) from level n down to 1
+        band_seq = []
+        for res in resolutions:
+            band_seq.extend(res.bands)
+        for i, b in enumerate(band_seq):
+            if qcd.style == 1:
+                # scalar derived (E.1.1): eps_b = eps_0 - n + nb
+                eps0, mu = qcd.vals[0]
+                eps = eps0 if b.orient == "LL" else eps0 - n + b.lev
+            else:
+                if i >= len(qcd.vals):
+                    raise PdfParseError("JPX: QCD has too few subband values")
+                eps, mu = qcd.vals[i]
+            mb = eps + qcd.guard - 1
+            if mb <= 0 or mb > 40:
+                raise PdfParseError(f"JPX: bad Mb={mb}")
+            if reversible:
+                delta = 1.0
+            else:
+                rb = depth + b.gain
+                delta = (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+            bw, bh = b.x1 - b.x0, b.y1 - b.y0
+            b.coefs = np.zeros(
+                (bh, bw), np.int64 if reversible else np.float64
+            )
+            b.mb = mb
+            b.delta = delta
+        # tier-1 every included code-block
+        for res in resolutions:
+            for per_band in res.precincts:
+                for bi, bp in enumerate(per_band):
+                    band = res.bands[bi]
+                    for cb in bp.cbs:
+                        if not cb.included or cb.npasses == 0:
+                            continue
+                        w, h = cb.x1 - cb.x0, cb.y1 - cb.y0
+                        numbps = band.mb - cb.zbp
+                        if numbps <= 0:
+                            continue
+                        mags, sgns = _decode_cblk(
+                            bytes(cb.data), w, h, numbps, cb.npasses,
+                            band.orient, segsym,
+                        )
+                        arr = band.coefs
+                        y0, x0 = cb.y0 - band.y0, cb.x0 - band.x0
+                        if reversible:
+                            vals = np.array(mags, np.int64)
+                            sg = np.frombuffer(
+                                bytes(sgns), np.uint8
+                            ).astype(np.int64)
+                            vals = np.where(sg == 1, -vals, vals)
+                        else:
+                            m = np.array(mags, np.float64)
+                            # midpoint reconstruction of quantized mags
+                            vals = np.where(m > 0, (m + 0.5), 0.0)
+                            sg = np.frombuffer(bytes(sgns), np.uint8)
+                            vals = np.where(sg == 1, -vals, vals)
+                            vals *= band.delta
+                        arr[y0 : y0 + h, x0 : x0 + w] = vals.reshape(h, w)
+        # inverse DWT
+        a = resolutions[0].bands[0].coefs
+        for r in range(1, n + 1):
+            res = resolutions[r]
+            hl, lh, hh = (b.coefs for b in res.bands)
+            a = _sr_2d(
+                a, hl, lh, hh, res.x0, res.x1, res.y0, res.y1, reversible
+            )
+        return a
+
+
+def _parse_cod(body: bytes) -> _Cod:
+    cod = _Cod.__new__(_Cod)
+    scod = body[0]
+    cod.sop = bool(scod & 2)
+    cod.eph = bool(scod & 4)
+    cod.prog = body[1]
+    cod.layers = struct.unpack(">H", body[2:4])[0]
+    cod.mct = body[4]
+    cod.levels = body[5]
+    if cod.levels > 32:
+        raise PdfParseError("JPX: too many decomposition levels")
+    cod.xcb = (body[6] & 0x0F) + 2
+    cod.ycb = (body[7] & 0x0F) + 2
+    if cod.xcb + cod.ycb > 12:
+        raise PdfParseError("JPX: code-block size exceeds 4096")
+    cod.cbstyle = body[8]
+    if cod.cbstyle & ~0x20:
+        raise PdfParseError(
+            f"JPX: unsupported code-block style 0x{cod.cbstyle:02x}"
+        )
+    cod.transform = body[9]
+    if cod.transform not in (0, 1):
+        raise PdfParseError("JPX: unknown wavelet transform")
+    if scod & 1:
+        pr = []
+        for i in range(cod.levels + 1):
+            b = body[10 + i]
+            pr.append((b & 0x0F, b >> 4))
+        cod.precincts = pr
+    else:
+        cod.precincts = [(15, 15)] * (cod.levels + 1)
+    return cod
+
+
+def _parse_coc_tail(cod: _Cod, body: bytes, off: int) -> _Cod:
+    """COC: Scoc byte + SPcoc (same layout as SPcod minus SGcod)."""
+    c = cod.copy()
+    scoc = body[off]
+    c.levels = body[off + 1]
+    c.xcb = (body[off + 2] & 0x0F) + 2
+    c.ycb = (body[off + 3] & 0x0F) + 2
+    c.cbstyle = body[off + 4]
+    if c.cbstyle & ~0x20:
+        raise PdfParseError("JPX: unsupported code-block style (COC)")
+    c.transform = body[off + 5]
+    if scoc & 1:
+        c.precincts = [
+            (body[off + 6 + i] & 0x0F, body[off + 6 + i] >> 4)
+            for i in range(c.levels + 1)
+        ]
+    else:
+        c.precincts = [(15, 15)] * (c.levels + 1)
+    return c
+
+
+def _parse_qcd(body: bytes) -> _Qcd:
+    q = _Qcd.__new__(_Qcd)
+    sq = body[0]
+    q.style = sq & 0x1F
+    q.guard = sq >> 5
+    if q.style not in (0, 1, 2):
+        raise PdfParseError(f"JPX: unknown quantization style {q.style}")
+    vals = []
+    if q.style == 0:
+        for b in body[1:]:
+            vals.append((b >> 3, 0))
+    else:
+        for i in range(1, len(body) - 1, 2):
+            v = struct.unpack(">H", body[i : i + 2])[0]
+            vals.append((v >> 11, v & 0x7FF))
+    q.vals = vals
+    return q
+
+
+_SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64}  # TLM PLM PLT CRG COM
+_REJECTED = {
+    0xFF5F: "POC", 0xFF60: "PPM", 0xFF61: "PPT", 0xFF5E: "RGN",
+}
+
+
+def decode_codestream(data: bytes):
+    """Decode a raw JPEG 2000 codestream -> (w, h, list of per-component
+    int32 planes on the image grid, depths, signed flags, mct, reversible).
+    """
+    if data[:2] != b"\xff\x4f":
+        raise PdfParseError("JPX: missing SOC")
+    pos = 2
+    siz = None
+    main_cod = None
+    main_coc: dict[int, bytes] = {}
+    main_qcd = None
+    main_qcc: dict[int, _Qcd] = {}
+    tiles: dict[int, _TileDecoder] = {}
+    tile_params: dict[int, tuple] = {}
+
+    def read_seg():
+        nonlocal pos
+        if pos + 4 > len(data):
+            raise PdfParseError("JPX: truncated marker segment")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise PdfParseError("JPX: bad marker segment length")
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        return marker, body
+
+    # main header
+    while True:
+        if pos + 2 > len(data):
+            raise PdfParseError("JPX: no tile-parts")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFF90:  # SOT
+            break
+        marker, body = read_seg()
+        if marker == 0xFF51:  # SIZ
+            (
+                _rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp
+            ) = struct.unpack(">HIIIIIIIIH", body[:36])
+            depth, signed, xr, yr = [], [], [], []
+            for c in range(ncomp):
+                s = body[36 + 3 * c]
+                depth.append((s & 0x7F) + 1)
+                signed.append(bool(s & 0x80))
+                xr.append(body[37 + 3 * c])
+                yr.append(body[38 + 3 * c])
+            if any(v != 1 for v in xr) or any(v != 1 for v in yr):
+                raise PdfParseError("JPX: component subsampling unsupported")
+            if any(d > 16 for d in depth):
+                raise PdfParseError("JPX: precision > 16 unsupported")
+            if (xsiz - xo) * (ysiz - yo) > MAX_JPX_PIXELS:
+                raise PdfParseError("JPX: image exceeds pixel budget")
+            if xsiz <= xo or ysiz <= yo or xt == 0 or yt == 0:
+                raise PdfParseError("JPX: bad SIZ geometry")
+            siz = {
+                "xsiz": xsiz, "ysiz": ysiz, "xo": xo, "yo": yo,
+                "xt": xt, "yt": yt, "xto": xto, "yto": yto,
+                "ncomp": ncomp, "depth": depth, "signed": signed,
+            }
+        elif marker == 0xFF52:
+            main_cod = _parse_cod(body)
+        elif marker == 0xFF53:  # COC
+            if siz is None:
+                raise PdfParseError("JPX: COC before SIZ")
+            ci = body[0] if siz["ncomp"] < 257 else struct.unpack(
+                ">H", body[:2]
+            )[0]
+            main_coc[ci] = body
+        elif marker == 0xFF5C:
+            main_qcd = _parse_qcd(body)
+        elif marker == 0xFF5D:  # QCC
+            if siz is None:
+                raise PdfParseError("JPX: QCC before SIZ")
+            if siz["ncomp"] < 257:
+                main_qcc[body[0]] = _parse_qcd(body[1:])
+            else:
+                main_qcc[struct.unpack(">H", body[:2])[0]] = _parse_qcd(
+                    body[2:]
+                )
+        elif marker in _SKIPPABLE:
+            pass
+        elif marker in _REJECTED:
+            raise PdfParseError(f"JPX: {_REJECTED[marker]} unsupported")
+        else:
+            raise PdfParseError(f"JPX: unknown marker 0x{marker:04x}")
+    if siz is None or main_cod is None or main_qcd is None:
+        raise PdfParseError("JPX: missing SIZ/COD/QCD")
+
+    ntx = _ceil_div(siz["xsiz"] - siz["xto"], siz["xt"])
+    nty = _ceil_div(siz["ysiz"] - siz["yto"], siz["yt"])
+    ntiles = ntx * nty
+    if ntiles > 65535:
+        raise PdfParseError("JPX: too many tiles")
+
+    def tile_cods(isot, tile_cod, tile_coc, tile_qcd, tile_qcc):
+        cods, qcds = [], []
+        for c in range(siz["ncomp"]):
+            base = tile_cod or main_cod
+            if c in tile_coc:
+                body = tile_coc[c]
+                off = 1 if siz["ncomp"] < 257 else 2
+                cod = _parse_coc_tail(base, body, off)
+            elif tile_cod is None and c in main_coc:
+                body = main_coc[c]
+                off = 1 if siz["ncomp"] < 257 else 2
+                cod = _parse_coc_tail(main_cod, body, off)
+            else:
+                cod = base.copy()
+            cods.append(cod)
+            qcds.append(tile_qcc.get(c, tile_qcd or main_qcc.get(c, main_qcd)))
+        return cods, qcds
+
+    # tile-parts
+    while pos + 2 <= len(data):
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xFFD9:  # EOC
+            break
+        if marker != 0xFF90:
+            raise PdfParseError(
+                f"JPX: expected SOT/EOC, found 0x{marker:04x}"
+            )
+        sot_start = pos
+        _m, body = read_seg()
+        isot, psot, _tpsot, _tnsot = struct.unpack(">HIBB", body[:8])
+        if isot >= ntiles:
+            raise PdfParseError("JPX: tile index out of range")
+        if psot == 0:
+            psot = len(data) - sot_start  # last tile-part may signal 0
+        tile_cod = None
+        tile_coc: dict[int, bytes] = {}
+        tile_qcd = None
+        tile_qcc: dict[int, _Qcd] = {}
+        # tile-part header up to SOD
+        while True:
+            if pos + 2 > len(data):
+                raise PdfParseError("JPX: tile-part without SOD")
+            m2 = struct.unpack(">H", data[pos : pos + 2])[0]
+            if m2 == 0xFF93:  # SOD
+                pos += 2
+                break
+            m2, b2 = read_seg()
+            if m2 == 0xFF52:
+                tile_cod = _parse_cod(b2)
+            elif m2 == 0xFF53:
+                ci = b2[0] if siz["ncomp"] < 257 else struct.unpack(
+                    ">H", b2[:2]
+                )[0]
+                tile_coc[ci] = b2
+            elif m2 == 0xFF5C:
+                tile_qcd = _parse_qcd(b2)
+            elif m2 == 0xFF5D:
+                if siz["ncomp"] < 257:
+                    tile_qcc[b2[0]] = _parse_qcd(b2[1:])
+                else:
+                    tile_qcc[struct.unpack(">H", b2[:2])[0]] = _parse_qcd(
+                        b2[2:]
+                    )
+            elif m2 in _SKIPPABLE:
+                pass
+            elif m2 in _REJECTED:
+                raise PdfParseError(f"JPX: {_REJECTED[m2]} unsupported")
+            else:
+                raise PdfParseError(
+                    f"JPX: unknown tile-header marker 0x{m2:04x}"
+                )
+        body_end = sot_start + psot
+        if body_end > len(data):
+            raise PdfParseError("JPX: Psot past end of data")
+        if isot not in tiles:
+            p, q = isot % ntx, isot // ntx
+            tx0 = max(siz["xto"] + p * siz["xt"], siz["xo"])
+            tx1 = min(siz["xto"] + (p + 1) * siz["xt"], siz["xsiz"])
+            ty0 = max(siz["yto"] + q * siz["yt"], siz["yo"])
+            ty1 = min(siz["yto"] + (q + 1) * siz["yt"], siz["ysiz"])
+            cods, qcds = tile_cods(isot, tile_cod, tile_coc, tile_qcd,
+                                   tile_qcc)
+            tiles[isot] = _TileDecoder(siz, cods, qcds, tx0, tx1, ty0, ty1)
+        tiles[isot].data += data[pos:body_end]
+        pos = body_end
+
+    if not tiles:
+        raise PdfParseError("JPX: no tile data")
+
+    # decode + compose onto the image grid
+    w = siz["xsiz"] - siz["xo"]
+    h = siz["ysiz"] - siz["yo"]
+    planes = [np.zeros((h, w), np.float64) for _ in range(siz["ncomp"])]
+    for t in tiles.values():
+        t.decode_packets()
+        comps = [t.reconstruct(c) for c in range(siz["ncomp"])]
+        tcod = t.cods[0]
+        if tcod.mct == 1 and siz["ncomp"] >= 3:
+            y0c, y1c, y2c = comps[0], comps[1], comps[2]
+            if tcod.transform == 1:  # RCT (G.2)
+                g = y0c - ((y1c + y2c) >> 2)
+                r = y2c + g
+                b = y1c + g
+            else:  # ICT (G.3)
+                r = y0c + 1.402 * y2c
+                g = y0c - 0.344136 * y1c - 0.714136 * y2c
+                b = y0c + 1.772 * y1c
+            comps[0], comps[1], comps[2] = r, g, b
+        for c in range(siz["ncomp"]):
+            planes[c][
+                t.ty0 - siz["yo"] : t.ty1 - siz["yo"],
+                t.tx0 - siz["xo"] : t.tx1 - siz["xo"],
+            ] = comps[c]
+    return w, h, planes, siz["depth"], siz["signed"]
+
+
+def _parse_jp2_boxes(data: bytes) -> bytes:
+    """Walk JP2 boxes and return the first jp2c codestream payload."""
+    pos = 0
+    while pos + 8 <= len(data):
+        lbox = struct.unpack(">I", data[pos : pos + 4])[0]
+        tbox = data[pos + 4 : pos + 8]
+        hdr = 8
+        if lbox == 1:
+            if pos + 16 > len(data):
+                break
+            lbox = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            hdr = 16
+        if lbox == 0:
+            end = len(data)
+        else:
+            end = pos + lbox
+        if end > len(data) or end <= pos:
+            raise PdfParseError("JPX: bad JP2 box length")
+        if tbox == b"jp2c":
+            return data[pos + hdr : end]
+        pos = end
+    raise PdfParseError("JPX: no jp2c codestream box")
+
+
+def decode_jpx(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode JPXDecode payload (raw codestream or JP2 container) ->
+    (width, height, ncomp, samples) with ncomp in {1, 3} and samples
+    interleaved 8-bit (gray or RGB), mirroring jpeg.decode_jpeg."""
+    if len(data) < 4:
+        raise PdfParseError("JPX: short data")
+    if data[:2] == b"\xff\x4f":
+        cs = data
+    elif data[:8] == b"\x00\x00\x00\x0cjP  ":
+        cs = _parse_jp2_boxes(data)
+    else:
+        raise PdfParseError("JPX: neither codestream nor JP2 container")
+    w, h, planes, depths, signed = decode_codestream(cs)
+    out_planes = []
+    for c, p in enumerate(planes):
+        d = depths[c]
+        if signed[c]:
+            # signed components: shift into unsigned range
+            p = np.asarray(p, np.float64) + (1 << (d - 1))
+        else:
+            p = np.asarray(p, np.float64) + (1 << (d - 1))  # DC level shift
+        maxv = (1 << d) - 1
+        p = np.clip(np.rint(p), 0, maxv)
+        if d != 8:
+            p = np.rint(p * (255.0 / maxv))
+        out_planes.append(p.astype(np.uint8))
+    if len(out_planes) == 1:
+        return w, h, 1, out_planes[0].tobytes()
+    if len(out_planes) >= 3:
+        rgb = np.stack(out_planes[:3], axis=-1)  # extra comps (alpha) dropped
+        return w, h, 3, rgb.tobytes()
+    raise PdfParseError(f"JPX: unsupported component count {len(planes)}")

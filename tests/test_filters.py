@@ -134,7 +134,7 @@ def test_filter_chain():
 def test_unknown_filter_raises():
     from pdf_ray.pdfcore.objects import PdfParseError
 
-    s = Stream({"Filter": "JPXDecode"}, b"")
+    s = Stream({"Filter": "NoSuchDecode"}, b"")
     with pytest.raises(PdfParseError):
         decode_stream(s)
 

@@ -1,0 +1,170 @@
+"""JPEG 2000 (JPXDecode) codec tests: lossless 5/3 roundtrips across the
+codestream-feature matrix (levels, tiles, grid/tile origins, precincts,
+code-block sizes, SOP/EPH, segmentation symbols, progression orders, JP2
+container, bit depths), 9/7 irreversible error bounds, the image-layer
+filter path, and malformed-stream/fuzz behavior (typed PdfParseError,
+bounded time). The fixture-side encoder (fixtures/jpxenc.py) and the
+decoder (pdfcore/jpx.py) are independent transcriptions of T.800's
+forward/inverse flows sharing only table constants."""
+
+import numpy as np
+import pytest
+
+from pdf_ray.fixtures.jpxenc import encode_jpx
+from pdf_ray.pdfcore.jpx import decode_codestream, decode_jpx
+from pdf_ray.pdfcore.objects import PdfParseError, Stream
+
+RNG = np.random.RandomState(1234)
+
+
+def _rt_gray(img, **kw):
+    cs = encode_jpx(img, **kw)
+    w, h, n, s = decode_jpx(cs)
+    assert (w, h, n) == (img.shape[1], img.shape[0], 1)
+    return np.frombuffer(s, np.uint8).reshape(h, w)
+
+
+def _rt_rgb(img, **kw):
+    cs = encode_jpx(img, **kw)
+    w, h, n, s = decode_jpx(cs)
+    assert (w, h, n) == (img.shape[1], img.shape[0], 3)
+    return np.frombuffer(s, np.uint8).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("levels", [0, 1, 3])
+def test_lossless_gray_levels(levels):
+    img = RNG.randint(0, 256, (21, 27), np.uint8)
+    assert np.array_equal(_rt_gray(img, levels=levels), img)
+
+
+def test_lossless_rgb_rct_and_no_mct():
+    img = RNG.randint(0, 256, (16, 19, 3), np.uint8)
+    assert np.array_equal(_rt_rgb(img), img)  # MCT (RCT) default for RGB
+    assert np.array_equal(_rt_rgb(img, mct=False), img)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(tile_size=(16, 16)),
+        dict(tile_size=(16, 16), origin=(3, 5), tile_origin=(1, 2)),
+        dict(origin=(7, 9)),  # odd grid origin: ceil/floor parity paths
+        dict(cb_exp=(4, 4)),
+        dict(precincts=[(7, 7)] * 4, levels=3),
+        dict(sop=True, eph=True),
+        dict(segsym=True),
+        dict(prog=1),  # RLCP
+        dict(jp2=True),
+    ],
+)
+def test_lossless_feature_matrix(kw):
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    assert np.array_equal(_rt_gray(img, **kw), img)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
+def test_degenerate_geometry(w, h):
+    img = RNG.randint(0, 256, (h, w), np.uint8)
+    assert np.array_equal(_rt_gray(img), img)
+
+
+def test_depth12_rescales_to_8bit():
+    img12 = RNG.randint(0, 4096, (14, 18)).astype(np.int64)
+    cs = encode_jpx(img12, depth=12)
+    w, h, n, s = decode_jpx(cs)
+    out = np.frombuffer(s, np.uint8).reshape(h, w)
+    exp = np.rint(img12 * (255.0 / 4095)).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_irreversible_97_error_bound():
+    # Smooth-ish content: 9/7 with no quantization floor loss beyond the
+    # lifting arithmetic should land within a few codes of the source.
+    y, x = np.mgrid[0:24, 0:20]
+    img = ((np.sin(x / 3.0) + np.cos(y / 4.0) + 2) * 60).astype(np.uint8)
+    out = _rt_gray(img, reversible=False)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    rgb = np.stack([img, img[::-1], img[:, ::-1]], axis=-1)
+    outc = _rt_rgb(rgb, reversible=False)  # ICT path
+    assert np.abs(outc.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_tiled_97():
+    img = RNG.randint(0, 256, (24, 20, 3), np.uint8)
+    out = _rt_rgb(img, reversible=False, tile_size=(12, 12))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_decode_codestream_reports_geometry():
+    img = RNG.randint(0, 256, (10, 12), np.uint8)
+    w, h, planes, depths, signed = decode_codestream(encode_jpx(img))
+    assert (w, h, len(planes), depths[0], signed[0]) == (12, 10, 1, 8, False)
+
+
+def test_image_layer_decodes_jpx():
+    from pdf_ray.pdfcore.images import decode_image_pixels
+
+    img = RNG.randint(0, 256, (8, 9), np.uint8)
+    data = encode_jpx(img)
+    # Dict geometry deliberately wrong: the codestream must win (§7.4.9)
+    s = Stream(
+        {
+            "Filter": "JPXDecode",
+            "Width": 1,
+            "Height": 1,
+            "Length": len(data),
+        },
+        data,
+    )
+    w, h, rgb = decode_image_pixels(s, lambda v: v)
+    assert (w, h) == (9, 8)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 9, 3)
+    assert np.array_equal(got[:, :, 0], img)
+    assert np.array_equal(got[:, :, 1], img)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"\xff\x4f",
+        b"\xff\x4f\xff\x51" + b"\x00" * 8,
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n",  # JP2 signature, no boxes
+        b"not a codestream at all",
+    ],
+)
+def test_malformed_raises_typed(data):
+    with pytest.raises(PdfParseError):
+        decode_jpx(data)
+
+
+def test_oversize_siz_rejected_fast():
+    # A corrupt SIZ claiming a huge canvas must fail the budget check
+    # before allocating, not burn minutes (MAX_JPX_PIXELS guard).
+    img = RNG.randint(0, 256, (8, 8), np.uint8)
+    cs = bytearray(encode_jpx(img))
+    siz = cs.find(b"\xff\x51")
+    # Xsiz / Ysiz are at +6 and +10 after the marker+Lsiz+Rsiz
+    cs[siz + 6 : siz + 10] = (1 << 30).to_bytes(4, "big")
+    cs[siz + 10 : siz + 14] = (1 << 30).to_bytes(4, "big")
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(cs))
+
+
+def test_fuzz_truncation_and_bitflips_bounded():
+    img = RNG.randint(0, 256, (16, 16), np.uint8)
+    base = encode_jpx(img, levels=2)
+    rng = np.random.RandomState(99)
+    for cut in range(1, len(base), max(1, len(base) // 23)):
+        try:
+            decode_jpx(base[:cut])
+        except PdfParseError:
+            pass
+    for _ in range(40):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            buf[rng.randint(len(buf))] ^= 1 << rng.randint(8)
+        try:
+            decode_jpx(bytes(buf))
+        except PdfParseError:
+            pass

@@ -167,8 +167,9 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # seven distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # nine distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
     # f29 CCITT, f33 progressive DCT, f34 JBIG2 generic, f36 JBIG2 text
+    # (f37 shares its pixels/ref), f38 JPX gray + RGB
     from pdf_ray.fixtures.corpus import (
         CCITT_REF,
         DCT_REF,
@@ -176,11 +177,23 @@ def test_image_blob_pipeline(ray_session):
         IMG_REF,
         JB2_REF,
         JB2T_REF,
+        JPX_REF,
+        JPXC_REF,
         PROG_REF,
     )
 
     assert sorted(blobs["media_ref"]) == sorted(
-        [IMG_REF, IDX_REF, DCT_REF, CCITT_REF, PROG_REF, JB2_REF, JB2T_REF]
+        [
+            IMG_REF,
+            IDX_REF,
+            DCT_REF,
+            CCITT_REF,
+            PROG_REF,
+            JB2_REF,
+            JB2T_REF,
+            JPX_REF,
+            JPXC_REF,
+        ]
     )
     sizes = {
         ref: decode_png(png)[:2]
