@@ -8,8 +8,9 @@ must equal x bit-for-bit; the 9/7 path is validated by error bounds.
 Mirrors the decoder structure: forward 5/3 + 9/7 lifting DWT (scaling
 convention validated against the published analysis taps), EBCOT tier-1
 pass encoder over the shared T.88/T.800 MQ coder (jbig2enc.MQEncoder),
-tag-tree + packet-header writers with 0xFF bit stuffing, LRCP packets,
-single layer, single arithmetic segment per code-block.
+tag-tree + packet-header writers with 0xFF bit stuffing, LRCP/RLCP
+packets, multiple quality layers (single arithmetic codeword per
+code-block, byte-split across layer contributions).
 """
 
 from __future__ import annotations
@@ -380,6 +381,7 @@ def encode_jpx(
     eph: bool = False,
     segsym: bool = False,
     prog: int = 0,
+    layers: int = 1,
     depth: int = 8,
     guard: int = 2,
     qstyle: int | None = None,
@@ -408,7 +410,7 @@ def encode_jpx(
 
     cod = _Cod.__new__(_Cod)
     cod.prog = prog
-    cod.layers = 1
+    cod.layers = layers
     cod.mct = 1 if mct else 0
     cod.levels = levels
     cod.xcb, cod.ycb = cb_exp
@@ -442,7 +444,7 @@ def encode_jpx(
     scod = (1 if precincts else 0) | (2 if sop else 0) | (4 if eph else 0)
     cod_body = bytes(
         [scod, prog]
-    ) + struct.pack(">H", 1) + bytes(
+    ) + struct.pack(">H", layers) + bytes(
         [cod.mct, levels, cod.xcb - 2, cod.ycb - 2, cod.cbstyle,
          cod.transform]
     )
@@ -586,97 +588,201 @@ def _encode_tile(
                 bi += 1
         band_arrays.append(arrays)
 
-    # tier-1 encode all code-blocks, then emit LRCP packets (1 layer)
-    body = bytearray()
+    # tier-1 encode all code-blocks, then emit packets over the full
+    # (layer, resolution, component, precinct) progression
+    layers = cod.layers
     maxres = levels + 1
-    for r in range(maxres):
-        for c in range(len(tiles)):
+    prec_states = {}  # (c, r, pidx) -> _PrecState
+    for c in range(len(tiles)):
+        for r in range(maxres):
             res = all_resolutions[c][r]
             for pidx, per_band in enumerate(res.precincts):
-                pkt = _encode_packet(res, per_band, cod, segsym)
-                if cod.sop:
-                    body += b"\xff\x91" + struct.pack(">HH", 4, 0)
-                body += pkt
-    # single layer: LRCP and RLCP identical; emit in r-major (RLCP) order
-    # is wrong for prog=0 with >1 layer, but layers == 1 always here.
+                prec_states[(c, r, pidx)] = _PrecState(
+                    res, per_band, layers, segsym
+                )
+    if cod.prog == 0:  # LRCP
+        order = [
+            (c, r, layer)
+            for layer in range(layers)
+            for r in range(maxres)
+            for c in range(len(tiles))
+        ]
+    else:  # RLCP (prog == 1)
+        order = [
+            (c, r, layer)
+            for r in range(maxres)
+            for layer in range(layers)
+            for c in range(len(tiles))
+        ]
+    body = bytearray()
+    for c, r, layer in order:
+        res = all_resolutions[c][r]
+        for pidx in range(len(res.precincts)):
+            pkt = prec_states[(c, r, pidx)].emit_layer(layer, cod)
+            if cod.sop:
+                body += b"\xff\x91" + struct.pack(">HH", 4, 0)
+            body += pkt
     return bytes(body)
 
 
-def _encode_packet(res, per_band, cod, segsym) -> bytes:
-    wr = _HdrWriter()
-    chunks = []
-    any_data = False
-    enc_results = []
-    for bi, band in enumerate(res.bands):
-        bp = per_band[bi]
-        if bp.nw == 0:
-            enc_results.append([])
-            continue
-        results = []
-        for cb in bp.cbs:
-            sub = band.coefs[
-                cb.y0 - band.y0 : cb.y1 - band.y0,
-                cb.x0 - band.x0 : cb.x1 - band.x0,
-            ]
-            maxmag = int(np.max(np.abs(sub))) if sub.size else 0
-            if maxmag == 0:
-                results.append(None)
+class _PrecState:
+    """Per-precinct packet-emission state carried across quality layers:
+    tier-1 results, incremental inclusion/zero-bitplane tag trees, and
+    per-code-block Lblock / data-offset / pass-plan bookkeeping.
+
+    Layer plan: a code-block with data first appears in layer
+    ``ci % layers`` (late inclusions exercise the decoder's deferred
+    tag-tree thresholds) and spreads its coding passes evenly over the
+    remaining layers; byte boundaries split the single MQ codeword
+    proportionally to cumulative passes (legal — lengths are explicit
+    in the packet headers, and tier-1 decodes the concatenation)."""
+
+    def __init__(self, res, per_band, layers: int, segsym: bool):
+        self.res = res
+        self.per_band = per_band
+        self.results = []  # per band: list over cbs of None | dict
+        for bi, band in enumerate(res.bands):
+            bp = per_band[bi]
+            if bp.nw == 0:
+                self.results.append([])
                 continue
-            numbps = maxmag.bit_length()
-            zbp = band.mb - numbps
-            if zbp < 0:
-                raise ValueError(
-                    f"guard bits too small: mb={band.mb} numbps={numbps}"
+            results = []
+            for ci, cb in enumerate(bp.cbs):
+                sub = band.coefs[
+                    cb.y0 - band.y0 : cb.y1 - band.y0,
+                    cb.x0 - band.x0 : cb.x1 - band.x0,
+                ]
+                maxmag = int(np.max(np.abs(sub))) if sub.size else 0
+                if maxmag == 0:
+                    results.append(None)
+                    continue
+                numbps = maxmag.bit_length()
+                zbp = band.mb - numbps
+                if zbp < 0:
+                    raise ValueError(
+                        f"guard bits too small: mb={band.mb} "
+                        f"numbps={numbps}"
+                    )
+                data, npasses = _encode_cblk(
+                    sub, numbps, band.orient, segsym
                 )
-            data, npasses = _encode_cblk(
-                sub, numbps, band.orient, segsym
-            )
-            results.append((zbp, data, npasses))
-            any_data = True
-        enc_results.append(results)
-    if not any_data:
-        wr.bit(0)
-        return wr.finish() + (b"\xff\x92" if cod.eph else b"")
-    wr.bit(1)
-    for bi, band in enumerate(res.bands):
-        bp = per_band[bi]
-        if bp.nw == 0:
-            continue
-        results = enc_results[bi]
-        incl = _TagTreeEnc(
-            bp.nw, bp.nh,
-            [0 if r is not None else 1 for r in results],
-        )
-        zbps = _TagTreeEnc(
-            bp.nw, bp.nh,
-            [r[0] if r is not None else 0 for r in results],
-        )
-        for ci, r in enumerate(results):
-            x, y = ci % bp.nw, ci // bp.nw
-            incl.encode(wr, x, y, 1)
-            if r is None:
+                il = ci % layers
+                nlay = layers - il
+                # passes per contributing layer (first layers get the
+                # extras); zero-pass layers simply don't contribute
+                base, extra = divmod(npasses, nlay)
+                plan_np = [
+                    base + (1 if j < extra else 0) for j in range(nlay)
+                ]
+                bounds, cum = [0], 0
+                for np_j in plan_np:
+                    cum += np_j
+                    bounds.append(
+                        len(data) * cum // npasses if npasses else 0
+                    )
+                bounds[-1] = len(data)
+                results.append(
+                    {
+                        "zbp": zbp,
+                        "data": data,
+                        "il": il,
+                        "plan_np": plan_np,
+                        "bounds": bounds,
+                        "lblock": 3,
+                        "included": False,
+                    }
+                )
+            self.results.append(results)
+        self.incl = []
+        self.zbps = []
+        for bi, band in enumerate(res.bands):
+            bp = per_band[bi]
+            results = self.results[bi]
+            if bp.nw == 0:
+                self.incl.append(None)
+                self.zbps.append(None)
                 continue
-            zbp, data, npasses = r
-            t = 1
-            while True:
-                zbps.encode(wr, x, y, t)
-                if zbps.known[0][y * bp.nw + x]:
-                    break
-                t += 1
-            _write_numpasses(wr, npasses)
-            lblock = 3
-            nbits = lblock + npasses.bit_length() - 1
-            while len(data).bit_length() > nbits:
-                wr.bit(1)
-                lblock += 1
-                nbits += 1
+            self.incl.append(
+                _TagTreeEnc(
+                    bp.nw, bp.nh,
+                    [
+                        r["il"] if r is not None else layers
+                        for r in results
+                    ],
+                )
+            )
+            self.zbps.append(
+                _TagTreeEnc(
+                    bp.nw, bp.nh,
+                    [r["zbp"] if r is not None else 0 for r in results],
+                )
+            )
+
+    def _contrib(self, r: dict, layer: int) -> tuple[int, int, int] | None:
+        """(npasses, byte_off, byte_len) of this block's layer
+        contribution, or None."""
+        j = layer - r["il"]
+        if j < 0 or j >= len(r["plan_np"]) or r["plan_np"][j] == 0:
+            return None
+        return (
+            r["plan_np"][j],
+            r["bounds"][j],
+            r["bounds"][j + 1] - r["bounds"][j],
+        )
+
+    def emit_layer(self, layer: int, cod) -> bytes:
+        wr = _HdrWriter()
+        chunks = []
+        any_data = any(
+            r is not None and self._contrib(r, layer) is not None
+            for results in self.results
+            for r in results
+        )
+        if not any_data:
             wr.bit(0)
-            wr.bits(len(data), nbits)
-            chunks.append(data)
-    hdr = wr.finish()
-    if cod.eph:
-        hdr += b"\xff\x92"
-    return hdr + b"".join(chunks)
+            return wr.finish() + (b"\xff\x92" if cod.eph else b"")
+        wr.bit(1)
+        for bi, _band in enumerate(self.res.bands):
+            bp = self.per_band[bi]
+            if bp.nw == 0:
+                continue
+            results = self.results[bi]
+            incl, zbps = self.incl[bi], self.zbps[bi]
+            for ci, r in enumerate(results):
+                x, y = ci % bp.nw, ci // bp.nw
+                contrib = (
+                    self._contrib(r, layer) if r is not None else None
+                )
+                if r is None or not r["included"]:
+                    # first-inclusion signalling via the tag tree
+                    incl.encode(wr, x, y, layer + 1)
+                    if contrib is None:
+                        continue
+                    t = 1
+                    while True:
+                        zbps.encode(wr, x, y, t)
+                        if zbps.known[0][y * bp.nw + x]:
+                            break
+                        t += 1
+                    r["included"] = True
+                else:
+                    wr.bit(1 if contrib is not None else 0)
+                    if contrib is None:
+                        continue
+                np_j, off, ln = contrib
+                _write_numpasses(wr, np_j)
+                nbits = r["lblock"] + np_j.bit_length() - 1
+                while ln.bit_length() > nbits:
+                    wr.bit(1)
+                    r["lblock"] += 1
+                    nbits += 1
+                wr.bit(0)
+                wr.bits(ln, nbits)
+                chunks.append(r["data"][off : off + ln])
+        hdr = wr.finish()
+        if cod.eph:
+            hdr += b"\xff\x92"
+        return hdr + b"".join(chunks)
 
 
 def _wrap_jp2(cs: bytes, w: int, h: int, ncomp: int, depth: int) -> bytes:

@@ -8,7 +8,8 @@ this implements the codestream subset that PDF-embedded JPX images use:
   and tile-parts; TLM/PLM/PLT/CRG skipped; POC/PPM/PPT/RGN rejected
 - tier-2: packet headers with tag trees (inclusion + zero-bitplanes),
   Lblock, single-segment lengths, precincts, SOP/EPH markers,
-  LRCP and RLCP progression orders
+  LRCP and RLCP progression orders, multiple quality layers (per-
+  code-block segments accumulate across layers into one MQ codeword)
 - tier-1: EBCOT block decoding — significance-propagation, magnitude-
   refinement and cleanup passes with the shared T.88/T.800 MQ coder
   (jbig2.MQDecoder — the two specs define the identical coder), run-

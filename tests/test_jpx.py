@@ -62,6 +62,34 @@ def test_lossless_feature_matrix(kw):
     assert np.array_equal(_rt_gray(img, **kw), img)
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(layers=2),
+        dict(layers=5),  # > code-blocks per precinct: empty packets
+        dict(layers=2, prog=1),
+        dict(layers=3, reversible=False),
+        dict(layers=2, precincts=[(7, 7)] * 4, levels=3),
+        dict(layers=4, cb_exp=(4, 4), sop=True, eph=True),
+    ],
+)
+def test_quality_layers(kw):
+    # multi-layer streams: late first-inclusion (tag-tree thresholds),
+    # continued-block contributions, zero-contribution bits, empty
+    # packets — the decoder accumulates segments across layers
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    if kw.get("reversible", True):
+        assert np.array_equal(_rt_gray(img, **kw), img)
+    else:
+        out = _rt_gray(img, **kw)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_quality_layers_rgb_rct():
+    img = RNG.randint(0, 256, (20, 24, 3), np.uint8)
+    assert np.array_equal(_rt_rgb(img, layers=2), img)
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
 def test_degenerate_geometry(w, h):
     img = RNG.randint(0, 256, (h, w), np.uint8)
