@@ -8,9 +8,11 @@ must equal x bit-for-bit; the 9/7 path is validated by error bounds.
 Mirrors the decoder structure: forward 5/3 + 9/7 lifting DWT (scaling
 convention validated against the published analysis taps), EBCOT tier-1
 pass encoder over the shared T.88/T.800 MQ coder (jbig2enc.MQEncoder),
-tag-tree + packet-header writers with 0xFF bit stuffing, LRCP/RLCP
-packets, multiple quality layers (single arithmetic codeword per
-code-block, byte-split across layer contributions).
+tag-tree + packet-header writers with 0xFF bit stuffing, all five
+progression orders (LRCP/RLCP comprehensions; RPCL/PCRL/CPRL via
+precinct-anchor sorting — deliberately a different formulation than the
+decoder's B.12 grid walk), multiple quality layers (single arithmetic
+codeword per code-block, byte-split across layer contributions).
 """
 
 from __future__ import annotations
@@ -602,26 +604,60 @@ def _encode_tile(
                 )
     if cod.prog == 0:  # LRCP
         order = [
-            (c, r, layer)
+            (c, r, pidx, layer)
             for layer in range(layers)
             for r in range(maxres)
             for c in range(len(tiles))
+            for pidx in range(len(all_resolutions[c][r].precincts))
         ]
-    else:  # RLCP (prog == 1)
+    elif cod.prog == 1:  # RLCP
         order = [
-            (c, r, layer)
+            (c, r, pidx, layer)
             for r in range(maxres)
             for layer in range(layers)
             for c in range(len(tiles))
+            for pidx in range(len(all_resolutions[c][r].precincts))
+        ]
+    else:
+        # Position-based orders (RPCL/PCRL/CPRL): sort every precinct by
+        # its spatial anchor — the precinct origin mapped onto the tile
+        # sample grid and clamped to the tile origin. This is a different
+        # formulation than the decoder's B.12 grid walk, so lossless
+        # roundtrips cross-check both against each other.
+        keyed = []
+        for c in range(len(tiles)):
+            for r in range(maxres):
+                res = all_resolutions[c][r]
+                nb = levels - r
+                for pidx in range(len(res.precincts)):
+                    pi = pidx % res.npx
+                    pj = pidx // res.npx
+                    ax = max(
+                        tx0, ((res.x0 >> res.ppx) + pi) << (res.ppx + nb)
+                    )
+                    ay = max(
+                        ty0, ((res.y0 >> res.ppy) + pj) << (res.ppy + nb)
+                    )
+                    keyed.append((c, r, pidx, ax, ay))
+        if cod.prog == 2:  # RPCL: res > position > comp
+            keyed.sort(key=lambda t: (t[1], t[4], t[3], t[0]))
+        elif cod.prog == 3:  # PCRL: position > comp > res
+            keyed.sort(key=lambda t: (t[4], t[3], t[0], t[1]))
+        elif cod.prog == 4:  # CPRL: comp > position > res
+            keyed.sort(key=lambda t: (t[0], t[4], t[3], t[1]))
+        else:
+            raise ValueError(f"unsupported progression {cod.prog}")
+        order = [
+            (c, r, pidx, layer)
+            for c, r, pidx, _ax, _ay in keyed
+            for layer in range(layers)
         ]
     body = bytearray()
-    for c, r, layer in order:
-        res = all_resolutions[c][r]
-        for pidx in range(len(res.precincts)):
-            pkt = prec_states[(c, r, pidx)].emit_layer(layer, cod)
-            if cod.sop:
-                body += b"\xff\x91" + struct.pack(">HH", 4, 0)
-            body += pkt
+    for c, r, pidx, layer in order:
+        pkt = prec_states[(c, r, pidx)].emit_layer(layer, cod)
+        if cod.sop:
+            body += b"\xff\x91" + struct.pack(">HH", 4, 0)
+        body += pkt
     return bytes(body)
 
 

@@ -8,7 +8,8 @@ this implements the codestream subset that PDF-embedded JPX images use:
   and tile-parts; TLM/PLM/PLT/CRG skipped; POC/PPM/PPT/RGN rejected
 - tier-2: packet headers with tag trees (inclusion + zero-bitplanes),
   Lblock, single-segment lengths, precincts, SOP/EPH markers,
-  LRCP and RLCP progression orders, multiple quality layers (per-
+  all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
+  position-based walks per B.12.1.3-5), multiple quality layers (per-
   code-block segments accumulate across layers into one MQ codeword)
 - tier-1: EBCOT block decoding — significance-propagation, magnitude-
   refinement and cleanup passes with the shared T.88/T.800 MQ coder
@@ -634,6 +635,134 @@ def _numpasses(rd: _HdrReader) -> int:
     return 37 + rd.bits(7)
 
 
+def _grid_positions(lo: int, hi: int, shifts) -> list[int]:
+    """Candidate packet positions on [lo, hi): the tile origin plus every
+    multiple of each precinct step 2**shift (T.800 B.12's position walks
+    only fire at these points, so iterating them is equivalent to the
+    spec's per-sample loops without the O(samples) cost)."""
+    pos = {lo}
+    for sh in set(shifts):
+        step = 1 << sh
+        first = ((lo + step - 1) >> sh) << sh
+        pos.update(range(first, hi, step))
+    return sorted(p for p in pos if lo <= p < hi)
+
+
+def _precinct_at(x, y, tx0, ty0, res, nb):
+    """B.12.1.3 inclusion test: does position (x, y) on the tile sample
+    grid anchor a precinct of resolution ``res`` (nb = levels - r)?
+    Returns the precinct index or None. Component subsampling is 1
+    (enforced at SIZ parse), so the xr/yr factors drop out."""
+    px, py = res.ppx + nb, res.ppy + nb
+    if not (
+        x % (1 << px) == 0
+        or (x == tx0 and (res.x0 << nb) % (1 << px) != 0)
+    ):
+        return None
+    if not (
+        y % (1 << py) == 0
+        or (y == ty0 and (res.y0 << nb) % (1 << py) != 0)
+    ):
+        return None
+    pi = (x >> px) - (res.x0 >> res.ppx)
+    pj = (y >> py) - (res.y0 >> res.ppy)
+    if not (0 <= pi < res.npx and 0 <= pj < res.npy):
+        return None
+    return pj * res.npx + pi
+
+
+def _packet_order(comps, cods, layers, prog):
+    """Full packet sequence for one tile as (c, r, pidx, layer) tuples,
+    in the codestream order mandated by the COD progression (T.800
+    B.12.1.1-5). ``comps[c]`` is the per-component resolution list (its
+    length may differ per component via COC levels)."""
+    ncomp = len(comps)
+    maxres = max(len(rs) for rs in comps)
+    if prog == 0:  # LRCP: layer > res > comp > precinct
+        return [
+            (c, r, p, layer)
+            for layer in range(layers)
+            for r in range(maxres)
+            for c in range(ncomp)
+            if r < len(comps[c])
+            for p in range(len(comps[c][r].precincts))
+        ]
+    if prog == 1:  # RLCP: res > layer > comp > precinct
+        return [
+            (c, r, p, layer)
+            for r in range(maxres)
+            for layer in range(layers)
+            for c in range(ncomp)
+            if r < len(comps[c])
+            for p in range(len(comps[c][r].precincts))
+        ]
+    # Position-based orders walk the tile sample grid. All components
+    # share that grid (subsampling rejected), and the highest resolution
+    # of any component is the tile itself.
+    tx0, tx1 = comps[0][-1].x0, comps[0][-1].x1
+    ty0, ty1 = comps[0][-1].y0, comps[0][-1].y1
+    out = []
+    if prog == 2:  # RPCL: res > position > comp > layer
+        for r in range(maxres):
+            crs = [
+                (c, comps[c][r], len(comps[c]) - 1 - r)
+                for c in range(ncomp)
+                if r < len(comps[c])
+            ]
+            ys = _grid_positions(
+                ty0, ty1, [res.ppy + nb for _, res, nb in crs]
+            )
+            xs = _grid_positions(
+                tx0, tx1, [res.ppx + nb for _, res, nb in crs]
+            )
+            for y in ys:
+                for x in xs:
+                    for c, res, nb in crs:
+                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                        if p is not None:
+                            out.extend(
+                                (c, r, p, la) for la in range(layers)
+                            )
+        return out
+    if prog == 3:  # PCRL: position > comp > res > layer
+        shy, shx = [], []
+        for c in range(ncomp):
+            for r, res in enumerate(comps[c]):
+                nb = len(comps[c]) - 1 - r
+                shy.append(res.ppy + nb)
+                shx.append(res.ppx + nb)
+        for y in _grid_positions(ty0, ty1, shy):
+            for x in _grid_positions(tx0, tx1, shx):
+                for c in range(ncomp):
+                    for r, res in enumerate(comps[c]):
+                        nb = len(comps[c]) - 1 - r
+                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                        if p is not None:
+                            out.extend(
+                                (c, r, p, la) for la in range(layers)
+                            )
+        return out
+    if prog == 4:  # CPRL: comp > position > res > layer
+        for c in range(ncomp):
+            shifts = [
+                (res.ppy + len(comps[c]) - 1 - r, res.ppx + len(comps[c]) - 1 - r)
+                for r, res in enumerate(comps[c])
+            ]
+            ys = _grid_positions(ty0, ty1, [s[0] for s in shifts])
+            xs = _grid_positions(tx0, tx1, [s[1] for s in shifts])
+            for y in ys:
+                for x in xs:
+                    for r, res in enumerate(comps[c]):
+                        nb = len(comps[c]) - 1 - r
+                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                        if p is not None:
+                            out.extend(
+                                (c, r, p, la) for la in range(layers)
+                            )
+        return out
+    raise PdfParseError(f"JPX: unsupported progression order {prog}")
+
+
 class _TileDecoder:
     """One tile: packet parsing + per-component reconstruction."""
 
@@ -657,32 +786,11 @@ class _TileDecoder:
         data = bytes(self.data)
         pos = 0
         cod0 = self.cods[0]
-        layers = cod0.layers
-        prog = cod0.prog
-        maxres = max(len(rs) for rs in self.comps)
-        if prog == 0:  # LRCP
-            order = [
-                (c, r, layer)
-                for layer in range(layers)
-                for r in range(maxres)
-                for c in range(len(self.comps))
-                if r < len(self.comps[c])
-            ]
-        elif prog == 1:  # RLCP
-            order = [
-                (c, r, layer)
-                for r in range(maxres)
-                for layer in range(layers)
-                for c in range(len(self.comps))
-                if r < len(self.comps[c])
-            ]
-        else:
-            raise PdfParseError(f"JPX: unsupported progression order {prog}")
-        for c, r, layer in order:
+        order = _packet_order(self.comps, self.cods, cod0.layers, cod0.prog)
+        for c, r, pidx, layer in order:
             res = self.comps[c][r]
             cod = self.cods[c]
-            for pidx in range(len(res.precincts)):
-                pos = self._read_packet(data, pos, res, cod, layer, pidx)
+            pos = self._read_packet(data, pos, res, cod, layer, pidx)
 
     def _read_packet(self, data, pos, res, cod, layer, pidx) -> int:
         if cod.sop:

@@ -54,6 +54,13 @@ def test_lossless_rgb_rct_and_no_mct():
         dict(sop=True, eph=True),
         dict(segsym=True),
         dict(prog=1),  # RLCP
+        dict(prog=2),  # RPCL
+        dict(prog=3),  # PCRL
+        dict(prog=4),  # CPRL
+        dict(prog=2, precincts=[(7, 7)] * 4, levels=3),
+        dict(prog=3, precincts=[(6, 7), (7, 6), (7, 7), (8, 8)], levels=3),
+        dict(prog=4, precincts=[(7, 7)] * 4, levels=3, origin=(3, 5)),
+        dict(prog=2, tile_size=(16, 16), precincts=[(6, 6)] * 3, levels=2),
         dict(jp2=True),
     ],
 )
@@ -68,6 +75,9 @@ def test_lossless_feature_matrix(kw):
         dict(layers=2),
         dict(layers=5),  # > code-blocks per precinct: empty packets
         dict(layers=2, prog=1),
+        dict(layers=3, prog=2, precincts=[(7, 7)] * 4, levels=3),
+        dict(layers=2, prog=3),
+        dict(layers=2, prog=4, tile_size=(16, 16)),
         dict(layers=3, reversible=False),
         dict(layers=2, precincts=[(7, 7)] * 4, levels=3),
         dict(layers=4, cb_exp=(4, 4), sop=True, eph=True),
@@ -88,6 +98,16 @@ def test_quality_layers(kw):
 def test_quality_layers_rgb_rct():
     img = RNG.randint(0, 256, (20, 24, 3), np.uint8)
     assert np.array_equal(_rt_rgb(img, layers=2), img)
+
+
+@pytest.mark.parametrize("prog", [2, 3, 4])
+def test_position_orders_rgb(prog):
+    # multi-component streams interleave packets per position in the
+    # RPCL/PCRL/CPRL walks — the part LRCP-only decoders get wrong
+    img = RNG.randint(0, 256, (21, 18, 3), np.uint8)
+    kw = dict(prog=prog, precincts=[(6, 6), (6, 6), (7, 7)], levels=2)
+    assert np.array_equal(_rt_rgb(img, **kw), img)
+    assert np.array_equal(_rt_rgb(img, prog=prog, tile_size=(12, 16)), img)
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
