@@ -32,9 +32,39 @@ from ..pdfcore.jpx import (
     _Qcd,
     _Resolution,
     _ceil_div,
+    _is_raw,
     _reflect,
+    _seg_end,
 )
 from .jbig2enc import MQEncoder
+
+
+class _RawWriter:
+    """Raw (arithmetic-bypass) bit writer with 0xFF stuffing: a byte
+    following an 0xFF carries only 7 bits (D.6 — the MSB stays 0, so no
+    0xFF 0x9x marker can appear inside a raw segment)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.ct = 8
+        self.start = 8
+
+    def bit(self, v: int) -> None:
+        self.ct -= 1
+        self.c |= v << self.ct
+        if self.ct == 0:
+            self.out.append(self.c)
+            self.start = self.ct = 7 if self.c == 0xFF else 8
+            self.c = 0
+
+    def finish(self) -> bytes:
+        if self.ct < self.start:
+            self.out.append(self.c)
+        if self.out and self.out[-1] == 0xFF:
+            # a codeword segment must not end with 0xFF (B.10.7)
+            self.out.append(0)
+        return bytes(self.out)
 
 _K97 = 1.230174104914001
 _A97 = -1.586134342059924
@@ -108,10 +138,12 @@ def _sd_2d(
 
 
 def _encode_cblk(
-    coefs: np.ndarray, numbps: int, orient: str, segsym: bool = False
-) -> tuple[bytes, int]:
+    coefs: np.ndarray, numbps: int, orient: str, cbstyle: int = 0
+) -> tuple[list[tuple[bytes, int]], int]:
     """EBCOT tier-1 encode of one code-block holding signed integer
-    quantizer indices; returns (MQ data, number of passes)."""
+    quantizer indices; returns (codeword segments as (bytes, npasses),
+    total passes). One segment in the default style; TERMALL/bypass
+    terminate at the boundaries jpx._seg_end defines."""
     h, w = coefs.shape
     n = w * h
     flat = coefs.reshape(-1)
@@ -122,41 +154,66 @@ def _encode_cblk(
     refined = bytearray(n)
     idx = np.zeros(_N_CTX, np.uint8)
     mps = np.zeros(_N_CTX, np.uint8)
-    idx[_CTX_UNI] = 46
-    idx[_CTX_RL] = 3
-    idx[0] = 4
-    enc = MQEncoder()
+    causal = bool(cbstyle & 0x08)
+    segsym = bool(cbstyle & 0x20)
+    reset = bool(cbstyle & 0x02)
     zc = _ZC_TABLES[orient]
+
+    def init_ctx():
+        idx[:] = 0
+        mps[:] = 0
+        idx[_CTX_UNI] = 46
+        idx[_CTX_RL] = 3
+        idx[0] = 4
+
+    init_ctx()
+    segs = []
+    enc = None
+    rw = None
+
+    def start_segment(t):
+        nonlocal enc, rw
+        if _is_raw(t, cbstyle):
+            rw = _RawWriter()
+            enc = None
+        else:
+            enc = MQEncoder()
+            rw = None
+
+    def end_segment(npass):
+        segs.append((enc.finish() if enc else rw.finish(), npass))
 
     def nbr_counts(pos, x, y):
         hh = vv = dd = 0
+        below = y + 1 < h and not (causal and (y & 3) == 3)
         if x > 0 and sig[pos - 1]:
             hh += 1
         if x + 1 < w and sig[pos + 1]:
             hh += 1
         if y > 0 and sig[pos - w]:
             vv += 1
-        if y + 1 < h and sig[pos + w]:
+        if below and sig[pos + w]:
             vv += 1
         if x > 0 and y > 0 and sig[pos - w - 1]:
             dd += 1
         if x + 1 < w and y > 0 and sig[pos - w + 1]:
             dd += 1
-        if x > 0 and y + 1 < h and sig[pos + w - 1]:
+        if x > 0 and below and sig[pos + w - 1]:
             dd += 1
-        if x + 1 < w and y + 1 < h and sig[pos + w + 1]:
+        if x + 1 < w and below and sig[pos + w + 1]:
             dd += 1
         return hh, vv, dd
 
     def encode_sign(pos, x, y):
         hc = vc = 0
+        below = y + 1 < h and not (causal and (y & 3) == 3)
         if x > 0 and sig[pos - 1]:
             hc += -1 if sgn[pos - 1] else 1
         if x + 1 < w and sig[pos + 1]:
             hc += -1 if sgn[pos + 1] else 1
         if y > 0 and sig[pos - w]:
             vc += -1 if sgn[pos - w] else 1
-        if y + 1 < h and sig[pos + w]:
+        if below and sig[pos + w]:
             vc += -1 if sgn[pos + w] else 1
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
@@ -182,6 +239,25 @@ def _encode_cblk(
                         sig[pos] = 1
                         encode_sign(pos, x, y)
 
+    def spp_raw(p):
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if sig[pos]:
+                        continue
+                    hh, vv, dd = nbr_counts(pos, x, y)
+                    if hh == 0 and vv == 0 and dd == 0:
+                        continue
+                    visited[pos] = 1
+                    d = 1 if mag[pos] & bit else 0
+                    rw.bit(d)
+                    if d:
+                        sig[pos] = 1
+                        rw.bit(sgn[pos])
+
     def mrp(p):
         bit = 1 << p
         for k0 in range(0, h, 4):
@@ -197,6 +273,18 @@ def _encode_cblk(
                         hh, vv, dd = nbr_counts(pos, x, y)
                         ctx = _CTX_MR0 + (1 if hh + vv + dd else 0)
                     enc.encode(1 if mag[pos] & bit else 0, ctx, idx, mps)
+                    refined[pos] = 1
+
+    def mrp_raw(p):
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if not sig[pos] or visited[pos]:
+                        continue
+                    rw.bit(1 if mag[pos] & bit else 0)
                     refined[pos] = 1
 
     def cup(p):
@@ -247,17 +335,29 @@ def _encode_cblk(
             for b in (1, 0, 1, 0):
                 enc.encode(b, _CTX_UNI, idx, mps)
 
-    npasses = 0
+    t = 0
+    seg_start = 0
     for p in range(numbps - 1, -1, -1):
-        if p != numbps - 1:
-            spp(p)
-            mrp(p)
-            npasses += 2
-        cup(p)
-        npasses += 1
+        for kind in (2,) if p == numbps - 1 else (0, 1, 2):
+            if t == seg_start:
+                start_segment(t)
+            if kind == 0:
+                (spp_raw if _is_raw(t, cbstyle) else spp)(p)
+            elif kind == 1:
+                (mrp_raw if _is_raw(t, cbstyle) else mrp)(p)
+            else:
+                cup(p)
+            if reset:
+                init_ctx()
+            t += 1
+            if _seg_end(t - 1, cbstyle):
+                end_segment(t - seg_start)
+                seg_start = t
         for i in range(n):
             visited[i] = 0
-    return enc.finish(), npasses
+    if t > seg_start:
+        end_segment(t - seg_start)
+    return segs, t
 
 
 # -- tier-2 writers ----------------------------------------------------------
@@ -382,6 +482,7 @@ def encode_jpx(
     sop: bool = False,
     eph: bool = False,
     segsym: bool = False,
+    cbstyle: int = 0,
     prog: int = 0,
     layers: int = 1,
     depth: int = 8,
@@ -416,7 +517,7 @@ def encode_jpx(
     cod.mct = 1 if mct else 0
     cod.levels = levels
     cod.xcb, cod.ycb = cb_exp
-    cod.cbstyle = 0x20 if segsym else 0
+    cod.cbstyle = cbstyle | (0x20 if segsym else 0)
     cod.transform = 1 if reversible else 0
     cod.precincts = (
         list(precincts) if precincts else [(15, 15)] * (levels + 1)
@@ -505,7 +606,7 @@ def encode_jpx(
             ty1 = min(yto + (q + 1) * yt, ysiz)
             tdata = _encode_tile(
                 comps, cod, qcd, deltas, depth, mct, reversible,
-                tx0, tx1, ty0, ty1, xo, yo, segsym,
+                tx0, tx1, ty0, ty1, xo, yo,
             )
             # Psot: SOT marker(2) + Lsot seg(10) + SOD(2) + data
             sot = struct.pack(">HIBB", isot, 14 + len(tdata), 0, 1)
@@ -520,7 +621,7 @@ def encode_jpx(
 
 def _encode_tile(
     comps, cod, qcd, deltas, depth, mct, reversible,
-    tx0, tx1, ty0, ty1, xo, yo, segsym,
+    tx0, tx1, ty0, ty1, xo, yo,
 ) -> bytes:
     levels = cod.levels
     tiles = [
@@ -600,7 +701,7 @@ def _encode_tile(
             res = all_resolutions[c][r]
             for pidx, per_band in enumerate(res.precincts):
                 prec_states[(c, r, pidx)] = _PrecState(
-                    res, per_band, layers, segsym
+                    res, per_band, layers, cod.cbstyle
                 )
     if cod.prog == 0:  # LRCP
         order = [
@@ -669,11 +770,13 @@ class _PrecState:
     Layer plan: a code-block with data first appears in layer
     ``ci % layers`` (late inclusions exercise the decoder's deferred
     tag-tree thresholds) and spreads its coding passes evenly over the
-    remaining layers; byte boundaries split the single MQ codeword
-    proportionally to cumulative passes (legal — lengths are explicit
-    in the packet headers, and tier-1 decodes the concatenation)."""
+    remaining layers. In the default style the single MQ codeword is
+    byte-split proportionally to cumulative passes (legal — lengths are
+    explicit in the packet headers, and tier-1 decodes the
+    concatenation); under TERMALL/bypass the codeword segments are
+    distributed whole, one group of consecutive segments per layer."""
 
-    def __init__(self, res, per_band, layers: int, segsym: bool):
+    def __init__(self, res, per_band, layers: int, cbstyle: int):
         self.res = res
         self.per_band = per_band
         self.results = []  # per band: list over cbs of None | dict
@@ -699,31 +802,46 @@ class _PrecState:
                         f"guard bits too small: mb={band.mb} "
                         f"numbps={numbps}"
                     )
-                data, npasses = _encode_cblk(
-                    sub, numbps, band.orient, segsym
+                segs, npasses = _encode_cblk(
+                    sub, numbps, band.orient, cbstyle
                 )
                 il = ci % layers
                 nlay = layers - il
-                # passes per contributing layer (first layers get the
-                # extras); zero-pass layers simply don't contribute
-                base, extra = divmod(npasses, nlay)
-                plan_np = [
-                    base + (1 if j < extra else 0) for j in range(nlay)
-                ]
-                bounds, cum = [0], 0
-                for np_j in plan_np:
-                    cum += np_j
-                    bounds.append(
-                        len(data) * cum // npasses if npasses else 0
-                    )
-                bounds[-1] = len(data)
+                if len(segs) == 1:
+                    # default style: byte-split the single codeword;
+                    # passes per contributing layer (first layers get
+                    # the extras); zero-pass layers don't contribute
+                    data, _ = segs[0]
+                    base, extra = divmod(npasses, nlay)
+                    plan_np = [
+                        base + (1 if j < extra else 0)
+                        for j in range(nlay)
+                    ]
+                    bounds, cum = [0], 0
+                    for np_j in plan_np:
+                        cum += np_j
+                        bounds.append(len(data) * cum // npasses)
+                    bounds[-1] = len(data)
+                    plan = [
+                        [(data[bounds[j] : bounds[j + 1]], plan_np[j])]
+                        if plan_np[j]
+                        else []
+                        for j in range(nlay)
+                    ]
+                else:
+                    # TERMALL/bypass: whole segments, contiguous
+                    # near-even groups per layer
+                    base, extra = divmod(len(segs), nlay)
+                    plan, k = [], 0
+                    for j in range(nlay):
+                        cnt = base + (1 if j < extra else 0)
+                        plan.append(segs[k : k + cnt])
+                        k += cnt
                 results.append(
                     {
                         "zbp": zbp,
-                        "data": data,
                         "il": il,
-                        "plan_np": plan_np,
-                        "bounds": bounds,
+                        "plan": plan,
                         "lblock": 3,
                         "included": False,
                     }
@@ -754,17 +872,13 @@ class _PrecState:
                 )
             )
 
-    def _contrib(self, r: dict, layer: int) -> tuple[int, int, int] | None:
-        """(npasses, byte_off, byte_len) of this block's layer
-        contribution, or None."""
+    def _contrib(self, r: dict, layer: int) -> list | None:
+        """This block's layer contribution as [(bytes, npasses), ...]
+        codeword-segment chunks, or None."""
         j = layer - r["il"]
-        if j < 0 or j >= len(r["plan_np"]) or r["plan_np"][j] == 0:
+        if j < 0 or j >= len(r["plan"]) or not r["plan"][j]:
             return None
-        return (
-            r["plan_np"][j],
-            r["bounds"][j],
-            r["bounds"][j + 1] - r["bounds"][j],
-        )
+        return r["plan"][j]
 
     def emit_layer(self, layer: int, cod) -> bytes:
         wr = _HdrWriter()
@@ -805,16 +919,20 @@ class _PrecState:
                     wr.bit(1 if contrib is not None else 0)
                     if contrib is None:
                         continue
-                np_j, off, ln = contrib
-                _write_numpasses(wr, np_j)
-                nbits = r["lblock"] + np_j.bit_length() - 1
-                while ln.bit_length() > nbits:
+                np_total = sum(p for _, p in contrib)
+                _write_numpasses(wr, np_total)
+                # one Lblock signalling covers every segment length in
+                # this packet (B.10.7.1)
+                while any(
+                    len(d).bit_length() > r["lblock"] + p.bit_length() - 1
+                    for d, p in contrib
+                ):
                     wr.bit(1)
                     r["lblock"] += 1
-                    nbits += 1
                 wr.bit(0)
-                wr.bits(ln, nbits)
-                chunks.append(r["data"][off : off + ln])
+                for d, p in contrib:
+                    wr.bits(len(d), r["lblock"] + p.bit_length() - 1)
+                    chunks.append(d)
         hdr = wr.finish()
         if cod.eph:
             hdr += b"\xff\x92"

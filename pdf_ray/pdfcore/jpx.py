@@ -14,7 +14,10 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - tier-1: EBCOT block decoding — significance-propagation, magnitude-
   refinement and cleanup passes with the shared T.88/T.800 MQ coder
   (jbig2.MQDecoder — the two specs define the identical coder), run-
-  length mode, optional segmentation symbols
+  length mode, and every Part-1 code-block style: selective arithmetic
+  bypass (raw SPP/MRP segments with 0xFF unstuffing), per-pass context
+  reset, TERMALL per-pass termination, vertically-causal contexts,
+  predictable termination (decode no-op), segmentation symbols
 - dequantization: reversible (no quant), scalar derived and expounded
 - inverse DWT: 5/3 reversible (exact integer lifting) and 9/7
   irreversible (scaling convention validated against the published
@@ -22,8 +25,7 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - multiple-component transforms RCT (reversible) and ICT (YCbCr)
 
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): arithmetic-bypass/termall/reset/vertically-causal
-code-block styles, POC progression changes, PPM/PPT packed headers,
+unsupported variants): POC progression changes, PPM/PPT packed headers,
 ROI (RGN), component subsampling != 1, and >16-bit precision.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
@@ -208,18 +210,70 @@ _SC_TABLE = [
 ]
 
 
+def _pass_type(t: int) -> int:
+    """Coding-pass type by global pass index: 0=SPP, 1=MRP, 2=CUP.
+    Pass 0 is the first cleanup; then (SPP, MRP, CUP) per bitplane."""
+    return 2 if t == 0 else (t - 1) % 3
+
+
+def _seg_end(t: int, cbstyle: int) -> bool:
+    """Does a codeword segment terminate after global pass t (D.4.1 +
+    D.6)? TERMALL (0x04) terminates every pass. Selective bypass (0x01)
+    terminates the cleanup preceding the first raw pass (t=9) and, once
+    lazy, every raw MRP and every MQ cleanup."""
+    if cbstyle & 0x04:
+        return True
+    if cbstyle & 0x01:
+        return t >= 9 and _pass_type(t) != 0
+    return False
+
+
+def _is_raw(t: int, cbstyle: int) -> bool:
+    """Raw (bypass) passes: SPP/MRP from the 11th coding pass on."""
+    return bool(cbstyle & 0x01) and t >= 10 and _pass_type(t) != 2
+
+
+class _RawBits:
+    """Raw (arithmetic-bypass) bit reader with 0xFF unstuffing: the byte
+    after an 0xFF carries only 7 bits (D.6). Reads past the end return
+    zero bits (never consulted on well-formed streams)."""
+
+    __slots__ = ("data", "pos", "c", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            prev = self.c
+            self.c = (
+                self.data[self.pos] if self.pos < len(self.data) else 0
+            )
+            self.pos += 1
+            self.ct = 7 if prev == 0xFF else 8
+        self.ct -= 1
+        return (self.c >> self.ct) & 1
+
+
 def _decode_cblk(
-    data: bytes,
+    segs: list,
     w: int,
     h: int,
     numbps: int,
     npasses: int,
     orient: str,
-    segsym: bool,
+    cbstyle: int,
 ) -> tuple[list[int], list[int]]:
     """EBCOT tier-1 decode of one code-block (D.3/D.4) -> (mags, signs)
-    as flat row-major lists. Single arithmetic segment (default code-
-    block style), all contexts MQ-coded."""
+    as flat row-major lists. ``segs`` is the list of codeword segments
+    as (bytes, npasses) — one segment in the default code-block style,
+    several under TERMALL/bypass. Honors cbstyle bits: 0x01 selective
+    bypass (raw SPP/MRP), 0x02 context reset per pass, 0x04 TERMALL,
+    0x08 vertically-causal contexts, 0x10 predictable termination
+    (encoder-side only — nothing to do), 0x20 segmentation symbols."""
     n = w * h
     sig = bytearray(n)
     visited = bytearray(n)
@@ -228,41 +282,65 @@ def _decode_cblk(
     mag = [0] * n
     idx = bytearray(_N_CTX)
     mps = bytearray(_N_CTX)
-    idx[_CTX_UNI] = 46
-    idx[_CTX_RL] = 3
-    idx[0] = 4
-    mq = MQDecoder(data)
     zc = _ZC_TABLES[orient]
+    causal = bool(cbstyle & 0x08)
+    segsym = bool(cbstyle & 0x20)
+
+    def init_ctx() -> None:
+        for i in range(_N_CTX):
+            idx[i] = 0
+            mps[i] = 0
+        idx[_CTX_UNI] = 46
+        idx[_CTX_RL] = 3
+        idx[0] = 4
+
+    init_ctx()
+    mq = None
+    rb = None
+    seg_i = 0
+
+    def start_segment(t: int) -> None:
+        nonlocal mq, rb, seg_i
+        data = segs[seg_i][0] if seg_i < len(segs) else b""
+        seg_i += 1
+        if _is_raw(t, cbstyle):
+            rb = _RawBits(bytes(data))
+            mq = None
+        else:
+            mq = MQDecoder(bytes(data))
+            rb = None
 
     def nbr_counts(pos: int, x: int, y: int) -> tuple[int, int, int]:
         hh = vv = dd = 0
+        below = y + 1 < h and not (causal and (y & 3) == 3)
         if x > 0 and sig[pos - 1]:
             hh += 1
         if x + 1 < w and sig[pos + 1]:
             hh += 1
         if y > 0 and sig[pos - w]:
             vv += 1
-        if y + 1 < h and sig[pos + w]:
+        if below and sig[pos + w]:
             vv += 1
         if x > 0 and y > 0 and sig[pos - w - 1]:
             dd += 1
         if x + 1 < w and y > 0 and sig[pos - w + 1]:
             dd += 1
-        if x > 0 and y + 1 < h and sig[pos + w - 1]:
+        if x > 0 and below and sig[pos + w - 1]:
             dd += 1
-        if x + 1 < w and y + 1 < h and sig[pos + w + 1]:
+        if x + 1 < w and below and sig[pos + w + 1]:
             dd += 1
         return hh, vv, dd
 
     def decode_sign(pos: int, x: int, y: int) -> int:
         hc = vc = 0
+        below = y + 1 < h and not (causal and (y & 3) == 3)
         if x > 0 and sig[pos - 1]:
             hc += -1 if sgn[pos - 1] else 1
         if x + 1 < w and sig[pos + 1]:
             hc += -1 if sgn[pos + 1] else 1
         if y > 0 and sig[pos - w]:
             vc += -1 if sgn[pos - w] else 1
-        if y + 1 < h and sig[pos + w]:
+        if below and sig[pos + w]:
             vc += -1 if sgn[pos + w] else 1
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
@@ -287,6 +365,25 @@ def _decode_cblk(
                         sgn[pos] = decode_sign(pos, x, y)
                         mag[pos] |= bit
 
+    def spp_raw(p: int) -> None:
+        # D.6: significance decision and sign are raw bits, no contexts
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if sig[pos]:
+                        continue
+                    hh, vv, dd = nbr_counts(pos, x, y)
+                    if hh == 0 and vv == 0 and dd == 0:
+                        continue
+                    visited[pos] = 1
+                    if rb.bit():
+                        sig[pos] = 1
+                        sgn[pos] = rb.bit()
+                        mag[pos] |= bit
+
     def mrp(p: int) -> None:
         bit = 1 << p
         for k0 in range(0, h, 4):
@@ -302,6 +399,19 @@ def _decode_cblk(
                         hh, vv, dd = nbr_counts(pos, x, y)
                         ctx = _CTX_MR0 + (1 if hh + vv + dd else 0)
                     if mq.decode(ctx, idx, mps):
+                        mag[pos] |= bit
+                    refined[pos] = 1
+
+    def mrp_raw(p: int) -> None:
+        bit = 1 << p
+        for k0 in range(0, h, 4):
+            k1 = min(k0 + 4, h)
+            for x in range(w):
+                for y in range(k0, k1):
+                    pos = y * w + x
+                    if not sig[pos] or visited[pos]:
+                        continue
+                    if rb.bit():
                         mag[pos] |= bit
                     refined[pos] = 1
 
@@ -352,21 +462,23 @@ def _decode_cblk(
             if s != 0xA:
                 raise PdfParseError("JPX: segmentation symbol mismatch")
 
-    done = 0
+    t = 0
+    reset = bool(cbstyle & 0x02)
     for p in range(numbps - 1, -1, -1):
-        if p != numbps - 1:
-            if done >= npasses:
-                break
-            spp(p)
-            done += 1
-            if done >= npasses:
-                break
-            mrp(p)
-            done += 1
-        if done >= npasses:
-            break
-        cup(p)
-        done += 1
+        for kind in (2,) if p == numbps - 1 else (0, 1, 2):
+            if t >= npasses:
+                return mag, sgn
+            if t == 0 or _seg_end(t - 1, cbstyle):
+                start_segment(t)
+            if kind == 0:
+                (spp_raw if _is_raw(t, cbstyle) else spp)(p)
+            elif kind == 1:
+                (mrp_raw if _is_raw(t, cbstyle) else mrp)(p)
+            else:
+                cup(p)
+            if reset:
+                init_ctx()
+            t += 1
         for i in range(n):
             visited[i] = 0
     return mag, sgn
@@ -495,7 +607,7 @@ class _Qcd:
 class _CodeBlock:
     __slots__ = (
         "x0", "x1", "y0", "y1", "included", "lblock", "zbp", "npasses",
-        "data",
+        "segs",
     )
 
     def __init__(self, x0, x1, y0, y1):
@@ -504,7 +616,9 @@ class _CodeBlock:
         self.lblock = 3
         self.zbp = 0
         self.npasses = 0
-        self.data = bytearray()
+        # codeword segments as [bytearray, npasses]; exactly one in the
+        # default code-block style, several under TERMALL/bypass
+        self.segs = []
 
 
 class _BandPrecinct:
@@ -817,20 +931,42 @@ class _TileDecoder:
                     np_new = _numpasses(rd)
                     while rd.bit():
                         cb.lblock += 1
-                    nbits = cb.lblock + int(np_new).bit_length() - 1
-                    seglen = rd.bits(nbits)
+                    # split this packet's passes at codeword-segment
+                    # boundaries (style-deterministic): one length per
+                    # segment chunk (B.10.7)
+                    t0 = cb.npasses
+                    chunks = []
+                    cnt = 0
+                    for t in range(t0, t0 + np_new):
+                        cnt += 1
+                        if _seg_end(t, cod.cbstyle):
+                            chunks.append(cnt)
+                            cnt = 0
+                    if cnt:
+                        chunks.append(cnt)
+                    lens = []
+                    for ch in chunks:
+                        nbits = cb.lblock + ch.bit_length() - 1
+                        lens.append((ch, rd.bits(nbits)))
                     cb.npasses += np_new
-                    incl_cbs.append((cb, seglen, band))
+                    incl_cbs.append((cb, t0, lens))
         rd.align()
         pos = rd.pos
         if cod.eph:
             if data[pos : pos + 2] == b"\xff\x92":
                 pos += 2
-        for cb, seglen, _band in incl_cbs:
-            if pos + seglen > len(data):
-                raise PdfParseError("JPX: packet body past end of data")
-            cb.data += data[pos : pos + seglen]
-            pos += seglen
+        for cb, t0, lens in incl_cbs:
+            cont = t0 > 0 and not _seg_end(t0 - 1, cod.cbstyle)
+            for i, (ch, seglen) in enumerate(lens):
+                if pos + seglen > len(data):
+                    raise PdfParseError("JPX: packet body past end of data")
+                chunk = data[pos : pos + seglen]
+                pos += seglen
+                if i == 0 and cont and cb.segs:
+                    cb.segs[-1][0] += chunk
+                    cb.segs[-1][1] += ch
+                else:
+                    cb.segs.append([bytearray(chunk), ch])
         return pos
 
     def reconstruct(self, c: int) -> np.ndarray:
@@ -839,7 +975,6 @@ class _TileDecoder:
         cod = self.cods[c]
         qcd = self.qcds[c]
         reversible = cod.transform == 1
-        segsym = bool(cod.cbstyle & 0x20)
         depth = self.siz["depth"][c]
         resolutions = self.comps[c]
         n = cod.levels
@@ -884,8 +1019,8 @@ class _TileDecoder:
                         if numbps <= 0:
                             continue
                         mags, sgns = _decode_cblk(
-                            bytes(cb.data), w, h, numbps, cb.npasses,
-                            band.orient, segsym,
+                            cb.segs, w, h, numbps, cb.npasses,
+                            band.orient, cod.cbstyle,
                         )
                         arr = band.coefs
                         y0, x0 = cb.y0 - band.y0, cb.x0 - band.x0
@@ -930,7 +1065,7 @@ def _parse_cod(body: bytes) -> _Cod:
     if cod.xcb + cod.ycb > 12:
         raise PdfParseError("JPX: code-block size exceeds 4096")
     cod.cbstyle = body[8]
-    if cod.cbstyle & ~0x20:
+    if cod.cbstyle & ~0x3F:
         raise PdfParseError(
             f"JPX: unsupported code-block style 0x{cod.cbstyle:02x}"
         )
@@ -956,7 +1091,7 @@ def _parse_coc_tail(cod: _Cod, body: bytes, off: int) -> _Cod:
     c.xcb = (body[off + 2] & 0x0F) + 2
     c.ycb = (body[off + 3] & 0x0F) + 2
     c.cbstyle = body[off + 4]
-    if c.cbstyle & ~0x20:
+    if c.cbstyle & ~0x3F:
         raise PdfParseError("JPX: unsupported code-block style (COC)")
     c.transform = body[off + 5]
     if scoc & 1:
@@ -1033,6 +1168,8 @@ def decode_codestream(data: bytes):
             (
                 _rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp
             ) = struct.unpack(">HIIIIIIIIH", body[:36])
+            if ncomp == 0 or len(body) < 36 + 3 * ncomp:
+                raise PdfParseError("JPX: SIZ too short for Csiz")
             depth, signed, xr, yr = [], [], [], []
             for c in range(ncomp):
                 s = body[36 + 3 * c]

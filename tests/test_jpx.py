@@ -110,6 +110,52 @@ def test_position_orders_rgb(prog):
     assert np.array_equal(_rt_rgb(img, prog=prog, tile_size=(12, 16)), img)
 
 
+@pytest.mark.parametrize(
+    "cbstyle",
+    [0x01, 0x02, 0x04, 0x08, 0x10, 0x05, 0x0F, 0x3F],
+    ids=lambda v: f"0x{v:02x}",
+)
+def test_codeblock_styles_lossless(cbstyle):
+    # 0x01 selective bypass (raw SPP/MRP segments), 0x02 context reset,
+    # 0x04 TERMALL, 0x08 vertically causal, 0x10 predictable
+    # termination, plus combinations up to all-flags-on
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    assert np.array_equal(_rt_gray(img, cbstyle=cbstyle, levels=3), img)
+
+
+def test_codeblock_styles_exercise_raw_segments():
+    # sanity: bypass streams really do contain multiple codeword
+    # segments (raw SPP/MRP + MQ cleanups), not a degenerate single one
+    from pdf_ray.fixtures.jpxenc import _encode_cblk
+
+    img = RNG.randint(-2000, 2000, (24, 24)).astype(np.int64)
+    segs, npasses = _encode_cblk(img, int(np.abs(img).max()).bit_length(), "LL", 0x01)
+    assert len(segs) > 3 and npasses > 10
+    segs_t, npasses_t = _encode_cblk(
+        img, int(np.abs(img).max()).bit_length(), "LL", 0x04
+    )
+    assert len(segs_t) == npasses_t  # TERMALL: one segment per pass
+
+
+@pytest.mark.parametrize("cbstyle", [0x01, 0x04, 0x09, 0x3F])
+def test_codeblock_styles_layers_tiles_rgb(cbstyle):
+    img = RNG.randint(0, 256, (21, 26, 3), np.uint8)
+    assert np.array_equal(
+        _rt_rgb(img, cbstyle=cbstyle, layers=3, levels=3), img
+    )
+    assert np.array_equal(
+        _rt_rgb(img, cbstyle=cbstyle, tile_size=(12, 16), sop=True, eph=True),
+        img,
+    )
+
+
+def test_codeblock_styles_irreversible():
+    y, x = np.mgrid[0:24, 0:20]
+    img = ((np.sin(x / 3.0) + np.cos(y / 4.0) + 2) * 60).astype(np.uint8)
+    out = _rt_gray(img, cbstyle=0x01, reversible=False)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
 def test_degenerate_geometry(w, h):
     img = RNG.randint(0, 256, (h, w), np.uint8)
@@ -199,9 +245,10 @@ def test_oversize_siz_rejected_fast():
         decode_jpx(bytes(cs))
 
 
-def test_fuzz_truncation_and_bitflips_bounded():
+@pytest.mark.parametrize("cbstyle", [0, 0x05])
+def test_fuzz_truncation_and_bitflips_bounded(cbstyle):
     img = RNG.randint(0, 256, (16, 16), np.uint8)
-    base = encode_jpx(img, levels=2)
+    base = encode_jpx(img, levels=2, cbstyle=cbstyle)
     rng = np.random.RandomState(99)
     for cut in range(1, len(base), max(1, len(base) // 23)):
         try:
