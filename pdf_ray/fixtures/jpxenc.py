@@ -12,7 +12,8 @@ tag-tree + packet-header writers with 0xFF bit stuffing, all five
 progression orders (LRCP/RLCP comprehensions; RPCL/PCRL/CPRL via
 precinct-anchor sorting — deliberately a different formulation than the
 decoder's B.12 grid walk), multiple quality layers (single arithmetic
-codeword per code-block, byte-split across layer contributions).
+codeword per code-block, byte-split across layer contributions), PPM/PPT
+packed packet headers (split into small Z-ordered marker segments).
 """
 
 from __future__ import annotations
@@ -481,6 +482,8 @@ def encode_jpx(
     tile_origin: tuple[int, int] | None = None,
     sop: bool = False,
     eph: bool = False,
+    ppm: bool = False,
+    ppt: bool = False,
     segsym: bool = False,
     cbstyle: int = 0,
     prog: int = 0,
@@ -597,6 +600,9 @@ def encode_jpx(
     seg(0xFF5C, qbody)
 
     # -- per-tile encode -----------------------------------------------------
+    if ppm and ppt:
+        raise ValueError("PPM and PPT are mutually exclusive")
+    tile_blobs = []
     for q in range(nty):
         for p in range(ntx):
             isot = q * ntx + p
@@ -604,14 +610,33 @@ def encode_jpx(
             tx1 = min(xto + (p + 1) * xt, xsiz)
             ty0 = max(yto + q * yt, yo)
             ty1 = min(yto + (q + 1) * yt, ysiz)
-            tdata = _encode_tile(
+            tdata, hdrs = _encode_tile(
                 comps, cod, qcd, deltas, depth, mct, reversible,
-                tx0, tx1, ty0, ty1, xo, yo,
+                tx0, tx1, ty0, ty1, xo, yo, packed=ppm or ppt,
             )
-            # Psot: SOT marker(2) + Lsot seg(10) + SOD(2) + data
-            sot = struct.pack(">HIBB", isot, 14 + len(tdata), 0, 1)
-            seg(0xFF90, sot)
-            out += b"\xff\x93" + tdata
+            tile_blobs.append((isot, tdata, hdrs))
+    if ppm:
+        # one (Nppm, group) per tile-part; split the stream into small
+        # PPM segments to exercise Zppm-ordered reassembly
+        stream = b"".join(
+            struct.pack(">I", len(h)) + h for _, _, h in tile_blobs
+        )
+        for z, off in enumerate(range(0, len(stream), 199)):
+            seg(0xFF60, bytes([z]) + stream[off : off + 199])
+    for isot, tdata, hdrs in tile_blobs:
+        ppt_bytes = b""
+        if ppt:
+            for z, off in enumerate(range(0, len(hdrs), 199)):
+                chunk = hdrs[off : off + 199]
+                ppt_bytes += struct.pack(
+                    ">HH", 0xFF61, len(chunk) + 3
+                ) + bytes([z]) + chunk
+        # Psot: SOT marker(2) + Lsot seg(10) + [PPT] + SOD(2) + data
+        sot = struct.pack(
+            ">HIBB", isot, 14 + len(ppt_bytes) + len(tdata), 0, 1
+        )
+        seg(0xFF90, sot)
+        out += ppt_bytes + b"\xff\x93" + tdata
     out += b"\xff\xd9"
     cs = bytes(out)
     if not jp2:
@@ -621,8 +646,8 @@ def encode_jpx(
 
 def _encode_tile(
     comps, cod, qcd, deltas, depth, mct, reversible,
-    tx0, tx1, ty0, ty1, xo, yo,
-) -> bytes:
+    tx0, tx1, ty0, ty1, xo, yo, packed=False,
+):
     levels = cod.levels
     tiles = [
         c[ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo].astype(
@@ -754,12 +779,17 @@ def _encode_tile(
             for layer in range(layers)
         ]
     body = bytearray()
+    hdrs = bytearray()
     for c, r, pidx, layer in order:
-        pkt = prec_states[(c, r, pidx)].emit_layer(layer, cod)
+        hdr, pkt = prec_states[(c, r, pidx)].emit_layer(layer, cod)
         if cod.sop:
             body += b"\xff\x91" + struct.pack(">HH", 4, 0)
+        if packed:
+            hdrs += hdr
+        else:
+            body += hdr
         body += pkt
-    return bytes(body)
+    return bytes(body), bytes(hdrs)
 
 
 class _PrecState:
@@ -880,7 +910,9 @@ class _PrecState:
             return None
         return r["plan"][j]
 
-    def emit_layer(self, layer: int, cod) -> bytes:
+    def emit_layer(self, layer: int, cod) -> tuple[bytes, bytes]:
+        """One packet for this layer -> (header bytes incl. EPH, body
+        bytes); the caller interleaves or packs them (PPM/PPT)."""
         wr = _HdrWriter()
         chunks = []
         any_data = any(
@@ -890,7 +922,7 @@ class _PrecState:
         )
         if not any_data:
             wr.bit(0)
-            return wr.finish() + (b"\xff\x92" if cod.eph else b"")
+            return wr.finish() + (b"\xff\x92" if cod.eph else b""), b""
         wr.bit(1)
         for bi, _band in enumerate(self.res.bands):
             bp = self.per_band[bi]
@@ -936,7 +968,7 @@ class _PrecState:
         hdr = wr.finish()
         if cod.eph:
             hdr += b"\xff\x92"
-        return hdr + b"".join(chunks)
+        return hdr, b"".join(chunks)
 
 
 def _wrap_jp2(cs: bytes, w: int, h: int, ncomp: int, depth: int) -> bytes:

@@ -5,7 +5,9 @@ this implements the codestream subset that PDF-embedded JPX images use:
 
 - JP2 container boxes (jP/ftyp/jp2h/jp2c) and raw codestreams
 - main/tile-part headers: SIZ, COD, COC, QCD, QCC, COM, multiple tiles
-  and tile-parts; TLM/PLM/PLT/CRG skipped; POC/PPM/PPT/RGN rejected
+  and tile-parts, PPM/PPT packed packet headers (Z-ordered segment
+  reassembly, one Nppm group per tile-part); TLM/PLM/PLT/CRG skipped;
+  POC/RGN rejected
 - tier-2: packet headers with tag trees (inclusion + zero-bitplanes),
   Lblock, single-segment lengths, precincts, SOP/EPH markers,
   all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
@@ -25,8 +27,8 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - multiple-component transforms RCT (reversible) and ICT (YCbCr)
 
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): POC progression changes, PPM/PPT packed headers,
-ROI (RGN), component subsampling != 1, and >16-bit precision.
+unsupported variants): POC progression changes, ROI (RGN), component
+subsampling != 1, and >16-bit precision.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
 half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
@@ -886,6 +888,8 @@ class _TileDecoder:
         self.qcds = qcds
         self.tx0, self.tx1, self.ty0, self.ty1 = tx0, tx1, ty0, ty1
         self.data = bytearray()
+        self.ppt = []  # (Zppt, bytes) packed-header segments (PPT)
+        self.pkthdr = None  # packed packet-header stream (PPM/PPT)
         self.comps = []
         for c in range(siz["ncomp"]):
             cod = cods[c]
@@ -899,18 +903,32 @@ class _TileDecoder:
     def decode_packets(self) -> None:
         data = bytes(self.data)
         pos = 0
+        if self.ppt:
+            # PPT: headers are the Zppt-ordered segment concatenation
+            self.pkthdr = b"".join(
+                b for _, b in sorted(self.ppt, key=lambda t: t[0])
+            )
+        hdr = bytes(self.pkthdr) if self.pkthdr is not None else None
+        hpos = 0
         cod0 = self.cods[0]
         order = _packet_order(self.comps, self.cods, cod0.layers, cod0.prog)
         for c, r, pidx, layer in order:
             res = self.comps[c][r]
             cod = self.cods[c]
-            pos = self._read_packet(data, pos, res, cod, layer, pidx)
+            pos, hpos = self._read_packet(
+                data, pos, hdr, hpos, res, cod, layer, pidx
+            )
 
-    def _read_packet(self, data, pos, res, cod, layer, pidx) -> int:
+    def _read_packet(self, data, pos, hdr, hpos, res, cod, layer, pidx):
+        """Read one packet. Header bits come from the packed-header
+        stream ``hdr`` when PPM/PPT is in use, else inline from
+        ``data``; SOP markers and packet bodies always live in
+        ``data``, EPH in whichever stream holds the headers (A.8)."""
         if cod.sop:
             if data[pos : pos + 2] == b"\xff\x91":
                 pos += 6  # SOP marker + Lsop(4 bytes incl Nsop)
-        rd = _HdrReader(data, pos)
+        packed = hdr is not None
+        rd = _HdrReader(hdr if packed else data, hpos if packed else pos)
         incl_cbs = []
         if rd.bit():  # non-empty packet
             for bi, band in enumerate(res.bands):
@@ -951,10 +969,15 @@ class _TileDecoder:
                     cb.npasses += np_new
                     incl_cbs.append((cb, t0, lens))
         rd.align()
-        pos = rd.pos
+        end = rd.pos
         if cod.eph:
-            if data[pos : pos + 2] == b"\xff\x92":
-                pos += 2
+            src = hdr if packed else data
+            if src[end : end + 2] == b"\xff\x92":
+                end += 2
+        if packed:
+            hpos = end
+        else:
+            pos = end
         for cb, t0, lens in incl_cbs:
             cont = t0 > 0 and not _seg_end(t0 - 1, cod.cbstyle)
             for i, (ch, seglen) in enumerate(lens):
@@ -967,7 +990,7 @@ class _TileDecoder:
                     cb.segs[-1][1] += ch
                 else:
                     cb.segs.append([bytearray(chunk), ch])
-        return pos
+        return pos, hpos
 
     def reconstruct(self, c: int) -> np.ndarray:
         """Tier-1 decode + dequantize + inverse DWT one tile-component;
@@ -1125,7 +1148,7 @@ def _parse_qcd(body: bytes) -> _Qcd:
 
 _SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64}  # TLM PLM PLT CRG COM
 _REJECTED = {
-    0xFF5F: "POC", 0xFF60: "PPM", 0xFF61: "PPT", 0xFF5E: "RGN",
+    0xFF5F: "POC", 0xFF5E: "RGN",
 }
 
 
@@ -1141,6 +1164,7 @@ def decode_codestream(data: bytes):
     main_coc: dict[int, bytes] = {}
     main_qcd = None
     main_qcc: dict[int, _Qcd] = {}
+    ppm_segs: list[tuple[int, bytes]] = []
     tiles: dict[int, _TileDecoder] = {}
     tile_params: dict[int, tuple] = {}
 
@@ -1210,6 +1234,10 @@ def decode_codestream(data: bytes):
                 main_qcc[struct.unpack(">H", body[:2])[0]] = _parse_qcd(
                     body[2:]
                 )
+        elif marker == 0xFF60:  # PPM: packed packet headers, main header
+            if len(body) < 1:
+                raise PdfParseError("JPX: empty PPM")
+            ppm_segs.append((body[0], body[1:]))
         elif marker in _SKIPPABLE:
             pass
         elif marker in _REJECTED:
@@ -1218,6 +1246,24 @@ def decode_codestream(data: bytes):
             raise PdfParseError(f"JPX: unknown marker 0x{marker:04x}")
     if siz is None or main_cod is None or main_qcd is None:
         raise PdfParseError("JPX: missing SIZ/COD/QCD")
+
+    # PPM: concatenate payloads in Zppm order, then parse the stream of
+    # (Nppm, packed-header) groups — one group per tile-part, consumed in
+    # codestream tile-part order (A.7.4; Ippm may split across segments)
+    ppm_groups = []
+    if ppm_segs:
+        buf = b"".join(b for _, b in sorted(ppm_segs, key=lambda t: t[0]))
+        p = 0
+        while p < len(buf):
+            if p + 4 > len(buf):
+                raise PdfParseError("JPX: truncated PPM group length")
+            glen = struct.unpack(">I", buf[p : p + 4])[0]
+            p += 4
+            if p + glen > len(buf):
+                raise PdfParseError("JPX: PPM group past end")
+            ppm_groups.append(buf[p : p + glen])
+            p += glen
+        ppm_groups.reverse()  # consume with pop()
 
     ntx = _ceil_div(siz["xsiz"] - siz["xto"], siz["xt"])
     nty = _ceil_div(siz["ysiz"] - siz["yto"], siz["yt"])
@@ -1263,6 +1309,7 @@ def decode_codestream(data: bytes):
         tile_coc: dict[int, bytes] = {}
         tile_qcd = None
         tile_qcc: dict[int, _Qcd] = {}
+        ppt_here: list[tuple[int, bytes]] = []
         # tile-part header up to SOD
         while True:
             if pos + 2 > len(data):
@@ -1288,6 +1335,10 @@ def decode_codestream(data: bytes):
                     tile_qcc[struct.unpack(">H", b2[:2])[0]] = _parse_qcd(
                         b2[2:]
                     )
+            elif m2 == 0xFF61:  # PPT: packed packet headers, this tile
+                if len(b2) < 1:
+                    raise PdfParseError("JPX: empty PPT")
+                ppt_here.append((b2[0], b2[1:]))
             elif m2 in _SKIPPABLE:
                 pass
             elif m2 in _REJECTED:
@@ -1308,6 +1359,18 @@ def decode_codestream(data: bytes):
             cods, qcds = tile_cods(isot, tile_cod, tile_coc, tile_qcd,
                                    tile_qcc)
             tiles[isot] = _TileDecoder(siz, cods, qcds, tx0, tx1, ty0, ty1)
+        if ppt_here:
+            if ppm_segs:
+                raise PdfParseError("JPX: both PPM and PPT present")
+            tiles[isot].ppt.extend(ppt_here)
+        if ppm_segs:
+            # one packed-header group per tile-part, codestream order
+            if not ppm_groups:
+                raise PdfParseError("JPX: fewer PPM groups than tile-parts")
+            grp = ppm_groups.pop()
+            if tiles[isot].pkthdr is None:
+                tiles[isot].pkthdr = bytearray()
+            tiles[isot].pkthdr += grp
         tiles[isot].data += data[pos:body_end]
         pos = body_end
 

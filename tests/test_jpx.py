@@ -156,6 +156,33 @@ def test_codeblock_styles_irreversible():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(ppt=True),
+        dict(ppm=True),
+        dict(ppt=True, tile_size=(16, 16)),  # per-tile PPT streams
+        dict(ppm=True, tile_size=(12, 16)),  # one Nppm group per tile-part
+        dict(ppt=True, layers=3),
+        dict(ppm=True, layers=2, sop=True, eph=True),  # EPH in hdr stream
+        dict(ppt=True, cbstyle=0x01),  # packed headers + bypass segments
+        dict(ppm=True, prog=2, precincts=[(7, 7)] * 3, levels=2),
+    ],
+)
+def test_packed_packet_headers(kw):
+    # PPM/PPT move packet headers out of the bitstream into marker
+    # segments (the encoder splits them into <200-byte Z-ordered chunks,
+    # so reassembly across segments is exercised); bodies stay inline
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    assert np.array_equal(_rt_gray(img, **kw), img)
+
+
+def test_packed_headers_rgb():
+    img = RNG.randint(0, 256, (20, 24, 3), np.uint8)
+    assert np.array_equal(_rt_rgb(img, ppt=True, layers=2), img)
+    assert np.array_equal(_rt_rgb(img, ppm=True, tile_size=(12, 12)), img)
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
 def test_degenerate_geometry(w, h):
     img = RNG.randint(0, 256, (h, w), np.uint8)
