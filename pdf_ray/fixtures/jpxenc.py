@@ -492,9 +492,12 @@ def encode_jpx(
     guard: int = 2,
     qstyle: int | None = None,
     jp2: bool = False,
+    poc: list[tuple] | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) samples of the given bit depth into a
-    JPEG 2000 codestream (or JP2 container when ``jp2``)."""
+    JPEG 2000 codestream (or JP2 container when ``jp2``). ``poc`` is a
+    list of (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) progression-order
+    changes; together the entries must cover every packet."""
     if img.ndim == 2:
         comps = [img.astype(np.int64)]
     else:
@@ -558,6 +561,13 @@ def encode_jpx(
         cod_body += bytes(px | (py << 4) for px, py in cod.precincts)
     seg(0xFF52, cod_body)
 
+    if poc:
+        poc_body = b"".join(
+            struct.pack(">BBHBBB", rs, cs, lye, re_, ce, p)
+            for rs, cs, lye, re_, ce, p in poc
+        )
+        seg(0xFF5F, poc_body)
+
     # quantization values in band sequence order: LL, then per
     # resolution r=1..levels: HL, LH, HH (level nb = levels - r + 1)
     band_gains = [("LL", 0)] + [
@@ -612,7 +622,7 @@ def encode_jpx(
             ty1 = min(yto + (q + 1) * yt, ysiz)
             tdata, hdrs = _encode_tile(
                 comps, cod, qcd, deltas, depth, mct, reversible,
-                tx0, tx1, ty0, ty1, xo, yo, packed=ppm or ppt,
+                tx0, tx1, ty0, ty1, xo, yo, packed=ppm or ppt, poc=poc,
             )
             tile_blobs.append((isot, tdata, hdrs))
     if ppm:
@@ -646,7 +656,7 @@ def encode_jpx(
 
 def _encode_tile(
     comps, cod, qcd, deltas, depth, mct, reversible,
-    tx0, tx1, ty0, ty1, xo, yo, packed=False,
+    tx0, tx1, ty0, ty1, xo, yo, packed=False, poc=None,
 ):
     levels = cod.levels
     tiles = [
@@ -728,31 +738,36 @@ def _encode_tile(
                 prec_states[(c, r, pidx)] = _PrecState(
                     res, per_band, layers, cod.cbstyle
                 )
-    if cod.prog == 0:  # LRCP
-        order = [
-            (c, r, pidx, layer)
-            for layer in range(layers)
-            for r in range(maxres)
-            for c in range(len(tiles))
-            for pidx in range(len(all_resolutions[c][r].precincts))
-        ]
-    elif cod.prog == 1:  # RLCP
-        order = [
-            (c, r, pidx, layer)
-            for r in range(maxres)
-            for layer in range(layers)
-            for c in range(len(tiles))
-            for pidx in range(len(all_resolutions[c][r].precincts))
-        ]
-    else:
+    def build_order(prog, rs=0, re_=None, cs_=0, ce=None, lye=None):
+        """Packet order for one progression, restricted to the POC-style
+        sub-ranges res [rs, re_), comp [cs_, ce), layer [0, lye)."""
+        hi_r = maxres if re_ is None else min(maxres, re_)
+        hi_c = len(tiles) if ce is None else min(len(tiles), ce)
+        nl = layers if lye is None else min(layers, lye)
+        if prog == 0:  # LRCP
+            return [
+                (c, r, pidx, layer)
+                for layer in range(nl)
+                for r in range(rs, hi_r)
+                for c in range(cs_, hi_c)
+                for pidx in range(len(all_resolutions[c][r].precincts))
+            ]
+        if prog == 1:  # RLCP
+            return [
+                (c, r, pidx, layer)
+                for r in range(rs, hi_r)
+                for layer in range(nl)
+                for c in range(cs_, hi_c)
+                for pidx in range(len(all_resolutions[c][r].precincts))
+            ]
         # Position-based orders (RPCL/PCRL/CPRL): sort every precinct by
         # its spatial anchor — the precinct origin mapped onto the tile
         # sample grid and clamped to the tile origin. This is a different
         # formulation than the decoder's B.12 grid walk, so lossless
         # roundtrips cross-check both against each other.
         keyed = []
-        for c in range(len(tiles)):
-            for r in range(maxres):
+        for c in range(cs_, hi_c):
+            for r in range(rs, hi_r):
                 res = all_resolutions[c][r]
                 nb = levels - r
                 for pidx in range(len(res.precincts)):
@@ -765,19 +780,31 @@ def _encode_tile(
                         ty0, ((res.y0 >> res.ppy) + pj) << (res.ppy + nb)
                     )
                     keyed.append((c, r, pidx, ax, ay))
-        if cod.prog == 2:  # RPCL: res > position > comp
+        if prog == 2:  # RPCL: res > position > comp
             keyed.sort(key=lambda t: (t[1], t[4], t[3], t[0]))
-        elif cod.prog == 3:  # PCRL: position > comp > res
+        elif prog == 3:  # PCRL: position > comp > res
             keyed.sort(key=lambda t: (t[4], t[3], t[0], t[1]))
-        elif cod.prog == 4:  # CPRL: comp > position > res
+        elif prog == 4:  # CPRL: comp > position > res
             keyed.sort(key=lambda t: (t[0], t[4], t[3], t[1]))
         else:
-            raise ValueError(f"unsupported progression {cod.prog}")
-        order = [
+            raise ValueError(f"unsupported progression {prog}")
+        return [
             (c, r, pidx, layer)
             for c, r, pidx, _ax, _ay in keyed
-            for layer in range(layers)
+            for layer in range(nl)
         ]
+
+    if poc:
+        order, seen = [], set()
+        for rs, cs_, lye, re_, ce, p in poc:
+            for t in build_order(p, rs, re_, cs_, ce, lye):
+                if t not in seen:
+                    seen.add(t)
+                    order.append(t)
+        if len(order) != len(build_order(cod.prog)):
+            raise ValueError("POC entries do not cover every packet")
+    else:
+        order = build_order(cod.prog)
     body = bytearray()
     hdrs = bytearray()
     for c, r, pidx, layer in order:

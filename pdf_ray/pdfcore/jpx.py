@@ -7,12 +7,14 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - main/tile-part headers: SIZ, COD, COC, QCD, QCC, COM, multiple tiles
   and tile-parts, PPM/PPT packed packet headers (Z-ordered segment
   reassembly, one Nppm group per tile-part); TLM/PLM/PLT/CRG skipped;
-  POC/RGN rejected
+  RGN rejected
 - tier-2: packet headers with tag trees (inclusion + zero-bitplanes),
   Lblock, single-segment lengths, precincts, SOP/EPH markers,
   all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
   position-based walks per B.12.1.3-5), multiple quality layers (per-
-  code-block segments accumulate across layers into one MQ codeword)
+  code-block segments accumulate across layers into one MQ codeword),
+  POC progression-order changes (main + tile-part headers, packet
+  dedupe across overlapping progression segments per B.12)
 - tier-1: EBCOT block decoding — significance-propagation, magnitude-
   refinement and cleanup passes with the shared T.88/T.800 MQ coder
   (jbig2.MQDecoder — the two specs define the identical coder), run-
@@ -27,8 +29,8 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - multiple-component transforms RCT (reversible) and ICT (YCbCr)
 
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): POC progression changes, ROI (RGN), component
-subsampling != 1, and >16-bit precision.
+unsupported variants): ROI (RGN), component subsampling != 1, and
+>16-bit precision.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
 half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
@@ -787,28 +789,34 @@ def _precinct_at(x, y, tx0, ty0, res, nb):
     return pj * res.npx + pi
 
 
-def _packet_order(comps, cods, layers, prog):
-    """Full packet sequence for one tile as (c, r, pidx, layer) tuples,
-    in the codestream order mandated by the COD progression (T.800
-    B.12.1.1-5). ``comps[c]`` is the per-component resolution list (its
-    length may differ per component via COC levels)."""
+def _packet_order(comps, cods, layers, prog, rs=0, re_=None, cs=0, ce=None):
+    """Packet sequence for one tile as (c, r, pidx, layer) tuples, in
+    the codestream order mandated by the progression (T.800 B.12.1.1-5).
+    ``comps[c]`` is the per-component resolution list (its length may
+    differ per component via COC levels). The optional bounds restrict
+    resolutions to [rs, re_), components to [cs, ce) and layers to
+    [0, layers) — the sub-ranges a POC entry names (B.12.1.2)."""
     ncomp = len(comps)
-    maxres = max(len(rs) for rs in comps)
+    maxres = max(len(r_) for r_ in comps)
+    if re_ is not None:
+        maxres = min(maxres, re_)
+    if ce is not None:
+        ncomp = min(ncomp, ce)
     if prog == 0:  # LRCP: layer > res > comp > precinct
         return [
             (c, r, p, layer)
             for layer in range(layers)
-            for r in range(maxres)
-            for c in range(ncomp)
+            for r in range(rs, maxres)
+            for c in range(cs, ncomp)
             if r < len(comps[c])
             for p in range(len(comps[c][r].precincts))
         ]
     if prog == 1:  # RLCP: res > layer > comp > precinct
         return [
             (c, r, p, layer)
-            for r in range(maxres)
+            for r in range(rs, maxres)
             for layer in range(layers)
-            for c in range(ncomp)
+            for c in range(cs, ncomp)
             if r < len(comps[c])
             for p in range(len(comps[c][r].precincts))
         ]
@@ -819,10 +827,10 @@ def _packet_order(comps, cods, layers, prog):
     ty0, ty1 = comps[0][-1].y0, comps[0][-1].y1
     out = []
     if prog == 2:  # RPCL: res > position > comp > layer
-        for r in range(maxres):
+        for r in range(rs, maxres):
             crs = [
                 (c, comps[c][r], len(comps[c]) - 1 - r)
-                for c in range(ncomp)
+                for c in range(cs, ncomp)
                 if r < len(comps[c])
             ]
             ys = _grid_positions(
@@ -842,15 +850,17 @@ def _packet_order(comps, cods, layers, prog):
         return out
     if prog == 3:  # PCRL: position > comp > res > layer
         shy, shx = [], []
-        for c in range(ncomp):
-            for r, res in enumerate(comps[c]):
+        for c in range(cs, ncomp):
+            for r in range(rs, min(len(comps[c]), maxres)):
+                res = comps[c][r]
                 nb = len(comps[c]) - 1 - r
                 shy.append(res.ppy + nb)
                 shx.append(res.ppx + nb)
         for y in _grid_positions(ty0, ty1, shy):
             for x in _grid_positions(tx0, tx1, shx):
-                for c in range(ncomp):
-                    for r, res in enumerate(comps[c]):
+                for c in range(cs, ncomp):
+                    for r in range(rs, min(len(comps[c]), maxres)):
+                        res = comps[c][r]
                         nb = len(comps[c]) - 1 - r
                         p = _precinct_at(x, y, tx0, ty0, res, nb)
                         if p is not None:
@@ -859,16 +869,19 @@ def _packet_order(comps, cods, layers, prog):
                             )
         return out
     if prog == 4:  # CPRL: comp > position > res > layer
-        for c in range(ncomp):
+        for c in range(cs, ncomp):
+            rr = range(rs, min(len(comps[c]), maxres))
             shifts = [
-                (res.ppy + len(comps[c]) - 1 - r, res.ppx + len(comps[c]) - 1 - r)
-                for r, res in enumerate(comps[c])
+                (comps[c][r].ppy + len(comps[c]) - 1 - r,
+                 comps[c][r].ppx + len(comps[c]) - 1 - r)
+                for r in rr
             ]
             ys = _grid_positions(ty0, ty1, [s[0] for s in shifts])
             xs = _grid_positions(tx0, tx1, [s[1] for s in shifts])
             for y in ys:
                 for x in xs:
-                    for r, res in enumerate(comps[c]):
+                    for r in rr:
+                        res = comps[c][r]
                         nb = len(comps[c]) - 1 - r
                         p = _precinct_at(x, y, tx0, ty0, res, nb)
                         if p is not None:
@@ -877,6 +890,34 @@ def _packet_order(comps, cods, layers, prog):
                             )
         return out
     raise PdfParseError(f"JPX: unsupported progression order {prog}")
+
+
+def _parse_poc(body: bytes, ncomp: int) -> list[tuple]:
+    """Parse a POC marker body into (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc,
+    Ppoc) tuples (T.800 A.6.6). Component fields are 8-bit when the image
+    has fewer than 257 components, else 16-bit."""
+    csz = 1 if ncomp < 257 else 2
+    step = 5 + 2 * csz
+    if not body or len(body) % step:
+        raise PdfParseError("JPX: bad POC length")
+    entries = []
+    for off in range(0, len(body), step):
+        rs = body[off]
+        if csz == 1:
+            cs_, lye, re_, ce = struct.unpack(
+                ">BHBB", body[off + 1 : off + 6]
+            )
+        else:
+            cs_, lye, re_, ce = struct.unpack(
+                ">HHBH", body[off + 1 : off + 7]
+            )
+        p = body[off + step - 1]
+        if p > 4:
+            raise PdfParseError(f"JPX: POC progression {p} out of range")
+        if re_ <= rs or ce <= cs_ or lye == 0:
+            raise PdfParseError("JPX: empty POC progression range")
+        entries.append((rs, cs_, lye, re_, ce, p))
+    return entries
 
 
 class _TileDecoder:
@@ -890,6 +931,7 @@ class _TileDecoder:
         self.data = bytearray()
         self.ppt = []  # (Zppt, bytes) packed-header segments (PPT)
         self.pkthdr = None  # packed packet-header stream (PPM/PPT)
+        self.poc = None  # progression-order changes (A.6.6), else None
         self.comps = []
         for c in range(siz["ncomp"]):
             cod = cods[c]
@@ -911,7 +953,25 @@ class _TileDecoder:
         hdr = bytes(self.pkthdr) if self.pkthdr is not None else None
         hpos = 0
         cod0 = self.cods[0]
-        order = _packet_order(self.comps, self.cods, cod0.layers, cod0.prog)
+        if self.poc:
+            # POC overrides the COD progression: the codestream is the
+            # concatenation of the named progression segments, each
+            # packet appearing exactly once (first segment that names
+            # it wins, B.12). Later segments re-cover earlier ranges;
+            # the seen-set drops those repeats.
+            order, seen = [], set()
+            for rs, cs_, lye, re_, ce, p in self.poc:
+                for t in _packet_order(
+                    self.comps, self.cods, min(lye, cod0.layers), p,
+                    rs, re_, cs_, ce,
+                ):
+                    if t not in seen:
+                        seen.add(t)
+                        order.append(t)
+        else:
+            order = _packet_order(
+                self.comps, self.cods, cod0.layers, cod0.prog
+            )
         for c, r, pidx, layer in order:
             res = self.comps[c][r]
             cod = self.cods[c]
@@ -1148,7 +1208,7 @@ def _parse_qcd(body: bytes) -> _Qcd:
 
 _SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64}  # TLM PLM PLT CRG COM
 _REJECTED = {
-    0xFF5F: "POC", 0xFF5E: "RGN",
+    0xFF5E: "RGN",
 }
 
 
@@ -1164,6 +1224,7 @@ def decode_codestream(data: bytes):
     main_coc: dict[int, bytes] = {}
     main_qcd = None
     main_qcc: dict[int, _Qcd] = {}
+    main_poc: list[tuple] | None = None
     ppm_segs: list[tuple[int, bytes]] = []
     tiles: dict[int, _TileDecoder] = {}
     tile_params: dict[int, tuple] = {}
@@ -1238,6 +1299,10 @@ def decode_codestream(data: bytes):
             if len(body) < 1:
                 raise PdfParseError("JPX: empty PPM")
             ppm_segs.append((body[0], body[1:]))
+        elif marker == 0xFF5F:  # POC, main header
+            if siz is None:
+                raise PdfParseError("JPX: POC before SIZ")
+            main_poc = _parse_poc(body, siz["ncomp"])
         elif marker in _SKIPPABLE:
             pass
         elif marker in _REJECTED:
@@ -1309,6 +1374,7 @@ def decode_codestream(data: bytes):
         tile_coc: dict[int, bytes] = {}
         tile_qcd = None
         tile_qcc: dict[int, _Qcd] = {}
+        tile_poc: list[tuple] = []
         ppt_here: list[tuple[int, bytes]] = []
         # tile-part header up to SOD
         while True:
@@ -1339,6 +1405,8 @@ def decode_codestream(data: bytes):
                 if len(b2) < 1:
                     raise PdfParseError("JPX: empty PPT")
                 ppt_here.append((b2[0], b2[1:]))
+            elif m2 == 0xFF5F:  # POC, tile-part header (overrides main)
+                tile_poc.extend(_parse_poc(b2, siz["ncomp"]))
             elif m2 in _SKIPPABLE:
                 pass
             elif m2 in _REJECTED:
@@ -1359,6 +1427,14 @@ def decode_codestream(data: bytes):
             cods, qcds = tile_cods(isot, tile_cod, tile_coc, tile_qcd,
                                    tile_qcc)
             tiles[isot] = _TileDecoder(siz, cods, qcds, tx0, tx1, ty0, ty1)
+            tiles[isot].poc = main_poc
+        if tile_poc:
+            # A tile-part POC replaces the main-header one for this tile;
+            # entries across this tile's tile-parts concatenate (A.6.6).
+            if tiles[isot].poc is main_poc:
+                tiles[isot].poc = list(tile_poc)
+            else:
+                tiles[isot].poc = (tiles[isot].poc or []) + tile_poc
         if ppt_here:
             if ppm_segs:
                 raise PdfParseError("JPX: both PPM and PPT present")

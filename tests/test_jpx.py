@@ -183,6 +183,88 @@ def test_packed_headers_rgb():
     assert np.array_equal(_rt_rgb(img, ppm=True, tile_size=(12, 12)), img)
 
 
+@pytest.mark.parametrize(
+    "kw,poc",
+    [
+        # resolution split: res 0-1 LRCP then res 2-3 RLCP
+        (dict(levels=3, layers=2),
+         [(0, 0, 2, 2, 1, 0), (2, 0, 2, 4, 1, 1)]),
+        # layer-incremental: 2nd entry re-covers layer 0 (dedupe path)
+        (dict(levels=2, layers=3),
+         [(0, 0, 1, 3, 1, 0), (0, 0, 3, 3, 1, 0)]),
+        # position-based progression inside a POC entry, with precincts
+        (dict(levels=2, layers=2, precincts=[(6, 6)] * 3),
+         [(0, 0, 2, 1, 1, 0), (1, 0, 2, 3, 1, 2)]),
+        # tiles: POC order applies per tile
+        (dict(levels=2, layers=2, tile_size=(16, 16)),
+         [(0, 0, 2, 1, 1, 1), (1, 0, 2, 3, 1, 0)]),
+    ],
+)
+def test_poc_gray(kw, poc):
+    # POC progression-order changes (A.6.6/B.12): the codestream is the
+    # concatenation of the named progression segments; decoder must
+    # follow the POC order, not the COD progression
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    assert np.array_equal(_rt_gray(img, poc=poc, **kw), img)
+
+
+def test_poc_rgb_component_split():
+    # component ranges: luma-ish comp 0 first across all res, then
+    # comps 1-2 — exercises CSpoc/CEpoc bounds with RCT
+    img = RNG.randint(0, 256, (20, 24, 3), np.uint8)
+    poc = [(0, 0, 2, 3, 1, 1), (0, 1, 2, 3, 3, 4)]
+    assert np.array_equal(
+        _rt_rgb(img, levels=2, layers=2, poc=poc), img
+    )
+
+
+def test_poc_in_tile_part_header():
+    # A POC in a tile-part header overrides the main-header COD
+    # progression for that tile. The encoder only writes main-header
+    # POCs, so relocate the segment by byte surgery: strip it from the
+    # main header and splice it after SOT, fixing Psot (A.4.2).
+    import struct
+
+    img = RNG.randint(0, 256, (21, 19), np.uint8)
+    poc = [(0, 0, 2, 2, 1, 1), (2, 0, 2, 4, 1, 0)]
+    cs = bytearray(encode_jpx(img, levels=3, layers=2, poc=poc))
+    i = cs.find(b"\xff\x5f")
+    assert i > 0
+    seglen = struct.unpack(">H", cs[i + 2 : i + 4])[0]
+    poc_seg = bytes(cs[i : i + 2 + seglen])
+    del cs[i : i + 2 + seglen]
+    sot = cs.find(b"\xff\x90")
+    assert sot > 0
+    psot = struct.unpack(">I", cs[sot + 6 : sot + 10])[0]
+    cs[sot + 6 : sot + 10] = struct.pack(">I", psot + len(poc_seg))
+    # tile-part header runs SOT(12 bytes incl. marker) ... SOD; insert
+    # the POC right after the SOT segment
+    cs[sot + 12 : sot + 12] = poc_seg
+    w, h, n, s = decode_jpx(bytes(cs))
+    out = np.frombuffer(s, np.uint8).reshape(h, w)
+    assert np.array_equal(out, img)
+
+
+def test_poc_malformed_rejected():
+    img = RNG.randint(0, 256, (8, 8), np.uint8)
+    good = encode_jpx(img, levels=1, layers=1, poc=[(0, 0, 1, 2, 1, 0)])
+    i = good.find(b"\xff\x5f")
+    # empty resolution range: REpoc <= RSpoc
+    bad = bytearray(good)
+    bad[i + 4] = 2  # RSpoc = 2 while REpoc stays 2
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(bad))
+    # out-of-range progression id
+    bad2 = bytearray(good)
+    bad2[i + 2 + 2 + 6] = 7  # Ppoc byte of the first (only) entry
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(bad2))
+    # truncated body (not a multiple of the entry size)
+    bad3 = good[: i + 4] + good[i + 5 :]
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(bad3))
+
+
 @pytest.mark.parametrize("w,h", [(1, 1), (70, 1), (1, 70)])
 def test_degenerate_geometry(w, h):
     img = RNG.randint(0, 256, (h, w), np.uint8)
