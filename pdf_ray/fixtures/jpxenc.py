@@ -493,11 +493,15 @@ def encode_jpx(
     qstyle: int | None = None,
     jp2: bool = False,
     poc: list[tuple] | None = None,
+    subsampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) samples of the given bit depth into a
     JPEG 2000 codestream (or JP2 container when ``jp2``). ``poc`` is a
     list of (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) progression-order
-    changes; together the entries must cover every packet."""
+    changes; together the entries must cover every packet.
+    ``subsampling`` gives per-component (XRsiz, YRsiz); the input is
+    supplied on the full reference grid and the encoder keeps the
+    samples at grid points that are multiples of the factors (B.3)."""
     if img.ndim == 2:
         comps = [img.astype(np.int64)]
     else:
@@ -508,6 +512,24 @@ def encode_jpx(
     ih, iw = comps[0].shape
     xo, yo = origin
     xsiz, ysiz = xo + iw, yo + ih
+    subs = list(subsampling) if subsampling else [(1, 1)] * ncomp
+    if len(subs) != ncomp:
+        raise ValueError("subsampling must name every component")
+    if mct and ncomp >= 3 and len(set(subs[:3])) != 1:
+        raise ValueError("MCT requires equal subsampling on components 0-2")
+    # component-domain arrays: samples at grid multiples of the factors,
+    # indexed from the component origin ceil(origin / factor)
+    corigins = []
+    for c in range(ncomp):
+        a, b = subs[c]
+        cx0, cx1 = _ceil_div(xo, a), _ceil_div(xsiz, a)
+        cy0, cy1 = _ceil_div(yo, b), _ceil_div(ysiz, b)
+        if cx1 <= cx0 or cy1 <= cy0:
+            raise ValueError("subsampling leaves an empty component")
+        cols = np.arange(cx0, cx1) * a - xo
+        rows = np.arange(cy0, cy1) * b - yo
+        comps[c] = comps[c][rows][:, cols]
+        corigins.append((cx0, cy0))
     if tile_size is None:
         xt, yt = xsiz, ysiz
         xto = yto = 0
@@ -546,8 +568,8 @@ def encode_jpx(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp
     )
-    for _ in range(ncomp):
-        siz += bytes([depth - 1, 1, 1])
+    for c in range(ncomp):
+        siz += bytes([depth - 1, subs[c][0], subs[c][1]])
     seg(0xFF51, siz)
 
     scod = (1 if precincts else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -622,7 +644,8 @@ def encode_jpx(
             ty1 = min(yto + (q + 1) * yt, ysiz)
             tdata, hdrs = _encode_tile(
                 comps, cod, qcd, deltas, depth, mct, reversible,
-                tx0, tx1, ty0, ty1, xo, yo, packed=ppm or ppt, poc=poc,
+                tx0, tx1, ty0, ty1, subs, corigins,
+                packed=ppm or ppt, poc=poc,
             )
             tile_blobs.append((isot, tdata, hdrs))
     if ppm:
@@ -656,14 +679,23 @@ def encode_jpx(
 
 def _encode_tile(
     comps, cod, qcd, deltas, depth, mct, reversible,
-    tx0, tx1, ty0, ty1, xo, yo, packed=False, poc=None,
+    tx0, tx1, ty0, ty1, subs, corigins, packed=False, poc=None,
 ):
     levels = cod.levels
-    tiles = [
-        c[ty0 - yo : ty1 - yo, tx0 - xo : tx1 - xo].astype(
-            np.int64 if reversible else np.float64
+    # per-component tile rectangles on the component domain (B.3)
+    tc_rects = [
+        (
+            _ceil_div(tx0, a), _ceil_div(tx1, a),
+            _ceil_div(ty0, b), _ceil_div(ty1, b),
         )
-        for c in comps
+        for a, b in subs
+    ]
+    tiles = [
+        comps[c][
+            tc_rects[c][2] - corigins[c][1] : tc_rects[c][3] - corigins[c][1],
+            tc_rects[c][0] - corigins[c][0] : tc_rects[c][1] - corigins[c][0],
+        ].astype(np.int64 if reversible else np.float64)
+        for c in range(len(comps))
     ]
     # DC level shift + component transform
     half = 1 << (depth - 1)
@@ -684,14 +716,15 @@ def _encode_tile(
     all_resolutions = []
     band_arrays = []  # per comp: {(r, orient): quantized int array}
     for c, t in enumerate(tiles):
+        tcx0, tcx1, tcy0, tcy1 = tc_rects[c]
         resolutions = [
-            _Resolution(r, levels, tx0, tx1, ty0, ty1, cod)
+            _Resolution(r, levels, tcx0, tcx1, tcy0, tcy1, cod)
             for r in range(levels + 1)
         ]
         all_resolutions.append(resolutions)
         arrays = {}
         a = t
-        u0, v0, u1, v1 = tx0, ty0, tx1, ty1
+        u0, v0, u1, v1 = tcx0, tcy0, tcx1, tcy1
         coords = []
         for lev in range(1, levels + 1):
             coords.append((u0, u1, v0, v1))
@@ -767,6 +800,7 @@ def _encode_tile(
         # roundtrips cross-check both against each other.
         keyed = []
         for c in range(cs_, hi_c):
+            xr_, yr_ = subs[c]
             for r in range(rs, hi_r):
                 res = all_resolutions[c][r]
                 nb = levels - r
@@ -774,10 +808,12 @@ def _encode_tile(
                     pi = pidx % res.npx
                     pj = pidx // res.npx
                     ax = max(
-                        tx0, ((res.x0 >> res.ppx) + pi) << (res.ppx + nb)
+                        tx0,
+                        (((res.x0 >> res.ppx) + pi) << (res.ppx + nb)) * xr_,
                     )
                     ay = max(
-                        ty0, ((res.y0 >> res.ppy) + pj) << (res.ppy + nb)
+                        ty0,
+                        (((res.y0 >> res.ppy) + pj) << (res.ppy + nb)) * yr_,
                     )
                     keyed.append((c, r, pidx, ax, ay))
         if prog == 2:  # RPCL: res > position > comp

@@ -28,9 +28,12 @@ this implements the codestream subset that PDF-embedded JPX images use:
   analysis taps: forward low x= 1/K, high x= K, K=1.230174104914001)
 - multiple-component transforms RCT (reversible) and ICT (YCbCr)
 
+- component subsampling (XRsiz/YRsiz per B.3: tile-component rectangles
+  divided per component, position-based walks stepped by
+  XRsiz*2^(PPx+nb), sample-replication upsample onto the image grid)
+
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): ROI (RGN), component subsampling != 1, and
->16-bit precision.
+unsupported variants): ROI (RGN) and >16-bit precision.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
 half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
@@ -753,50 +756,60 @@ def _numpasses(rd: _HdrReader) -> int:
     return 37 + rd.bits(7)
 
 
-def _grid_positions(lo: int, hi: int, shifts) -> list[int]:
+def _grid_positions(lo: int, hi: int, steps) -> list[int]:
     """Candidate packet positions on [lo, hi): the tile origin plus every
-    multiple of each precinct step 2**shift (T.800 B.12's position walks
-    only fire at these points, so iterating them is equivalent to the
-    spec's per-sample loops without the O(samples) cost)."""
+    multiple of each precinct step (T.800 B.12's position walks only fire
+    at these points, so iterating them is equivalent to the spec's
+    per-sample loops without the O(samples) cost). A step is
+    XRsiz_c * 2**(PPx + nb) — not a power of two when the component is
+    subsampled."""
     pos = {lo}
-    for sh in set(shifts):
-        step = 1 << sh
-        first = ((lo + step - 1) >> sh) << sh
+    for step in set(steps):
+        first = ((lo + step - 1) // step) * step
         pos.update(range(first, hi, step))
     return sorted(p for p in pos if lo <= p < hi)
 
 
-def _precinct_at(x, y, tx0, ty0, res, nb):
-    """B.12.1.3 inclusion test: does position (x, y) on the tile sample
-    grid anchor a precinct of resolution ``res`` (nb = levels - r)?
-    Returns the precinct index or None. Component subsampling is 1
-    (enforced at SIZ parse), so the xr/yr factors drop out."""
-    px, py = res.ppx + nb, res.ppy + nb
+def _precinct_at(x, y, tx0, ty0, res, nb, xr=1, yr=1):
+    """B.12.1.3 inclusion test: does reference-grid position (x, y)
+    anchor a precinct of resolution ``res`` (nb = levels - r) for a
+    component subsampled by (xr, yr)? Returns the precinct index or
+    None. The precinct grid on the reference grid has period
+    xr * 2**(PPx + nb); the tile-origin special case fires when the
+    first precinct is not grid-aligned (res.x0 not a PPx multiple)."""
+    stepx = xr << (res.ppx + nb)
+    stepy = yr << (res.ppy + nb)
     if not (
-        x % (1 << px) == 0
-        or (x == tx0 and (res.x0 << nb) % (1 << px) != 0)
+        x % stepx == 0
+        or (x == tx0 and res.x0 % (1 << res.ppx) != 0)
     ):
         return None
     if not (
-        y % (1 << py) == 0
-        or (y == ty0 and (res.y0 << nb) % (1 << py) != 0)
+        y % stepy == 0
+        or (y == ty0 and res.y0 % (1 << res.ppy) != 0)
     ):
         return None
-    pi = (x >> px) - (res.x0 >> res.ppx)
-    pj = (y >> py) - (res.y0 >> res.ppy)
+    pi = x // stepx - (res.x0 >> res.ppx)
+    pj = y // stepy - (res.y0 >> res.ppy)
     if not (0 <= pi < res.npx and 0 <= pj < res.npy):
         return None
     return pj * res.npx + pi
 
 
-def _packet_order(comps, cods, layers, prog, rs=0, re_=None, cs=0, ce=None):
+def _packet_order(comps, cods, layers, prog, rs=0, re_=None, cs=0, ce=None,
+                  rect=None, subs=None):
     """Packet sequence for one tile as (c, r, pidx, layer) tuples, in
     the codestream order mandated by the progression (T.800 B.12.1.1-5).
     ``comps[c]`` is the per-component resolution list (its length may
     differ per component via COC levels). The optional bounds restrict
     resolutions to [rs, re_), components to [cs, ce) and layers to
-    [0, layers) — the sub-ranges a POC entry names (B.12.1.2)."""
+    [0, layers) — the sub-ranges a POC entry names (B.12.1.2).
+    ``rect`` is the tile rectangle (tx0, tx1, ty0, ty1) on the reference
+    grid and ``subs`` the per-component (XRsiz, YRsiz) — both needed by
+    the position-based walks when components are subsampled."""
     ncomp = len(comps)
+    if subs is None:
+        subs = [(1, 1)] * ncomp
     maxres = max(len(r_) for r_ in comps)
     if re_ is not None:
         maxres = min(maxres, re_)
@@ -820,49 +833,53 @@ def _packet_order(comps, cods, layers, prog, rs=0, re_=None, cs=0, ce=None):
             if r < len(comps[c])
             for p in range(len(comps[c][r].precincts))
         ]
-    # Position-based orders walk the tile sample grid. All components
-    # share that grid (subsampling rejected), and the highest resolution
-    # of any component is the tile itself.
-    tx0, tx1 = comps[0][-1].x0, comps[0][-1].x1
-    ty0, ty1 = comps[0][-1].y0, comps[0][-1].y1
+    # Position-based orders walk the tile on the reference grid; each
+    # component's precinct period is XRsiz_c * 2**(PPx + nb).
+    if rect is not None:
+        tx0, tx1, ty0, ty1 = rect
+    else:
+        tx0, tx1 = comps[0][-1].x0, comps[0][-1].x1
+        ty0, ty1 = comps[0][-1].y0, comps[0][-1].y1
     out = []
     if prog == 2:  # RPCL: res > position > comp > layer
         for r in range(rs, maxres):
             crs = [
-                (c, comps[c][r], len(comps[c]) - 1 - r)
+                (c, comps[c][r], len(comps[c]) - 1 - r, subs[c])
                 for c in range(cs, ncomp)
                 if r < len(comps[c])
             ]
             ys = _grid_positions(
-                ty0, ty1, [res.ppy + nb for _, res, nb in crs]
+                ty0, ty1, [yr << (res.ppy + nb) for _, res, nb, (_, yr) in crs]
             )
             xs = _grid_positions(
-                tx0, tx1, [res.ppx + nb for _, res, nb in crs]
+                tx0, tx1, [xr << (res.ppx + nb) for _, res, nb, (xr, _) in crs]
             )
             for y in ys:
                 for x in xs:
-                    for c, res, nb in crs:
-                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                    for c, res, nb, (xr, yr) in crs:
+                        p = _precinct_at(x, y, tx0, ty0, res, nb, xr, yr)
                         if p is not None:
                             out.extend(
                                 (c, r, p, la) for la in range(layers)
                             )
         return out
     if prog == 3:  # PCRL: position > comp > res > layer
-        shy, shx = [], []
+        sty, stx = [], []
         for c in range(cs, ncomp):
+            xr, yr = subs[c]
             for r in range(rs, min(len(comps[c]), maxres)):
                 res = comps[c][r]
                 nb = len(comps[c]) - 1 - r
-                shy.append(res.ppy + nb)
-                shx.append(res.ppx + nb)
-        for y in _grid_positions(ty0, ty1, shy):
-            for x in _grid_positions(tx0, tx1, shx):
+                sty.append(yr << (res.ppy + nb))
+                stx.append(xr << (res.ppx + nb))
+        for y in _grid_positions(ty0, ty1, sty):
+            for x in _grid_positions(tx0, tx1, stx):
                 for c in range(cs, ncomp):
+                    xr, yr = subs[c]
                     for r in range(rs, min(len(comps[c]), maxres)):
                         res = comps[c][r]
                         nb = len(comps[c]) - 1 - r
-                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                        p = _precinct_at(x, y, tx0, ty0, res, nb, xr, yr)
                         if p is not None:
                             out.extend(
                                 (c, r, p, la) for la in range(layers)
@@ -870,20 +887,21 @@ def _packet_order(comps, cods, layers, prog, rs=0, re_=None, cs=0, ce=None):
         return out
     if prog == 4:  # CPRL: comp > position > res > layer
         for c in range(cs, ncomp):
+            xr, yr = subs[c]
             rr = range(rs, min(len(comps[c]), maxres))
-            shifts = [
-                (comps[c][r].ppy + len(comps[c]) - 1 - r,
-                 comps[c][r].ppx + len(comps[c]) - 1 - r)
+            steps = [
+                (yr << (comps[c][r].ppy + len(comps[c]) - 1 - r),
+                 xr << (comps[c][r].ppx + len(comps[c]) - 1 - r))
                 for r in rr
             ]
-            ys = _grid_positions(ty0, ty1, [s[0] for s in shifts])
-            xs = _grid_positions(tx0, tx1, [s[1] for s in shifts])
+            ys = _grid_positions(ty0, ty1, [s[0] for s in steps])
+            xs = _grid_positions(tx0, tx1, [s[1] for s in steps])
             for y in ys:
                 for x in xs:
                     for r in rr:
                         res = comps[c][r]
                         nb = len(comps[c]) - 1 - r
-                        p = _precinct_at(x, y, tx0, ty0, res, nb)
+                        p = _precinct_at(x, y, tx0, ty0, res, nb, xr, yr)
                         if p is not None:
                             out.extend(
                                 (c, r, p, la) for la in range(layers)
@@ -932,12 +950,20 @@ class _TileDecoder:
         self.ppt = []  # (Zppt, bytes) packed-header segments (PPT)
         self.pkthdr = None  # packed packet-header stream (PPM/PPT)
         self.poc = None  # progression-order changes (A.6.6), else None
+        self.subs = list(zip(siz["xr"], siz["yr"]))
         self.comps = []
+        self.tc_rects = []  # per comp: (tcx0, tcx1, tcy0, tcy1), B.3
         for c in range(siz["ncomp"]):
             cod = cods[c]
             n = cod.levels
+            xr_, yr_ = self.subs[c]
+            tc = (
+                _ceil_div(tx0, xr_), _ceil_div(tx1, xr_),
+                _ceil_div(ty0, yr_), _ceil_div(ty1, yr_),
+            )
+            self.tc_rects.append(tc)
             resolutions = [
-                _Resolution(r, n, tx0, tx1, ty0, ty1, cod)
+                _Resolution(r, n, tc[0], tc[1], tc[2], tc[3], cod)
                 for r in range(n + 1)
             ]
             self.comps.append(resolutions)
@@ -959,18 +985,21 @@ class _TileDecoder:
             # packet appearing exactly once (first segment that names
             # it wins, B.12). Later segments re-cover earlier ranges;
             # the seen-set drops those repeats.
+            rect = (self.tx0, self.tx1, self.ty0, self.ty1)
             order, seen = [], set()
             for rs, cs_, lye, re_, ce, p in self.poc:
                 for t in _packet_order(
                     self.comps, self.cods, min(lye, cod0.layers), p,
-                    rs, re_, cs_, ce,
+                    rs, re_, cs_, ce, rect=rect, subs=self.subs,
                 ):
                     if t not in seen:
                         seen.add(t)
                         order.append(t)
         else:
             order = _packet_order(
-                self.comps, self.cods, cod0.layers, cod0.prog
+                self.comps, self.cods, cod0.layers, cod0.prog,
+                rect=(self.tx0, self.tx1, self.ty0, self.ty1),
+                subs=self.subs,
             )
         for c, r, pidx, layer in order:
             res = self.comps[c][r]
@@ -1262,18 +1291,25 @@ def decode_codestream(data: bytes):
                 signed.append(bool(s & 0x80))
                 xr.append(body[37 + 3 * c])
                 yr.append(body[38 + 3 * c])
-            if any(v != 1 for v in xr) or any(v != 1 for v in yr):
-                raise PdfParseError("JPX: component subsampling unsupported")
+            if any(v < 1 for v in xr) or any(v < 1 for v in yr):
+                raise PdfParseError("JPX: zero component subsampling")
             if any(d > 16 for d in depth):
                 raise PdfParseError("JPX: precision > 16 unsupported")
             if (xsiz - xo) * (ysiz - yo) > MAX_JPX_PIXELS:
                 raise PdfParseError("JPX: image exceeds pixel budget")
             if xsiz <= xo or ysiz <= yo or xt == 0 or yt == 0:
                 raise PdfParseError("JPX: bad SIZ geometry")
+            if any(
+                _ceil_div(xsiz, a) <= _ceil_div(xo, a)
+                or _ceil_div(ysiz, b) <= _ceil_div(yo, b)
+                for a, b in zip(xr, yr)
+            ):
+                raise PdfParseError("JPX: subsampling leaves empty component")
             siz = {
                 "xsiz": xsiz, "ysiz": ysiz, "xo": xo, "yo": yo,
                 "xt": xt, "yt": yt, "xto": xto, "yto": yto,
                 "ncomp": ncomp, "depth": depth, "signed": signed,
+                "xr": xr, "yr": yr,
             }
         elif marker == 0xFF52:
             main_cod = _parse_cod(body)
@@ -1453,15 +1489,30 @@ def decode_codestream(data: bytes):
     if not tiles:
         raise PdfParseError("JPX: no tile data")
 
-    # decode + compose onto the image grid
+    # decode + compose onto per-component grids (B.3: component domain
+    # is the reference grid divided by its subsampling factors)
     w = siz["xsiz"] - siz["xo"]
     h = siz["ysiz"] - siz["yo"]
-    planes = [np.zeros((h, w), np.float64) for _ in range(siz["ncomp"])]
+    comp_rects = [
+        (
+            _ceil_div(siz["xo"], a), _ceil_div(siz["xsiz"], a),
+            _ceil_div(siz["yo"], b), _ceil_div(siz["ysiz"], b),
+        )
+        for a, b in zip(siz["xr"], siz["yr"])
+    ]
+    planes = [
+        np.zeros((cy1 - cy0, cx1 - cx0), np.float64)
+        for cx0, cx1, cy0, cy1 in comp_rects
+    ]
     for t in tiles.values():
         t.decode_packets()
         comps = [t.reconstruct(c) for c in range(siz["ncomp"])]
         tcod = t.cods[0]
         if tcod.mct == 1 and siz["ncomp"] >= 3:
+            if len({t.subs[c] for c in range(3)}) != 1:
+                raise PdfParseError(
+                    "JPX: MCT requires equal subsampling on components 0-2"
+                )
             y0c, y1c, y2c = comps[0], comps[1], comps[2]
             if tcod.transform == 1:  # RCT (G.2)
                 g = y0c - ((y1c + y2c) >> 2)
@@ -1473,10 +1524,26 @@ def decode_codestream(data: bytes):
                 b = y0c + 1.772 * y1c
             comps[0], comps[1], comps[2] = r, g, b
         for c in range(siz["ncomp"]):
+            cx0, _cx1, cy0, _cy1 = comp_rects[c]
+            tcx0, tcx1, tcy0, tcy1 = t.tc_rects[c]
             planes[c][
-                t.ty0 - siz["yo"] : t.ty1 - siz["yo"],
-                t.tx0 - siz["xo"] : t.tx1 - siz["xo"],
+                tcy0 - cy0 : tcy1 - cy0, tcx0 - cx0 : tcx1 - cx0
             ] = comps[c]
+    # upsample subsampled components onto the full image grid by sample
+    # replication: reference point x belongs to component sample
+    # floor(x / XRsiz), clamped into the component domain
+    for c in range(siz["ncomp"]):
+        a, b = siz["xr"][c], siz["yr"][c]
+        if a == 1 and b == 1:
+            continue
+        cx0, cx1, cy0, cy1 = comp_rects[c]
+        xs = np.clip(
+            np.arange(siz["xo"], siz["xsiz"]) // a - cx0, 0, cx1 - cx0 - 1
+        )
+        ys = np.clip(
+            np.arange(siz["yo"], siz["ysiz"]) // b - cy0, 0, cy1 - cy0 - 1
+        )
+        planes[c] = planes[c][ys][:, xs]
     return w, h, planes, siz["depth"], siz["signed"]
 
 

@@ -245,6 +245,93 @@ def test_poc_in_tile_part_header():
     assert np.array_equal(out, img)
 
 
+def _upsampled(comp_full, a, b, xo, yo, xsiz, ysiz):
+    """Reference model of subsample-then-replicate: the encoder keeps
+    samples at grid multiples of (a, b); the decoder replicates each
+    back over its reference-grid footprint (clamped at the edges)."""
+    cx0, cx1 = -(-xo // a), -(-xsiz // a)
+    cy0, cy1 = -(-yo // b), -(-ysiz // b)
+    sub = comp_full[np.arange(cy0, cy1) * b - yo][
+        :, np.arange(cx0, cx1) * a - xo
+    ]
+    xs = np.clip(np.arange(xo, xsiz) // a - cx0, 0, cx1 - cx0 - 1)
+    ys = np.clip(np.arange(yo, ysiz) // b - cy0, 0, cy1 - cy0 - 1)
+    return sub[ys][:, xs]
+
+
+@pytest.mark.parametrize(
+    "kw,sub",
+    [
+        (dict(), (2, 2)),
+        (dict(levels=3), (2, 1)),
+        (dict(origin=(3, 5)), (2, 3)),  # origin not a factor multiple
+        (dict(tile_size=(16, 16)), (2, 2)),  # per-tile component rects
+        (dict(layers=2, origin=(1, 0), tile_size=(12, 16)), (3, 2)),
+    ],
+)
+def test_subsampled_gray(kw, sub):
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    xo, yo = kw.get("origin", (0, 0))
+    exp = _upsampled(
+        img.astype(np.int64), sub[0], sub[1], xo, yo, xo + 31, yo + 29
+    ).astype(np.uint8)
+    out = _rt_gray(img, subsampling=[sub], **kw)
+    assert np.array_equal(out, exp)
+
+
+@pytest.mark.parametrize("prog", [0, 2, 3, 4])
+def test_subsampled_chroma_420(prog):
+    # classic 4:2:0: full-res luma, half-res chroma. Position-based
+    # walks must step each component by XRsiz*2^(PPx+nb).
+    img = RNG.randint(0, 256, (21, 26, 3), np.uint8)
+    subs = [(1, 1), (2, 2), (2, 2)]
+    kw = dict(mct=False, subsampling=subs, prog=prog, levels=2)
+    if prog:
+        kw["precincts"] = [(6, 6)] * 3
+    out = _rt_rgb(img, **kw)
+    exp = np.stack(
+        [
+            _upsampled(
+                img[:, :, c].astype(np.int64), *subs[c], 0, 0, 26, 21
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_subsampled_tiles_rgb():
+    img = RNG.randint(0, 256, (24, 20, 3), np.uint8)
+    subs = [(1, 1), (2, 2), (2, 2)]
+    out = _rt_rgb(
+        img, mct=False, subsampling=subs, tile_size=(12, 12), layers=2
+    )
+    exp = np.stack(
+        [
+            _upsampled(
+                img[:, :, c].astype(np.int64), *subs[c], 0, 0, 20, 24
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_subsampled_mct_mismatch_rejected():
+    img = RNG.randint(0, 256, (12, 12, 3), np.uint8)
+    subs = [(1, 1), (2, 2), (2, 2)]
+    with pytest.raises(ValueError):
+        encode_jpx(img, mct=True, subsampling=subs)
+    # decoder side: flip the COD MCT byte on an encoded mct=False stream
+    cs = bytearray(encode_jpx(img, mct=False, subsampling=subs))
+    i = cs.find(b"\xff\x52")
+    cs[i + 4 + 4] = 1  # marker(2) + len(2) + Scod,prog,L{2} -> SGcod MCT
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(cs))
+
+
 def test_poc_malformed_rejected():
     img = RNG.randint(0, 256, (8, 8), np.uint8)
     good = encode_jpx(img, levels=1, layers=1, poc=[(0, 0, 1, 2, 1, 0)])
