@@ -494,6 +494,7 @@ def encode_jpx(
     jp2: bool = False,
     poc: list[tuple] | None = None,
     subsampling: list[tuple[int, int]] | None = None,
+    roi: int | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) samples of the given bit depth into a
     JPEG 2000 codestream (or JP2 container when ``jp2``). ``poc`` is a
@@ -501,7 +502,11 @@ def encode_jpx(
     changes; together the entries must cover every packet.
     ``subsampling`` gives per-component (XRsiz, YRsiz); the input is
     supplied on the full reference grid and the encoder keeps the
-    samples at grid points that are multiples of the factors (B.3)."""
+    samples at grid points that are multiples of the factors (B.3).
+    ``roi`` applies maxshift ROI scaling (E.1) with SPrgn=roi to every
+    component over a fixed deterministic coefficient mask; the shift
+    must exceed every background coefficient's bit length (validated
+    per tile) so the decoder can separate ROI by magnitude alone."""
     if img.ndim == 2:
         comps = [img.astype(np.int64)]
     else:
@@ -590,6 +595,10 @@ def encode_jpx(
         )
         seg(0xFF5F, poc_body)
 
+    if roi:
+        for c in range(ncomp):  # RGN, maxshift (Srgn=0), per component
+            seg(0xFF5E, bytes([c, 0, roi]))
+
     # quantization values in band sequence order: LL, then per
     # resolution r=1..levels: HL, LH, HH (level nb = levels - r + 1)
     band_gains = [("LL", 0)] + [
@@ -645,7 +654,7 @@ def encode_jpx(
             tdata, hdrs = _encode_tile(
                 comps, cod, qcd, deltas, depth, mct, reversible,
                 tx0, tx1, ty0, ty1, subs, corigins,
-                packed=ppm or ppt, poc=poc,
+                packed=ppm or ppt, poc=poc, roi=roi,
             )
             tile_blobs.append((isot, tdata, hdrs))
     if ppm:
@@ -679,7 +688,7 @@ def encode_jpx(
 
 def _encode_tile(
     comps, cod, qcd, deltas, depth, mct, reversible,
-    tx0, tx1, ty0, ty1, subs, corigins, packed=False, poc=None,
+    tx0, tx1, ty0, ty1, subs, corigins, packed=False, poc=None, roi=None,
 ):
     levels = cod.levels
     # per-component tile rectangles on the component domain (B.3)
@@ -749,13 +758,27 @@ def _encode_tile(
                     qarr = (
                         np.sign(arr) * np.floor(np.abs(arr) / delta)
                     ).astype(np.int64)
-                b.coefs = qarr
                 eps, mu = (
                     qcd.vals[bi] if qcd.style != 1 else qcd.vals[0]
                 )
                 if qcd.style == 1 and b.orient != "LL":
                     eps = qcd.vals[0][0] - levels + b.lev
                 b.mb = eps + qcd.guard - 1
+                if roi:
+                    # maxshift ROI over a fixed deterministic mask —
+                    # mixes ROI and background inside code-blocks
+                    mask = (
+                        np.indices(qarr.shape).sum(axis=0) % 3 == 0
+                    )
+                    bg = np.abs(qarr[~mask])
+                    if bg.size and int(bg.max()) >= (1 << roi):
+                        raise ValueError(
+                            "roi shift too small for background"
+                        )
+                    qarr = qarr.copy()
+                    qarr[mask] <<= roi
+                    b.mb += roi
+                b.coefs = qarr
                 bi += 1
         band_arrays.append(arrays)
 

@@ -31,9 +31,12 @@ this implements the codestream subset that PDF-embedded JPX images use:
 - component subsampling (XRsiz/YRsiz per B.3: tile-component rectangles
   divided per component, position-based walks stepped by
   XRsiz*2^(PPx+nb), sample-replication upsample onto the image grid)
+- maxshift ROI (RGN, Srgn=0 per E.1: SPrgn extra bitplanes; any decoded
+  magnitude >= 2^SPrgn is ROI and is scaled back down — no mask needed)
 
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): ROI (RGN) and >16-bit precision.
+unsupported variants): >16-bit precision and the reserved non-maxshift
+RGN styles.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
 half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
@@ -941,10 +944,11 @@ def _parse_poc(body: bytes, ncomp: int) -> list[tuple]:
 class _TileDecoder:
     """One tile: packet parsing + per-component reconstruction."""
 
-    def __init__(self, siz, cods, qcds, tx0, tx1, ty0, ty1):
+    def __init__(self, siz, cods, qcds, tx0, tx1, ty0, ty1, rgns=None):
         self.siz = siz
         self.cods = cods  # per component
         self.qcds = qcds
+        self.rgns = rgns or [0] * siz["ncomp"]  # per-comp SPrgn (E.1)
         self.tx0, self.tx1, self.ty0, self.ty1 = tx0, tx1, ty0, ty1
         self.data = bytearray()
         self.ppt = []  # (Zppt, bytes) packed-header segments (PPT)
@@ -1107,6 +1111,11 @@ class _TileDecoder:
             mb = eps + qcd.guard - 1
             if mb <= 0 or mb > 40:
                 raise PdfParseError(f"JPX: bad Mb={mb}")
+            # maxshift ROI (E.1): scaled ROI coefficients occupy SPrgn
+            # extra bitplanes above every background coefficient
+            mb += self.rgns[c]
+            if mb > 60:
+                raise PdfParseError("JPX: Mb too large with RGN shift")
             if reversible:
                 delta = 1.0
             else:
@@ -1136,14 +1145,24 @@ class _TileDecoder:
                         )
                         arr = band.coefs
                         y0, x0 = cb.y0 - band.y0, cb.x0 - band.x0
+                        mags_i = np.array(mags, np.int64)
+                        s_roi = self.rgns[c]
+                        if s_roi:
+                            # any magnitude >= 2**SPrgn is an ROI
+                            # coefficient: undo the maxshift scaling
+                            mags_i = np.where(
+                                mags_i >= (1 << s_roi),
+                                mags_i >> s_roi,
+                                mags_i,
+                            )
                         if reversible:
-                            vals = np.array(mags, np.int64)
+                            vals = mags_i
                             sg = np.frombuffer(
                                 bytes(sgns), np.uint8
                             ).astype(np.int64)
                             vals = np.where(sg == 1, -vals, vals)
                         else:
-                            m = np.array(mags, np.float64)
+                            m = mags_i.astype(np.float64)
                             # midpoint reconstruction of quantized mags
                             vals = np.where(m > 0, (m + 0.5), 0.0)
                             sg = np.frombuffer(bytes(sgns), np.uint8)
@@ -1236,9 +1255,24 @@ def _parse_qcd(body: bytes) -> _Qcd:
 
 
 _SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64}  # TLM PLM PLT CRG COM
-_REJECTED = {
-    0xFF5E: "RGN",
-}
+
+
+def _parse_rgn(body: bytes, ncomp: int) -> tuple[int, int]:
+    """Parse an RGN marker body (A.6.4) -> (component, SPrgn). Only the
+    maxshift style (Srgn=0) exists in Part 1; the decoder needs no ROI
+    mask — any coefficient >= 2**SPrgn is ROI-scaled (E.1)."""
+    csz = 1 if ncomp < 257 else 2
+    if len(body) != csz + 2:
+        raise PdfParseError("JPX: bad RGN length")
+    c = body[0] if csz == 1 else struct.unpack(">H", body[:2])[0]
+    if c >= ncomp:
+        raise PdfParseError("JPX: RGN component out of range")
+    srgn, sprgn = body[csz], body[csz + 1]
+    if srgn != 0:
+        raise PdfParseError(f"JPX: RGN style {srgn} unsupported")
+    if sprgn > 37:
+        raise PdfParseError("JPX: RGN shift too large")
+    return c, sprgn
 
 
 def decode_codestream(data: bytes):
@@ -1254,6 +1288,7 @@ def decode_codestream(data: bytes):
     main_qcd = None
     main_qcc: dict[int, _Qcd] = {}
     main_poc: list[tuple] | None = None
+    main_rgn: dict[int, int] = {}
     ppm_segs: list[tuple[int, bytes]] = []
     tiles: dict[int, _TileDecoder] = {}
     tile_params: dict[int, tuple] = {}
@@ -1339,10 +1374,13 @@ def decode_codestream(data: bytes):
             if siz is None:
                 raise PdfParseError("JPX: POC before SIZ")
             main_poc = _parse_poc(body, siz["ncomp"])
+        elif marker == 0xFF5E:  # RGN, main header
+            if siz is None:
+                raise PdfParseError("JPX: RGN before SIZ")
+            ci, sp = _parse_rgn(body, siz["ncomp"])
+            main_rgn[ci] = sp
         elif marker in _SKIPPABLE:
             pass
-        elif marker in _REJECTED:
-            raise PdfParseError(f"JPX: {_REJECTED[marker]} unsupported")
         else:
             raise PdfParseError(f"JPX: unknown marker 0x{marker:04x}")
     if siz is None or main_cod is None or main_qcd is None:
@@ -1372,8 +1410,8 @@ def decode_codestream(data: bytes):
     if ntiles > 65535:
         raise PdfParseError("JPX: too many tiles")
 
-    def tile_cods(isot, tile_cod, tile_coc, tile_qcd, tile_qcc):
-        cods, qcds = [], []
+    def tile_cods(isot, tile_cod, tile_coc, tile_qcd, tile_qcc, tile_rgn):
+        cods, qcds, rgns = [], [], []
         for c in range(siz["ncomp"]):
             base = tile_cod or main_cod
             if c in tile_coc:
@@ -1388,7 +1426,8 @@ def decode_codestream(data: bytes):
                 cod = base.copy()
             cods.append(cod)
             qcds.append(tile_qcc.get(c, tile_qcd or main_qcc.get(c, main_qcd)))
-        return cods, qcds
+            rgns.append(tile_rgn.get(c, main_rgn.get(c, 0)))
+        return cods, qcds, rgns
 
     # tile-parts
     while pos + 2 <= len(data):
@@ -1411,6 +1450,7 @@ def decode_codestream(data: bytes):
         tile_qcd = None
         tile_qcc: dict[int, _Qcd] = {}
         tile_poc: list[tuple] = []
+        tile_rgn: dict[int, int] = {}
         ppt_here: list[tuple[int, bytes]] = []
         # tile-part header up to SOD
         while True:
@@ -1443,10 +1483,11 @@ def decode_codestream(data: bytes):
                 ppt_here.append((b2[0], b2[1:]))
             elif m2 == 0xFF5F:  # POC, tile-part header (overrides main)
                 tile_poc.extend(_parse_poc(b2, siz["ncomp"]))
+            elif m2 == 0xFF5E:  # RGN, tile-part header (overrides main)
+                ci, sp = _parse_rgn(b2, siz["ncomp"])
+                tile_rgn[ci] = sp
             elif m2 in _SKIPPABLE:
                 pass
-            elif m2 in _REJECTED:
-                raise PdfParseError(f"JPX: {_REJECTED[m2]} unsupported")
             else:
                 raise PdfParseError(
                     f"JPX: unknown tile-header marker 0x{m2:04x}"
@@ -1460,9 +1501,11 @@ def decode_codestream(data: bytes):
             tx1 = min(siz["xto"] + (p + 1) * siz["xt"], siz["xsiz"])
             ty0 = max(siz["yto"] + q * siz["yt"], siz["yo"])
             ty1 = min(siz["yto"] + (q + 1) * siz["yt"], siz["ysiz"])
-            cods, qcds = tile_cods(isot, tile_cod, tile_coc, tile_qcd,
-                                   tile_qcc)
-            tiles[isot] = _TileDecoder(siz, cods, qcds, tx0, tx1, ty0, ty1)
+            cods, qcds, rgns = tile_cods(isot, tile_cod, tile_coc, tile_qcd,
+                                         tile_qcc, tile_rgn)
+            tiles[isot] = _TileDecoder(
+                siz, cods, qcds, tx0, tx1, ty0, ty1, rgns
+            )
             tiles[isot].poc = main_poc
         if tile_poc:
             # A tile-part POC replaces the main-header one for this tile;

@@ -332,6 +332,82 @@ def test_subsampled_mct_mismatch_rejected():
         decode_jpx(bytes(cs))
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(levels=3, layers=2),
+        dict(tile_size=(16, 16)),
+        dict(prog=2, precincts=[(6, 6)] * 3, levels=2),
+    ],
+)
+def test_roi_maxshift_gray(kw):
+    # maxshift ROI (RGN): encoder scales a deterministic coefficient
+    # mask up by SPrgn; decoder separates ROI purely by magnitude and
+    # scales back — reversible paths stay bit-exact
+    img = RNG.randint(0, 256, (29, 31), np.uint8)
+    assert np.array_equal(_rt_gray(img, roi=12, **kw), img)
+
+
+def test_roi_maxshift_rgb_and_irreversible():
+    img = RNG.randint(0, 256, (20, 24, 3), np.uint8)
+    assert np.array_equal(_rt_rgb(img, roi=12), img)  # RCT path
+    out = _rt_gray(img[:, :, 0], roi=14, reversible=False)
+    assert np.abs(out.astype(int) - img[:, :, 0].astype(int)).max() <= 4
+
+
+def test_roi_with_subsampling():
+    img = RNG.randint(0, 256, (21, 26, 3), np.uint8)
+    subs = [(1, 1), (2, 2), (2, 2)]
+    out = _rt_rgb(img, mct=False, subsampling=subs, roi=12)
+    exp = np.stack(
+        [
+            _upsampled(
+                img[:, :, c].astype(np.int64), *subs[c], 0, 0, 26, 21
+            )
+            for c in range(3)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_roi_in_tile_part_header():
+    # relocate the (single-component) RGN from the main header into the
+    # tile-part header — the override path — fixing Psot like the POC
+    # relocation test
+    import struct
+
+    img = RNG.randint(0, 256, (17, 15), np.uint8)
+    cs = bytearray(encode_jpx(img, roi=12))
+    i = cs.find(b"\xff\x5e")
+    seglen = struct.unpack(">H", cs[i + 2 : i + 4])[0]
+    rgn_seg = bytes(cs[i : i + 2 + seglen])
+    del cs[i : i + 2 + seglen]
+    sot = cs.find(b"\xff\x90")
+    psot = struct.unpack(">I", cs[sot + 6 : sot + 10])[0]
+    cs[sot + 6 : sot + 10] = struct.pack(">I", psot + len(rgn_seg))
+    cs[sot + 12 : sot + 12] = rgn_seg
+    w, h, n, s = decode_jpx(bytes(cs))
+    assert np.array_equal(
+        np.frombuffer(s, np.uint8).reshape(h, w), img
+    )
+
+
+def test_roi_malformed_rejected():
+    img = RNG.randint(0, 256, (8, 8), np.uint8)
+    good = encode_jpx(img, roi=10)
+    i = good.find(b"\xff\x5e")
+    bad = bytearray(good)
+    bad[i + 5] = 1  # Srgn != 0: reserved style
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[i + 6] = 60  # SPrgn absurdly large
+    with pytest.raises(PdfParseError):
+        decode_jpx(bytes(bad2))
+
+
 def test_poc_malformed_rejected():
     img = RNG.randint(0, 256, (8, 8), np.uint8)
     good = encode_jpx(img, levels=1, layers=1, poc=[(0, 0, 1, 2, 1, 0)])
