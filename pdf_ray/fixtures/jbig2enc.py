@@ -288,19 +288,26 @@ class IaidEncoder:
 
 
 def _encode_bitmap_shared(
-    enc: MQEncoder, idx, mps, bitmap: np.ndarray, template: int, at
+    enc: MQEncoder, idx, mps, bitmap: np.ndarray, template: int, at,
+    skip=None,
 ) -> None:
     """Generic-region bitmap encode over a caller-owned encoder + GB
-    stats (the symbol-dictionary sharing rule), TPGDON off."""
+    stats (the symbol-dictionary sharing rule), TPGDON off. ``skip``
+    pixels are not coded (they must be 0 in ``bitmap`` — the decoder
+    forces 0 and uses it in neighbour contexts)."""
     h, w = bitmap.shape
     tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
     rows = [[int(v) for v in r] for r in bitmap]
+    skip_rows = None if skip is None else [[int(v) for v in r] for r in skip]
     zero = [0] * w
     for y in range(h):
         r1 = rows[y - 1] if y >= 1 else zero
         r2 = rows[y - 2] if y >= 2 else zero
         row = rows[y]
+        srow = skip_rows[y] if skip_rows is not None else None
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue
             ctx = 0
             for dx, dy in tmpl:
                 xx = x + dx
@@ -638,35 +645,77 @@ def encode_halftone_region(
     hry: int = 0,
     template: int = 0,
     comb_op: int = 0,
+    mmr: bool = False,
+    enable_skip: bool = False,
 ) -> bytes:
     """Halftone region payload: per-cell gray values Gray-coded into
     bitplanes, each generic-encoded through ONE shared encoder/stats
-    (C.5). Default grid: axis-aligned with spacing = pattern width."""
+    (C.5) — or one bit-continuous MMR stream when ``mmr`` — optionally
+    with ENABLESKIP cell masking. Default grid: axis-aligned with
+    spacing = pattern width."""
+    if mmr and enable_skip:
+        raise ValueError("HSKIP is MQ-only")
     hgh, hgw = values.shape
     ph, pw = patterns[0].shape
     if hrx is None:
         hrx = pw << 8  # 8.8 fixed point
     graymax = len(patterns) - 1
     bpp = max(1, graymax.bit_length())
-    at = GB_AT_NOMINAL[template]
-    nbits = len(GB_TEMPLATES[template]) + len(at)
-    idx = np.zeros(1 << nbits, np.uint8)
-    mps = np.zeros(1 << nbits, np.uint8)
-    enc = MQEncoder()
-    prev = None
-    for j in range(bpp - 1, -1, -1):
-        bit = (values >> j) & 1
-        plane = bit if prev is None else (bit ^ prev)
-        _encode_bitmap_shared(enc, idx, mps, plane.astype(np.uint8),
-                              template, at)
-        prev = bit
-    data = enc.finish()
+    skip = None
+    if enable_skip:
+        mg = np.arange(hgh).reshape(-1, 1)
+        ng = np.arange(hgw).reshape(1, -1)
+        px = hgx + ((mg * hry + ng * hrx) >> 8)
+        py = hgy + ((mg * hrx - ng * hry) >> 8)
+        skip = (
+            (px + pw <= 0) | (px >= region_w)
+            | (py + ph <= 0) | (py >= region_h)
+        ).astype(np.uint8)
+        values = np.where(skip == 1, 0, values)  # decoder yields 0 there
+    if mmr:
+        from .ccittenc import EOL as _EOL, _BitWriter, _encode_2d_row
+        from .ccittenc import _transitions
+
+        bw = _BitWriter()
+        prev = None
+        for j in range(bpp - 1, -1, -1):
+            bit = (values >> j) & 1
+            plane = (bit if prev is None else (bit ^ prev)).astype(np.uint8)
+            ref = [hgw, hgw]
+            for r in plane:
+                cur = _transitions(r)
+                _encode_2d_row(bw, cur, ref, hgw)
+                ref = cur
+            bw.write(_EOL + _EOL)  # EOFB terminates each bitplane
+            prev = bit
+        data = bw.tobytes()
+    else:
+        at = GB_AT_NOMINAL[template]
+        nbits = len(GB_TEMPLATES[template]) + len(at)
+        idx = np.zeros(1 << nbits, np.uint8)
+        mps = np.zeros(1 << nbits, np.uint8)
+        enc = MQEncoder()
+        prev = None
+        for j in range(bpp - 1, -1, -1):
+            bit = (values >> j) & 1
+            plane = bit if prev is None else (bit ^ prev)
+            plane = plane.astype(np.uint8)
+            if skip is not None:
+                plane = np.where(skip == 1, 0, plane)
+            _encode_bitmap_shared(enc, idx, mps, plane,
+                                  template, at, skip=skip)
+            prev = bit
+        data = enc.finish()
 
     out = bytearray()
     out += region_w.to_bytes(4, "big") + region_h.to_bytes(4, "big")
     out += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
     out += bytes([comb_op & 7])
-    out += bytes([(template & 3) << 1])  # HMMR=0, SKIP=0, HCOMBOP=OR, defpix=0
+    out += bytes([
+        (1 if mmr else 0)
+        | ((template & 3) << 1)
+        | ((1 if enable_skip else 0) << 3)
+    ])  # HCOMBOP=OR, defpix=0
     out += hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
     out += hgx.to_bytes(4, "big", signed=True)
     out += hgy.to_bytes(4, "big", signed=True)
@@ -676,25 +725,75 @@ def encode_halftone_region(
 
 
 def encode_refagg_symbol_dict(
-    targets: list[tuple[np.ndarray, int, int, int]],
+    targets: list[tuple],
     input_symbols: list[np.ndarray],
     rtemplate: int = 0,
 ) -> bytes:
-    """SDREFAGG=1 symbol dictionary payload: every new symbol coded as a
-    single-instance refinement (IAAI=1, IAID, IARDX/IARDY) of an input
-    or earlier-new symbol. ``targets`` = [(bitmap, ref_id, rdx, rdy)],
-    sorted by ascending height; all new symbols exported."""
+    """SDREFAGG=1 symbol dictionary payload. ``targets`` entries are
+    either ``(bitmap, ref_id, rdx, rdy)`` — a single-instance refinement
+    (IAAI=1) of an input or earlier-new symbol — or
+    ``(bitmap, placements)`` with placements =
+    ``[(ref_id, s, t, rdx, rdy, refined_bm_or_None), ...]`` — an
+    aggregate (IAAI=n) coded as a nested text region per 6.5.8.2.2
+    (``bitmap`` must equal the OR-composition the decoder rebuilds).
+    Sorted by ascending height; all new symbols exported."""
     from ..pdfcore.jbig2 import GR_TEMPLATES as _GRT
 
     mq = MQEncoder()
     iadh, iadw, iaex = IntEncoder(), IntEncoder(), IntEncoder()
     iaai, iardx, iardy = IntEncoder(), IntEncoder(), IntEncoder()
+    # nested-text-region contexts, retained across aggregates (6.5.8.2.1)
+    iadt, iafs, iads = IntEncoder(), IntEncoder(), IntEncoder()
+    iari, iardw, iardh = IntEncoder(), IntEncoder(), IntEncoder()
     n_new = len(targets)
     symcodelen = max(1, (max(1, len(input_symbols) + n_new) - 1).bit_length())
     iaid = IaidEncoder(symcodelen)
     coding, ref_tmpl = _GRT[rtemplate]
     gr_nbits = len(coding) + len(ref_tmpl) + (2 if rtemplate == 0 else 0)
     gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
+
+    def encode_aggregate(placements, pool):
+        # nested text region: SBSTRIPS=1, TOPLEFT, OR, SBREFINE=1
+        strips: dict[int, list[tuple]] = {}
+        for ref_id, s, t, rdx, rdy, rbm in placements:
+            strips.setdefault(t, []).append((s, ref_id, rdx, rdy, rbm))
+        iadt.encode(mq, 0)  # initial STRIPT
+        stript = 0
+        firsts = 0
+        for t in sorted(strips):
+            iadt.encode(mq, t - stript)
+            stript = t
+            curs = 0
+            for j, (s, ref_id, rdx, rdy, rbm) in enumerate(
+                sorted(strips[t], key=lambda e: e[0])
+            ):
+                if j == 0:
+                    iafs.encode(mq, s - firsts)
+                    firsts = s
+                    curs = s
+                else:
+                    iads.encode(mq, s - curs)
+                    curs = s
+                iaid.encode(mq, ref_id)
+                bm = pool[ref_id]
+                if rbm is None:
+                    iari.encode(mq, 0)
+                else:
+                    iari.encode(mq, 1)
+                    rdw = rbm.shape[1] - bm.shape[1]
+                    rdh = rbm.shape[0] - bm.shape[0]
+                    iardw.encode(mq, rdw)
+                    iardh.encode(mq, rdh)
+                    iardx.encode(mq, rdx)
+                    iardy.encode(mq, rdy)
+                    encode_refinement_region_data(
+                        rbm, bm, rtemplate, GR_AT_NOMINAL, False,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        enc=mq, stats=gr_stats,
+                    )
+                    bm = rbm
+                curs += bm.shape[1] - 1
+            iads.encode(mq, None)  # OOB ends the strip
 
     pool = list(input_symbols)
     hcheight = 0
@@ -705,17 +804,23 @@ def encode_refagg_symbol_dict(
         hcheight = hgt
         symwidth = 0
         while i < n_new and targets[i][0].shape[0] == hcheight:
-            bm, ref_id, rdx, rdy = targets[i]
+            bm = targets[i][0]
             iadw.encode(mq, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]
-            iaai.encode(mq, 1)
-            iaid.encode(mq, ref_id)
-            iardx.encode(mq, rdx)
-            iardy.encode(mq, rdy)
-            encode_refinement_region_data(
-                bm, pool[ref_id], rtemplate, GR_AT_NOMINAL, False,
-                rdx, rdy, enc=mq, stats=gr_stats,
-            )
+            if len(targets[i]) == 2:  # aggregate form
+                placements = targets[i][1]
+                iaai.encode(mq, len(placements))
+                encode_aggregate(placements, pool)
+            else:
+                _bm, ref_id, rdx, rdy = targets[i]
+                iaai.encode(mq, 1)
+                iaid.encode(mq, ref_id)
+                iardx.encode(mq, rdx)
+                iardy.encode(mq, rdy)
+                encode_refinement_region_data(
+                    bm, pool[ref_id], rtemplate, GR_AT_NOMINAL, False,
+                    rdx, rdy, enc=mq, stats=gr_stats,
+                )
             pool.append(bm)
             i += 1
         iadw.encode(mq, None)
@@ -818,6 +923,68 @@ class HuffEncoder:
 
 def _std_enc(n: int) -> HuffEncoder:
     return HuffEncoder(_JH._STANDARD_LINES[n])
+
+
+def encode_refagg_symbol_dict_huffman(
+    targets: list[tuple[np.ndarray, int, int, int]],
+    input_symbols: list[np.ndarray],
+    rtemplate: int = 0,
+) -> bytes:
+    """SDHUFF=1 + SDREFAGG=1 dictionary (6.5.8.2 huffman, single
+    instance): DH via B.4, DW via B.2, AGGINST/RSIZE via B.1, RDX/RDY
+    via B.15, symbol ID as an SBSYMCODELEN-bit field, per-symbol
+    byte-aligned MQ refinement data. ``targets`` =
+    [(bitmap, ref_id, rdx, rdy)] sorted by ascending height."""
+    bw = BitWriter()
+    enc_dh = _std_enc(4)
+    enc_dw = _std_enc(2)
+    enc_agg = _std_enc(1)
+    enc_rdxy = _std_enc(15)
+    enc_rsize = _std_enc(1)
+    enc_ex = _std_enc(1)
+    n_new = len(targets)
+    symcodelen = max(1, (max(1, len(input_symbols) + n_new) - 1).bit_length())
+    pool = list(input_symbols)
+    hcheight = 0
+    i = 0
+    while i < n_new:
+        hgt = targets[i][0].shape[0]
+        enc_dh.encode(bw, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < n_new and targets[i][0].shape[0] == hcheight:
+            bm, ref_id, rdx, rdy = targets[i]
+            enc_dw.encode(bw, bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            enc_agg.encode(bw, 1)  # REFAGGNINST
+            bw.write(ref_id, symcodelen)
+            enc_rdxy.encode(bw, rdx)
+            enc_rdxy.encode(bw, rdy)
+            data = encode_refinement_region_data(
+                bm, pool[ref_id], rtemplate, GR_AT_NOMINAL, False,
+                rdx, rdy,
+            )
+            enc_rsize.encode(bw, len(data))
+            bw.align()
+            bw.write_bytes(data)
+            pool.append(bm)
+            i += 1
+        enc_dw.encode(bw, None)  # OOB ends the height class
+    enc_ex.encode(bw, len(input_symbols))
+    enc_ex.encode(bw, n_new)
+    sd_data = bw.finish()
+
+    out = bytearray()
+    flags = 1 | 2 | ((rtemplate & 1) << 12)  # SDHUFF=1, SDREFAGG=1
+    out += flags.to_bytes(2, "big")
+    if rtemplate == 0:
+        for dx, dy in GR_AT_NOMINAL:
+            out += dx.to_bytes(1, "big", signed=True)
+            out += dy.to_bytes(1, "big", signed=True)
+    out += n_new.to_bytes(4, "big")  # SDNUMEXSYMS
+    out += n_new.to_bytes(4, "big")  # SDNUMNEWSYMS
+    out += sd_data
+    return bytes(out)
 
 
 def encode_table_segment_payload(

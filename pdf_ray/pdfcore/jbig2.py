@@ -21,7 +21,8 @@ way ccitt.py did for CCITTFaxDecode:
 - REFINEMENT REGION segments (6.3, GR templates 0/1, TPGRON typical
   prediction) decoded against the page as composed so far,
 - PATTERN DICTIONARIES (6.7) and HALFTONE REGIONS (6.6): Gray-coded
-  generic bitplanes select per-cell patterns stamped on the (skewable
+  bitplanes (shared-MQ or bit-continuous MMR stacks, C.5; ENABLESKIP
+  cell masking) select per-cell patterns stamped on the (skewable
   8.8 fixed-point) halftone grid,
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
@@ -29,12 +30,12 @@ HUFFMAN-coded variants (SDHUFF symbol dictionaries with collective
 bitmaps — uncompressed or MMR — and SBHUFF text regions incl. the
 run-code symbol ID table, standard tables B.1-B.15 and custom table
 segments) are implemented in jbig2_huffman.py and dispatched from the
-same segment walker. Refinement-AGGREGATE symbol coding is carried for
-the single-instance case (6.5.8.2.2 — new symbols as refinements of
-dictionary symbols, shared GR stats); SDHUFF+SDREFAGG, REFAGGNINST > 1
-(nested text-region aggregation) and ENABLESKIP halftones raise
-PdfParseError (row-level error downstream, the documented containment
-model).
+same segment walker. Refinement-AGGREGATE symbol coding covers both the
+single-instance case (6.5.8.2 — new symbols as refinements of
+dictionary symbols, shared GR stats) and REFAGGNINST > 1 (a nested
+text region over the dictionary pool, 6.5.8.2.2, contexts retained
+across aggregates); only SDHUFF+SDREFAGG raises PdfParseError
+(row-level error downstream, the documented containment model).
 
 The MQ-coder state table is transcribed from T.88 Table E.1 (the same
 public table reproduced in every JBIG2/JPEG2000 implementation); it is
@@ -220,11 +221,17 @@ def _decode_bitmap(
     template: int,
     at: list[tuple[int, int]],
     tpgdon: bool,
+    skip=None,
 ) -> np.ndarray:
     """Core generic-region bitmap decode over a CALLER-owned MQ decoder
     and GB context state — the symbol dictionary decodes every symbol
-    bitmap through one shared decoder/stats set (T.88 6.5.8.2.1)."""
+    bitmap through one shared decoder/stats set (T.88 6.5.8.2.1).
+    ``skip`` (USESKIP, 6.2.5.7): pixels flagged in the skip bitmap are
+    not coded and decode as 0 (they still feed neighbour contexts)."""
     tmpl = sorted(GB_TEMPLATES[template] + list(at), key=lambda p: (p[1], p[0]))
+    skip_rows = (
+        None if skip is None else [[int(v) for v in r] for r in skip]
+    )
     # rows as plain Python int lists: per-pixel numpy scalar indexing is
     # ~10x slower than list indexing in this inherently-serial loop
     zero_row = [0] * w
@@ -241,7 +248,10 @@ def _decode_bitmap(
         r1 = rows[y - 1] if y >= 1 else zero_row
         row = [0] * w
         rows.append(row)
+        srow = skip_rows[y] if skip_rows is not None else None
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue  # skipped pixel stays 0, nothing coded
             ctx = 0
             for dx, dy in tmpl:
                 xx = x + dx
@@ -333,6 +343,83 @@ def _symcodelen(nsyms: int) -> int:
     return max(1, (max(1, nsyms) - 1).bit_length())
 
 
+def _sd_aggregate_text(
+    mq, w, h, n_inst, pool, agg_ctx, iardx, iardy, iaid, rtemplate,
+    r_at, gr_stats,
+):
+    """6.5.8.2.2: a REFAGGNINST > 1 aggregate symbol is a nested text
+    region over the dictionary's symbol pool with fixed parameters
+    (SBSTRIPS=1, TOPLEFT corner, OR composition, SBDEFPIXEL=0,
+    SBDSOFFSET=0, SBREFINE=1, no transpose), sharing the dictionary's
+    MQ stream, refinement stats and IARDX/IARDY/IAID contexts; the
+    remaining integer contexts (``agg_ctx``) are retained across every
+    aggregate symbol in the dictionary (6.5.8.2.1)."""
+    iadt, iafs, iads, iari, iardw, iardh = agg_ctx
+    region = np.zeros((h, w), np.uint8)
+    stript = iadt.decode(mq)
+    if stript is OOB:
+        raise PdfParseError("JBIG2 aggregate: OOB strip T")
+    stript = -stript
+    firsts = 0
+    ninst = 0
+    while ninst < n_inst:
+        dt = iadt.decode(mq)
+        if dt is OOB:
+            raise PdfParseError("JBIG2 aggregate: OOB strip delta")
+        stript += dt
+        dfs = iafs.decode(mq)
+        if dfs is OOB:
+            raise PdfParseError("JBIG2 aggregate: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = iads.decode(mq)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids
+            first = False
+            sym_id = iaid.decode(mq)
+            if sym_id >= len(pool):
+                raise PdfParseError("JBIG2 aggregate: symbol id range")
+            sym = pool[sym_id]
+            ri = iari.decode(mq)
+            if ri is OOB:
+                raise PdfParseError("JBIG2 aggregate: OOB RI")
+            if ri:
+                rdw = iardw.decode(mq)
+                rdh = iardh.decode(mq)
+                rdx = iardx.decode(mq)
+                rdy = iardy.decode(mq)
+                if OOB in (rdw, rdh, rdx, rdy):
+                    raise PdfParseError(
+                        "JBIG2 aggregate: OOB refinement delta"
+                    )
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or nw * nh > MAX_REGION_PIXELS:
+                    raise PdfParseError("JBIG2 aggregate: bad refined size")
+                sym = decode_refinement_region(
+                    b"", nw, nh, rtemplate, r_at, sym, False,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, mq=mq,
+                    stats=gr_stats,
+                )
+            sh, sw = sym.shape
+            x0, y0 = curs, stript  # TOPLEFT: T pins the top edge
+            sx0, sy0 = max(0, -x0), max(0, -y0)
+            x0c, y0c = max(0, x0), max(0, y0)
+            x1c, y1c = min(w, x0 + sw), min(h, y0 + sh)
+            if x1c > x0c and y1c > y0c:
+                region[y0c:y1c, x0c:x1c] |= sym[
+                    sy0 : sy0 + (y1c - y0c), sx0 : sx0 + (x1c - x0c)
+                ]
+            curs += sw - 1
+            ninst += 1
+            if ninst > n_inst:
+                raise PdfParseError("JBIG2 aggregate: instance overflow")
+    return region
+
+
 def decode_symbol_dictionary(
     payload: bytes, input_symbols: list[np.ndarray],
     tables: list | None = None,
@@ -350,10 +437,6 @@ def decode_symbol_dictionary(
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if sdhuff:
-        if sdrefagg:
-            raise PdfParseError(
-                "JBIG2 symbol dictionary: huffman+refagg unsupported"
-            )
         return _decode_symbol_dictionary_huffman(
             payload, input_symbols, flags, tables or []
         )
@@ -386,6 +469,7 @@ def decode_symbol_dictionary(
     gb_mps = bytearray(1 << nbits)
     iaid = None
     gr_stats = None
+    agg_ctx = None
     if sdrefagg:
         # SBSYMCODELEN over input + new symbols (6.5.8.2.3); one shared
         # GR stats set for every refined symbol
@@ -395,6 +479,9 @@ def decode_symbol_dictionary(
         coding, ref_tmpl = GR_TEMPLATES[rtemplate]
         gr_nbits = len(coding) + len(ref_tmpl) + (2 if rtemplate == 0 else 0)
         gr_stats = (bytearray(1 << gr_nbits), bytearray(1 << gr_nbits))
+        # integer contexts for nested aggregate text regions, retained
+        # across every aggregate symbol in the dictionary (6.5.8.2.1)
+        agg_ctx = tuple(IntDecoder() for _ in range(6))
 
     new_syms: list[np.ndarray] = []
     area_budget = [MAX_REGION_PIXELS]  # shared cap across all symbols
@@ -426,36 +513,46 @@ def decode_symbol_dictionary(
             if len(new_syms) >= n_new:
                 raise PdfParseError("JBIG2 symbol dictionary: count overflow")
             if sdrefagg:
-                # 6.5.8.2: aggregate instance count; only the single-
-                # instance refinement case is carried (REFAGGNINST > 1
-                # nests a full text region)
+                # 6.5.8.2: aggregate instance count. REFAGGNINST == 1 is
+                # the direct refinement form; > 1 nests a text region
+                # over the dictionary's symbol pool (6.5.8.2.2)
                 n_inst = iaai.decode(mq)
-                if n_inst is OOB or n_inst != 1:
+                if n_inst is OOB or n_inst <= 0 or n_inst > 10_000:
                     raise PdfParseError(
-                        "JBIG2 symbol dictionary: aggregate REFAGGNINST"
-                        " != 1 unsupported"
+                        "JBIG2 symbol dictionary: bad aggregate count"
                     )
-                sym_id = iaid.decode(mq)
-                rdx = iardx.decode(mq)
-                rdy = iardy.decode(mq)
-                if rdx is OOB or rdy is OOB:
-                    raise PdfParseError(
-                        "JBIG2 symbol dictionary: OOB refinement offset"
-                    )
-                pool = list(input_symbols) + new_syms
-                if sym_id >= len(pool):
-                    raise PdfParseError(
-                        "JBIG2 symbol dictionary: refinement id range"
-                    )
-                new_syms.append(
-                    decode_refinement_region(
-                        b"", symwidth, hcheight, rtemplate,
-                        GR_AT_NOMINAL if rtemplate else r_at or
-                        GR_AT_NOMINAL,
-                        pool[sym_id], False, rdx, rdy, mq=mq,
-                        stats=gr_stats,
-                    )
+                eff_rat = (
+                    GR_AT_NOMINAL if rtemplate else r_at or GR_AT_NOMINAL
                 )
+                pool = list(input_symbols) + new_syms
+                if n_inst == 1:
+                    sym_id = iaid.decode(mq)
+                    rdx = iardx.decode(mq)
+                    rdy = iardy.decode(mq)
+                    if rdx is OOB or rdy is OOB:
+                        raise PdfParseError(
+                            "JBIG2 symbol dictionary: OOB refinement offset"
+                        )
+                    if sym_id >= len(pool):
+                        raise PdfParseError(
+                            "JBIG2 symbol dictionary: refinement id range"
+                        )
+                    new_syms.append(
+                        decode_refinement_region(
+                            b"", symwidth, hcheight, rtemplate,
+                            eff_rat,
+                            pool[sym_id], False, rdx, rdy, mq=mq,
+                            stats=gr_stats,
+                        )
+                    )
+                else:
+                    new_syms.append(
+                        _sd_aggregate_text(
+                            mq, symwidth, hcheight, n_inst, pool,
+                            agg_ctx, iardx, iardy, iaid, rtemplate,
+                            eff_rat, gr_stats,
+                        )
+                    )
             else:
                 new_syms.append(
                     _decode_bitmap(
@@ -495,21 +592,44 @@ def _decode_symbol_dictionary_huffman(
 ) -> list[np.ndarray]:
     """SDHUFF=1 symbol dictionary (6.5.5 huffman variant): per height
     class, run of width deltas then one byte-aligned COLLECTIVE bitmap
-    (BMSIZE=0 -> uncompressed rows, else MMR/T.6) split by widths."""
+    (BMSIZE=0 -> uncompressed rows, else MMR/T.6) split by widths.
+    With SDREFAGG=1 there is no collective bitmap: each symbol is a
+    single-instance refinement (6.5.8.2 — ID as an SBSYMCODELEN-bit
+    field, RDX/RDY via B.15, BMSIZE via B.1, byte-aligned MQ refinement
+    data); REFAGGNINST > 1 in huffman mode stays unsupported."""
     from . import jbig2_huffman as JH
 
+    sdrefagg = (flags >> 1) & 1
+    rtemplate = (flags >> 12) & 1
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
     sel_bm = (flags >> 6) & 1
-    # (flags >> 7) & 1 is SDHUFFAGGINST — unused with SDREFAGG=0
-    tab_dh, tab_dw, tab_bm = JH.assign_tables(
-        [sel_dh, sel_dw, sel_bm], tables, [(4, 5), (2, 3), (1,)]
-    )
-    n_ex = _u32(payload, 2)
-    n_new = _u32(payload, 6)
+    sel_agg = (flags >> 7) & 1  # SDHUFFAGGINST — unused with SDREFAGG=0
+    pos = 2
+    r_at: list[tuple[int, int]] = []
+    if sdrefagg and rtemplate == 0:
+        for _ in range(2):
+            dx = int.from_bytes(payload[pos : pos + 1], "big", signed=True)
+            dy = int.from_bytes(payload[pos + 1 : pos + 2], "big",
+                                signed=True)
+            r_at.append((dx, dy))
+            pos += 2
+    sels = [sel_dh, sel_dw, sel_bm]
+    stds = [(4, 5), (2, 3), (1,)]
+    if sdrefagg:  # AGGINST selector only consumes tables when in use
+        sels.append(sel_agg)
+        stds.append((1,))
+    assigned = JH.assign_tables(sels, tables, stds)
+    tab_dh, tab_dw, tab_bm = assigned[:3]
+    tab_agg = assigned[3] if sdrefagg else None
+    n_ex = _u32(payload, pos)
+    n_new = _u32(payload, pos + 4)
     if n_new > 10_000 or n_ex > 10_000:
         raise PdfParseError("JBIG2 symbol dictionary: implausible counts")
-    br = JH.BitReader(payload, 10)
+    br = JH.BitReader(payload, pos + 8)
+    symcodelen = _symcodelen(len(input_symbols) + n_new)
+    tab_rdxy = JH.standard_table(15)
+    tab_rsize = JH.standard_table(1)
 
     new_syms: list[np.ndarray] = []
     area_budget = MAX_REGION_PIXELS
@@ -542,8 +662,48 @@ def _decode_symbol_dictionary_huffman(
                 raise PdfParseError(
                     "JBIG2 symbol dictionary: pixel budget exceeded"
                 )
+            if sdrefagg:
+                # 6.5.8.2 huffman: one refinement per symbol, no
+                # collective bitmap for this height class
+                n_inst = tab_agg.decode(br)
+                if n_inst is JH.OOB or n_inst != 1:
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: huffman REFAGGNINST"
+                        " != 1 unsupported"
+                    )
+                sym_id = br.bits(symcodelen)
+                rdx = tab_rdxy.decode(br)
+                rdy = tab_rdxy.decode(br)
+                bmsize = tab_rsize.decode(br)
+                if JH.OOB in (rdx, rdy, bmsize) or bmsize <= 0:
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: bad refinement fields"
+                    )
+                br.align()
+                start = br.byte_pos()
+                data = payload[start : start + bmsize]
+                if len(data) < bmsize:
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: refinement truncated"
+                    )
+                pool = list(input_symbols) + new_syms
+                if sym_id >= len(pool):
+                    raise PdfParseError(
+                        "JBIG2 symbol dictionary: refinement id range"
+                    )
+                new_syms.append(
+                    decode_refinement_region(
+                        data, symwidth, hcheight, rtemplate,
+                        r_at or GR_AT_NOMINAL, pool[sym_id], False,
+                        rdx, rdy,
+                    )
+                )
+                br.seek_byte(start + bmsize)
+                continue
             class_widths.append(symwidth)
             totwidth += symwidth
+        if sdrefagg:
+            continue  # no collective bitmap in refinement mode
         bmsize = tab_bm.decode(br)
         if bmsize is JH.OOB or bmsize < 0:
             raise PdfParseError("JBIG2 symbol dictionary: bad BMSIZE")
@@ -1116,13 +1276,45 @@ def decode_pattern_dictionary(payload: bytes) -> list[np.ndarray]:
     ]
 
 
+def _mmr_planes(data: bytes, w: int, h: int, n: int) -> list[np.ndarray]:
+    """HMMR=1 gray-scale bitplane stack (C.5): ``n`` MMR (T.6) coded
+    w x h bitplanes in ONE bit-continuous stream, each terminated by an
+    EOFB and each restarting from the imaginary all-white reference
+    row. Returned MSB-first, 1 = black (JBIG2 sense)."""
+    from .ccitt import EOL, _Bits, _decode_2d_row, _row_bytes
+
+    bits = _Bits(data)
+    planes = []
+    for _ in range(n):
+        ref = [w, w]
+        rows = []
+        for _ in range(h):
+            if bits.eof():
+                raise PdfParseError("JBIG2 halftone: MMR stream truncated")
+            transitions = _decode_2d_row(bits, ref, w)
+            rows.append(
+                np.unpackbits(
+                    np.frombuffer(
+                        _row_bytes(transitions, w, True), np.uint8
+                    )
+                )[:w]
+            )
+            ref = transitions
+        if not (bits.try_eat(EOL) and bits.try_eat(EOL)):
+            raise PdfParseError("JBIG2 halftone: missing EOFB after plane")
+        planes.append(np.array(rows, np.uint8).reshape(h, w))
+    return planes
+
+
 def decode_halftone_region(
     payload: bytes, patterns: list[np.ndarray]
 ) -> tuple[np.ndarray, int, int, int]:
     """Halftone region segment (types 20/22/23): a grayscale cell image
-    decoded as Gray-coded generic bitplanes (one shared MQ decoder +
-    stats, C.5), then each cell's pattern stamped on the (possibly
-    skewed 8.8 fixed-point) halftone grid."""
+    decoded as Gray-coded bitplanes — one shared MQ decoder + stats
+    (C.5), or one bit-continuous MMR stream when HMMR=1 — optionally
+    with ENABLESKIP (cells stamping outside the region are not coded),
+    then each cell's pattern stamped on the (possibly skewed 8.8
+    fixed-point) halftone grid."""
     if len(payload) < 18 + 16:
         raise PdfParseError("JBIG2 short halftone region")
     w = _u32(payload, 0)
@@ -1136,10 +1328,8 @@ def decode_halftone_region(
     enable_skip = (flags >> 3) & 1
     h_comb_op = (flags >> 4) & 7
     def_pixel = (flags >> 7) & 1
-    if hmmr or enable_skip:
-        raise PdfParseError(
-            "JBIG2 halftone: MMR/ENABLESKIP coding unsupported"
-        )
+    if hmmr and enable_skip:
+        raise PdfParseError("JBIG2 halftone: HSKIP is MQ-only (6.6.5.1)")
     pos = 18
     hgw = _u32(payload, pos)
     hgh = _u32(payload, pos + 4)
@@ -1156,23 +1346,43 @@ def decode_halftone_region(
         raise PdfParseError("JBIG2 halftone: bad geometry")
     graymax = len(patterns) - 1
     bpp = max(1, graymax.bit_length())
-    # C.5: bitplanes MSB->LSB through ONE decoder/stats set, Gray-decoded
-    at = GB_AT_NOMINAL[template]
-    nbits = len(GB_TEMPLATES[template]) + len(at)
-    idx = bytearray(1 << nbits)
-    mps = bytearray(1 << nbits)
-    mq = MQDecoder(payload[pos:])
+    ph, pw = patterns[0].shape
+    skip = None
+    if enable_skip:
+        # HSKIP (6.6.5.1): cells whose pattern stamp lands entirely
+        # outside the region are never coded — same placement formula
+        # as the stamping loop below
+        mg = np.arange(hgh).reshape(-1, 1)
+        ng = np.arange(hgw).reshape(1, -1)
+        px = hgx + ((mg * hry + ng * hrx) >> 8)
+        py = hgy + ((mg * hrx - ng * hry) >> 8)
+        skip = (
+            (px + pw <= 0) | (px >= w) | (py + ph <= 0) | (py >= h)
+        ).astype(np.uint8)
+    if hmmr:
+        planes = _mmr_planes(payload[pos:], hgw, hgh, bpp)
+    else:
+        # C.5: bitplanes MSB->LSB through ONE decoder/stats set
+        at = GB_AT_NOMINAL[template]
+        nbits = len(GB_TEMPLATES[template]) + len(at)
+        idx = bytearray(1 << nbits)
+        mps = bytearray(1 << nbits)
+        mq = MQDecoder(payload[pos:])
+        planes = [
+            _decode_bitmap(
+                mq, idx, mps, hgw, hgh, template, at, False, skip=skip
+            )
+            for _ in range(bpp)
+        ]
     value = np.zeros((hgh, hgw), np.int32)
     prev = None
-    for j in range(bpp - 1, -1, -1):
-        plane = _decode_bitmap(mq, idx, mps, hgw, hgh, template, at, False)
+    for j, plane in zip(range(bpp - 1, -1, -1), planes):
         bit = plane if prev is None else (plane ^ prev)
         value |= bit.astype(np.int32) << j
         prev = bit
     np.minimum(value, graymax, out=value)
 
     region = np.full((h, w), def_pixel, np.uint8)
-    ph, pw = patterns[0].shape
     for mg in range(hgh):
         for ng in range(hgw):
             px = hgx + ((mg * hry + ng * hrx) >> 8)

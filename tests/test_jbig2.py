@@ -249,15 +249,36 @@ def test_symbol_dict_multiple_height_classes():
     assert (rows == 1 - page).all()
 
 
-def test_symbol_dict_huffman_refagg_raises():
-    """SDHUFF=1 is now implemented; the SDHUFF+SDREFAGG combination
-    (huffman dictionaries whose symbols are refinements) remains an
-    explicit row-level error."""
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_symbol_dict_huffman_refagg_roundtrip(rtemplate):
+    """SDHUFF+SDREFAGG (6.5.8.2, REFAGGNINST=1): huffman-coded height/
+    width classes whose symbols are byte-aligned MQ refinements of
+    pool symbols — including a chained refinement of a new symbol."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict_huffman
     from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
 
-    payload = (3).to_bytes(2, "big") + b"\x00" * 16  # SDHUFF+SDREFAGG
+    rng = np.random.RandomState(46)
+    base = (rng.rand(7, 9) < 0.4).astype(np.uint8)
+    t1 = base.copy(); t1[2, 3] ^= 1; t1[5, 7] ^= 1
+    t2 = t1.copy(); t2[0, 0] ^= 1  # refines the NEW symbol t1 (id 1)
+    payload = encode_refagg_symbol_dict_huffman(
+        [(t1, 0, 0, 0), (t2, 1, 1, -1)], [base], rtemplate=rtemplate
+    )
+    out = decode_symbol_dictionary(payload, [base])
+    assert len(out) == 2
+    assert (out[0] == t1).all()
+    assert (out[1] == t2).all()
+
+
+def test_symbol_dict_huffman_refagg_truncated_raises():
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict_huffman
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    base = np.eye(5, dtype=np.uint8)
+    t1 = base.copy(); t1[0, 4] ^= 1
+    payload = encode_refagg_symbol_dict_huffman([(t1, 0, 0, 0)], [base])
     with pytest.raises(PdfParseError):
-        decode_symbol_dictionary(payload, [])
+        decode_symbol_dictionary(payload[:-2], [base])
 
 
 @pytest.mark.parametrize("log_strips", [1, 2])
@@ -418,6 +439,84 @@ def test_halftone_region_roundtrip():
     assert (rows == 1 - page).all()
 
 
+def _halftone_fixture():
+    p0 = np.zeros((4, 4), np.uint8)
+    p1 = np.zeros((4, 4), np.uint8); p1[1:3, 1:3] = 1
+    p2 = np.zeros((4, 4), np.uint8); p2[0:3, 0:3] = 1
+    p3 = np.ones((4, 4), np.uint8)
+    patterns = [p0, p1, p2, p3]
+    rng = np.random.RandomState(7)
+    values = rng.randint(0, 4, (5, 6)).astype(np.int32)
+    return patterns, values
+
+
+def _run_halftone(patterns, values, w, h, **kw):
+    from pdf_ray.fixtures.jbig2enc import (
+        _page_info, _segment, _segment_ref,
+        encode_halftone_region, encode_pattern_dictionary,
+    )
+
+    stream = bytearray()
+    stream += _segment(0, 48, _page_info(w, h))
+    stream += _segment(1, 16, encode_pattern_dictionary(patterns))
+    stream += _segment_ref(
+        2, 22, [1], encode_halftone_region(values, patterns, w, h, **kw)
+    )
+    stream += _segment(3, 49, b"")
+    packed = decode_jbig2_embedded(bytes(stream))
+    return np.unpackbits(
+        np.frombuffer(packed, np.uint8).reshape(h, -1), axis=1
+    )[:, :w]
+
+
+def test_halftone_region_mmr():
+    """HMMR=1: bitplanes come from one bit-continuous MMR stream, each
+    terminated by an EOFB (C.5)."""
+    patterns, values = _halftone_fixture()
+    rows = _run_halftone(patterns, values, 24, 20, mmr=True)
+    page = np.zeros((20, 24), np.uint8)
+    for mg in range(5):
+        for ng in range(6):
+            page[mg * 4 : mg * 4 + 4, ng * 4 : ng * 4 + 4] |= patterns[
+                values[mg, ng]
+            ]
+    assert (rows == 1 - page).all()
+
+
+def test_halftone_region_enable_skip():
+    """ENABLESKIP: grid cells whose stamp lands entirely outside the
+    region are never coded; a negative grid origin pushes the first
+    row/column of cells out."""
+    patterns, values = _halftone_fixture()
+    rows = _run_halftone(
+        patterns, values, 16, 12, hgx=-6, hgy=-5, enable_skip=True
+    )
+    page = np.zeros((12, 16), np.uint8)
+    for mg in range(5):
+        for ng in range(6):
+            px, py = -6 + ng * 4, -5 + mg * 4
+            if px + 4 <= 0 or px >= 16 or py + 4 <= 0 or py >= 12:
+                continue  # decoder yields value 0 = blank pattern
+            x0, y0 = max(0, px), max(0, py)
+            x1, y1 = min(16, px + 4), min(12, py + 4)
+            page[y0:y1, x0:x1] |= patterns[values[mg, ng]][
+                y0 - py : y1 - py, x0 - px : x1 - px
+            ]
+    assert (rows == 1 - page).all()
+
+
+def test_halftone_skip_stream_is_smaller():
+    # sanity: ENABLESKIP really drops coded pixels (stream shrinks)
+    from pdf_ray.fixtures.jbig2enc import encode_halftone_region
+
+    patterns, values = _halftone_fixture()
+    full = encode_halftone_region(values, patterns, 16, 12, hgx=-6,
+                                  hgy=-5)
+    skip = encode_halftone_region(values, patterns, 16, 12, hgx=-6,
+                                  hgy=-5, enable_skip=True)
+    assert len(skip) < len(full)
+
+
 @pytest.mark.parametrize("rtemplate", [0, 1])
 def test_symbol_dict_refinement_aggregate(rtemplate):
     """SDREFAGG=1 (single-instance): new symbols decode as refinements
@@ -437,6 +536,52 @@ def test_symbol_dict_refinement_aggregate(rtemplate):
     assert len(out) == 2
     assert (out[0] == t1).all()
     assert (out[1] == t2).all()
+
+
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_symbol_dict_aggregate_multi_instance(rtemplate):
+    """REFAGGNINST > 1: an aggregate symbol decodes as a nested text
+    region over the pool (6.5.8.2.2) — plain and refined instances."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    rng = np.random.RandomState(44)
+    a = (rng.rand(5, 4) < 0.45).astype(np.uint8)
+    b = (rng.rand(5, 3) < 0.45).astype(np.uint8)
+    b_ref = b.copy()
+    b_ref[2, 1] ^= 1  # refined same-size variant
+    agg = np.zeros((6, 9), np.uint8)
+    agg[0:5, 0:4] |= a
+    agg[1:6, 5:8] |= b_ref
+    placements = [(0, 0, 0, 0, 0, None), (1, 5, 1, 0, 0, b_ref)]
+    payload = encode_refagg_symbol_dict(
+        [(agg, placements)], [a, b], rtemplate=rtemplate
+    )
+    out = decode_symbol_dictionary(payload, [a, b])
+    assert len(out) == 1
+    assert (out[0] == agg).all()
+
+
+def test_symbol_dict_aggregate_chain():
+    """Two aggregates in one dictionary: contexts are retained across
+    aggregates and the second may place the first (pool growth)."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    rng = np.random.RandomState(45)
+    a = (rng.rand(4, 4) < 0.5).astype(np.uint8)
+    agg1 = np.zeros((4, 7), np.uint8)
+    agg1[:, 0:4] |= a
+    agg1[:, 3:7] |= a
+    agg2 = np.zeros((5, 8), np.uint8)
+    agg2[0:4, 0:7] |= agg1
+    agg2[1:5, 1:8] |= agg1
+    p1 = [(0, 0, 0, 0, 0, None), (0, 3, 0, 0, 0, None)]
+    p2 = [(1, 0, 0, 0, 0, None), (1, 1, 1, 0, 0, None)]  # id 1 = agg1
+    payload = encode_refagg_symbol_dict([(agg1, p1), (agg2, p2)], [a])
+    out = decode_symbol_dictionary(payload, [a])
+    assert (out[0] == agg1).all()
+    assert (out[1] == agg2).all()
 
 
 def test_text_region_instance_refinement():
