@@ -1567,3 +1567,56 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# -- deterministic bottom-k uniform sample ------------------------------------
+
+BOTTOMK_K = 100
+
+
+def bottomk_sample(sf_dir: str, k: int = BOTTOMK_K):
+    """Exact-size uniform corpus sample without RNG state: the k documents
+    with the smallest md5(doc_id) — the classic bottom-k / KMV sampling
+    trick (reproducible across runs and engines, and mergeable: the
+    bottom-k of a union is the bottom-k of per-shard bottom-ks). Where
+    stratified_sample keeps a deterministic *rate* per stratum, this keeps
+    a deterministic exact *count* globally.
+
+    Shape: per-batch partial bottom-k (k rows out per block, everything
+    else dropped map-side) -> tiny driver merge of k x n_blocks rows.
+    No shuffle; the reduce input is O(k) per block regardless of corpus
+    size."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hv = [
+            _hl.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "hv": hv}
+        )
+        return out.sort_values(["hv", "doc_id"], kind="mergesort").head(k)
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(partial, batch_format="pandas")
+    return (
+        parts.to_pandas()  # <= k rows per block
+        .sort_values(["hv", "doc_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+register(
+    "bottomk_sample",
+    bottomk_sample,
+    f"""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hv
+    FROM documents
+    ORDER BY hv, doc_id
+    LIMIT {BOTTOMK_K}
+    """,
+)

@@ -673,3 +673,108 @@ register(
     FROM documents
     """,
 )
+
+# -- train/eval decontamination (training-data prep) -------------------------
+
+DECON_N = 4  # word n-gram size; real pipelines use 13 (GPT-3 appendix C),
+# but the synthetic corpus docs are ~40 tokens so 4 keeps the op non-trivial
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N):
+    """Train/eval decontamination: flag every TRAIN document that shares a
+    word ``n``-gram with the TEST split (the dataset_split assignment), and
+    count how many distinct n-grams of the doc are contaminated. The
+    standard pre-training hygiene pass (GPT-3 appendix C does this with
+    13-grams; the corpus here is short-doc synthetic so n=4).
+
+    Scale shape: the eval split of a benchmark is tiny by construction
+    (thousands of docs vs 10^12 train docs), so this is the canonical
+    broadcast-small-side pattern — pass 1 explodes the test split's
+    DISTINCT n-grams (per-batch dedup, driver union of the small string
+    set, one ``ray.put``); pass 2 is a pure map-side probe over train
+    docs (per-doc distinct n-grams vs the broadcast frozenset, vectorized
+    per batch, nothing shuffled). No join, no all-to-all."""
+    import hashlib as _hl
+
+    import ray
+
+    def _split_pct(doc_ids) -> np.ndarray:
+        return (
+            np.array(
+                [
+                    int(_hl.md5(str(int(d)).encode()).hexdigest()[:4], 16)
+                    for d in doc_ids
+                ],
+                dtype=np.int64,
+            )
+            * 100
+            // 65536
+        )
+
+    def _doc_ngrams(text: str) -> set[str]:
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def eval_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        pct = _split_pct(df["doc_id"])
+        grams: set[str] = set()
+        for text in df.loc[pct >= 90, "text"]:
+            grams |= _doc_ngrams(text)
+        return pd.DataFrame({"ng": sorted(grams)})
+
+    # pass 1: distinct test-split n-grams (small side), broadcast once
+    parts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_ngrams, batch_format="pandas"
+    )
+    eval_set = frozenset(parts.to_pandas()["ng"])
+    eval_ref = ray.put(eval_set)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        pct = _split_pct(df["doc_id"])
+        tr = df.loc[pct < 80]
+        ids: list[int] = []
+        hits: list[int] = []
+        for d, text in zip(tr["doc_id"], tr["text"]):
+            k = len(_doc_ngrams(text) & ev)
+            if k:
+                ids.append(int(d))
+                hits.append(k)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_contaminated_ngrams": pd.Series(hits, dtype="int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        probe, batch_format="pandas"
+    )
+
+
+register(
+    "decontaminate",
+    decontaminate,
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               * 100 // 65536 AS pct,
+             string_split(lower(text), ' ') tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, pct,
+             unnest(list_distinct(list_transform(
+                 range(1, len(tk) - {DECON_N - 2}),
+                 i -> list_aggregate(tk[i:i+{DECON_N - 1}],
+                                     'string_agg', ' ')))) ng
+      FROM s WHERE len(tk) >= {DECON_N}),
+    ev AS (SELECT DISTINCT ng FROM g WHERE pct >= 90)
+    SELECT g.doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+    FROM g JOIN ev USING (ng)
+    WHERE g.pct < 80
+    GROUP BY g.doc_id
+    """,
+)

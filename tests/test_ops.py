@@ -42,6 +42,8 @@ SUBSET = [
     "suppliers_by_region",
     "bpe_token_stats",
     "doc_rolling_fingerprint",
+    "decontaminate",
+    "bottomk_sample",
 ]
 
 
