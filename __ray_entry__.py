@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_recovered": p.pdf_extract_recovered,
         "pdf_span_text_dedup": p.pdf_span_text_dedup,
     }
+    from pdf_ray.ops import html_queries as h
+
+    q["html_main_content"] = h.html_main_content
+    q["html_doc_summary"] = h.html_doc_summary
     q.update(registry.QUERIES)
     return q
 
@@ -52,6 +56,9 @@ def oracle_sql() -> dict[str, str]:
     from pdf_ray.ops import registry
     from pdf_ray.ops.pdf_queries import PDF_ORACLE_SQL
 
+    from pdf_ray.ops.html_queries import HTML_ORACLE_SQL
+
     sql = dict(PDF_ORACLE_SQL)
+    sql.update(HTML_ORACLE_SQL)
     sql.update(registry.ORACLE_SQL)
     return sql

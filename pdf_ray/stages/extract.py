@@ -122,6 +122,18 @@ class ExtractStage:
                 pdf_bytes = self.resolver(ref)
                 if pdf_bytes is None:
                     raise KeyError(f"payload {ref!r} not found")
+                if ref.startswith("html://"):
+                    # HTML half of the main-content rule: boilerplate
+                    # strip + DOM heuristics (htmlcore). Dispatch is by
+                    # the corpus's payload-type scheme, never by content
+                    # sniff — a malformed PDF must stay a PDF error row.
+                    from ..htmlcore import extract_main_content
+
+                    for hsp in extract_main_content(pdf_bytes)["spans"]:
+                        kinds.append(hsp["kind"])
+                        texts.append(hsp["text"])
+                        refs.append(hsp["media_ref"])
+                    continue
                 doc = Document(pdf_bytes, recover=self.recover)
                 interp = Interpreter(
                     doc,
@@ -289,5 +301,51 @@ class ImageBlobStage(ExtractStage):
             {
                 "media_ref": pa.array(refs, pa.string()),
                 "png": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+
+class HtmlSummaryStage(ExtractStage):
+    """Per-document HTML boilerplate-strip summary: (doc_id, title,
+    n_kept, n_dropped, status) for docs whose media spans are HTML
+    payloads (``html://`` scheme). The classifier itself is total, so the
+    only error row is a missing payload. Same actor-pool shape and
+    broadcast payload store as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..htmlcore import extract_main_content
+
+        rows: dict[str, list] = {
+            "doc_id": [], "title": [], "n_kept": [], "n_dropped": [],
+            "status": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media" or not str(
+                    sp.get("media_ref") or ""
+                ).startswith("html://"):
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                rows["doc_id"].append(doc_id)
+                if blob is None:
+                    rows["title"].append(None)
+                    rows["n_kept"].append(-1)
+                    rows["n_dropped"].append(-1)
+                    rows["status"].append("error")
+                    continue
+                r = extract_main_content(blob)
+                rows["title"].append(r["title"])
+                rows["n_kept"].append(r["n_kept"])
+                rows["n_dropped"].append(r["n_dropped"])
+                rows["status"].append("ok")
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "title": pa.array(rows["title"], pa.string()),
+                "n_kept": pa.array(rows["n_kept"], pa.int32()),
+                "n_dropped": pa.array(rows["n_dropped"], pa.int32()),
+                "status": pa.array(rows["status"], pa.string()),
             }
         )
