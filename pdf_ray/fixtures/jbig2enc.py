@@ -933,8 +933,13 @@ def encode_refagg_symbol_dict_huffman(
     """SDHUFF=1 + SDREFAGG=1 dictionary (6.5.8.2 huffman, single
     instance): DH via B.4, DW via B.2, AGGINST/RSIZE via B.1, RDX/RDY
     via B.15, symbol ID as an SBSYMCODELEN-bit field, per-symbol
-    byte-aligned MQ refinement data. ``targets`` =
-    [(bitmap, ref_id, rdx, rdy)] sorted by ascending height."""
+    byte-aligned MQ refinement data. ``targets`` entries are either
+    ``(bitmap, ref_id, rdx, rdy)`` — single-instance (REFAGGNINST=1) —
+    or ``(bitmap, placements)`` with placements =
+    ``[(ref_id, s, t, rdx, rdy, refined_bm_or_None), ...]`` — a
+    REFAGGNINST>1 aggregate coded as a nested huffman text region per
+    6.5.8.2.2 Table 17 (FS=B.6, DS=B.8, DT=B.11, RD*=B.15, RSIZE=B.1).
+    Sorted by ascending height."""
     bw = BitWriter()
     enc_dh = _std_enc(4)
     enc_dw = _std_enc(2)
@@ -942,9 +947,59 @@ def encode_refagg_symbol_dict_huffman(
     enc_rdxy = _std_enc(15)
     enc_rsize = _std_enc(1)
     enc_ex = _std_enc(1)
+    enc_fs = _std_enc(6)
+    enc_ds = _std_enc(8)
+    enc_dt = _std_enc(11)
     n_new = len(targets)
     symcodelen = max(1, (max(1, len(input_symbols) + n_new) - 1).bit_length())
     pool = list(input_symbols)
+
+    def encode_aggregate_huffman(placements):
+        # nested huffman text region: SBSTRIPS=1, TOPLEFT, OR. B.11 (DT)
+        # encodes values >= 1 only, so pin the initial STRIPT field to 1
+        # (decoder negates: stript = -1) and emit dt = t + 1 - stript.
+        strips: dict[int, list[tuple]] = {}
+        for ref_id, s, t, rdx, rdy, rbm in placements:
+            strips.setdefault(t, []).append((s, ref_id, rdx, rdy, rbm))
+        enc_dt.encode(bw, 1)
+        stript = -1
+        firsts = 0
+        for t in sorted(strips):
+            enc_dt.encode(bw, t - stript)
+            stript = t
+            curs = 0
+            for j, (s, ref_id, rdx, rdy, rbm) in enumerate(
+                sorted(strips[t], key=lambda e: e[0])
+            ):
+                if j == 0:
+                    enc_fs.encode(bw, s - firsts)
+                    firsts = s
+                    curs = s
+                else:
+                    enc_ds.encode(bw, s - curs)
+                    curs = s
+                bw.write(ref_id, symcodelen)
+                bm = pool[ref_id]
+                if rbm is None:
+                    bw.write(0, 1)  # RI
+                else:
+                    bw.write(1, 1)
+                    rdw = rbm.shape[1] - bm.shape[1]
+                    rdh = rbm.shape[0] - bm.shape[0]
+                    enc_rdxy.encode(bw, rdw)
+                    enc_rdxy.encode(bw, rdh)
+                    enc_rdxy.encode(bw, rdx)
+                    enc_rdxy.encode(bw, rdy)
+                    data = encode_refinement_region_data(
+                        rbm, bm, rtemplate, GR_AT_NOMINAL, False,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    )
+                    enc_rsize.encode(bw, len(data))
+                    bw.align()
+                    bw.write_bytes(data)
+                    bm = rbm
+                curs += bm.shape[1] - 1
+            enc_ds.encode(bw, None)  # OOB ends the strip
     hcheight = 0
     i = 0
     while i < n_new:
@@ -953,6 +1008,15 @@ def encode_refagg_symbol_dict_huffman(
         hcheight = hgt
         symwidth = 0
         while i < n_new and targets[i][0].shape[0] == hcheight:
+            if len(targets[i]) == 2:  # aggregate form
+                bm, placements = targets[i]
+                enc_dw.encode(bw, bm.shape[1] - symwidth)
+                symwidth = bm.shape[1]
+                enc_agg.encode(bw, len(placements))  # REFAGGNINST
+                encode_aggregate_huffman(placements)
+                pool.append(bm)
+                i += 1
+                continue
             bm, ref_id, rdx, rdy = targets[i]
             enc_dw.encode(bw, bm.shape[1] - symwidth)
             symwidth = bm.shape[1]

@@ -420,6 +420,101 @@ def _sd_aggregate_text(
     return region
 
 
+def _sd_aggregate_text_huffman(
+    br, payload, w, h, n_inst, pool, symcodelen, rtemplate, r_at,
+):
+    """6.5.8.2.2 with SDHUFF=1: a REFAGGNINST > 1 aggregate symbol is a
+    nested HUFFMAN text region with the Table-17 fixed standard tables
+    (FS=B.6, DS=B.8, DT=B.11, RDW/RDH/RDX/RDY=B.15, RSIZE=B.1),
+    SBSTRIPS=1, TOPLEFT corner, OR composition, SBDSOFFSET=0. Symbol IDs
+    are fixed SBSYMCODELEN-bit fields (6.5.8.2.3 — the run-coded symbol
+    ID table is only read at real text region segments); each refined
+    instance carries a byte-aligned BMSIZE-byte MQ refinement stream
+    (6.4.11). B.11 has no OOB line: the loop terminates on the instance
+    count, with a per-strip DS OOB like the arithmetic variant."""
+    from . import jbig2_huffman as JH
+
+    tab_fs = JH.standard_table(6)
+    tab_ds = JH.standard_table(8)
+    tab_dt = JH.standard_table(11)
+    tab_rd = JH.standard_table(15)
+    tab_rsize = JH.standard_table(1)
+    region = np.zeros((h, w), np.uint8)
+    stript = tab_dt.decode(br)
+    if stript is JH.OOB:
+        raise PdfParseError("JBIG2 huffman aggregate: bad strip T")
+    stript = -stript
+    firsts = 0
+    ninst = 0
+    while ninst < n_inst:
+        dt = tab_dt.decode(br)
+        if dt is JH.OOB:
+            raise PdfParseError("JBIG2 huffman aggregate: bad strip delta")
+        stript += dt
+        dfs = tab_fs.decode(br)
+        if dfs is JH.OOB:
+            raise PdfParseError("JBIG2 huffman aggregate: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = tab_ds.decode(br)
+                if ids is JH.OOB:
+                    break  # end of strip
+                curs += ids
+            first = False
+            sym_id = br.bits(symcodelen)
+            if sym_id >= len(pool):
+                raise PdfParseError("JBIG2 huffman aggregate: symbol id range")
+            sym = pool[sym_id]
+            if br.bit():
+                rdw = tab_rd.decode(br)
+                rdh = tab_rd.decode(br)
+                rdx = tab_rd.decode(br)
+                rdy = tab_rd.decode(br)
+                if JH.OOB in (rdw, rdh, rdx, rdy):
+                    raise PdfParseError(
+                        "JBIG2 huffman aggregate: OOB refinement delta"
+                    )
+                nw, nh = sym.shape[1] + rdw, sym.shape[0] + rdh
+                if nw <= 0 or nh <= 0 or nw * nh > MAX_REGION_PIXELS:
+                    raise PdfParseError(
+                        "JBIG2 huffman aggregate: bad refined size"
+                    )
+                bmsize = tab_rsize.decode(br)
+                if bmsize is JH.OOB or bmsize <= 0:
+                    raise PdfParseError(
+                        "JBIG2 huffman aggregate: bad refinement size"
+                    )
+                br.align()
+                start = br.byte_pos()
+                data = payload[start : start + bmsize]
+                if len(data) < bmsize:
+                    raise PdfParseError(
+                        "JBIG2 huffman aggregate: refinement truncated"
+                    )
+                sym = decode_refinement_region(
+                    data, nw, nh, rtemplate, r_at or GR_AT_NOMINAL, sym,
+                    False, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                )
+                br.seek_byte(start + bmsize)
+            sh, sw = sym.shape
+            x0, y0 = curs, stript  # TOPLEFT
+            sx0, sy0 = max(0, -x0), max(0, -y0)
+            x0c, y0c = max(0, x0), max(0, y0)
+            x1c, y1c = min(w, x0 + sw), min(h, y0 + sh)
+            if x1c > x0c and y1c > y0c:
+                region[y0c:y1c, x0c:x1c] |= sym[
+                    sy0 : sy0 + (y1c - y0c), sx0 : sx0 + (x1c - x0c)
+                ]
+            curs += sw - 1
+            ninst += 1
+            if ninst > n_inst:
+                raise PdfParseError("JBIG2 huffman aggregate: overflow")
+    return region
+
+
 def decode_symbol_dictionary(
     payload: bytes, input_symbols: list[np.ndarray],
     tables: list | None = None,
@@ -666,11 +761,20 @@ def _decode_symbol_dictionary_huffman(
                 # 6.5.8.2 huffman: one refinement per symbol, no
                 # collective bitmap for this height class
                 n_inst = tab_agg.decode(br)
-                if n_inst is JH.OOB or n_inst != 1:
+                if n_inst is JH.OOB or n_inst < 1 or n_inst > 10_000:
                     raise PdfParseError(
-                        "JBIG2 symbol dictionary: huffman REFAGGNINST"
-                        " != 1 unsupported"
+                        "JBIG2 symbol dictionary: bad huffman REFAGGNINST"
                     )
+                if n_inst > 1:
+                    # 6.5.8.2.2: nested huffman text region (Table 17)
+                    new_syms.append(
+                        _sd_aggregate_text_huffman(
+                            br, payload, symwidth, hcheight, n_inst,
+                            list(input_symbols) + new_syms, symcodelen,
+                            rtemplate, r_at,
+                        )
+                    )
+                    continue
                 sym_id = br.bits(symcodelen)
                 rdx = tab_rdxy.decode(br)
                 rdy = tab_rdxy.decode(br)

@@ -761,3 +761,76 @@ def test_huffman_stream_truncation_raises_typed():
             decode_jbig2_embedded(good[:k])
         except PdfParseError:
             pass
+
+
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_symbol_dict_huffman_aggregate_multi_instance(rtemplate):
+    """SDHUFF + REFAGGNINST > 1: the aggregate decodes as a nested
+    HUFFMAN text region with the Table-17 standard tables (6.5.8.2.2) —
+    plain and refined instances, multiple strips."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict_huffman
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    rng = np.random.RandomState(47)
+    a = (rng.rand(5, 4) < 0.45).astype(np.uint8)
+    b = (rng.rand(5, 3) < 0.45).astype(np.uint8)
+    b_ref = b.copy()
+    b_ref[2, 1] ^= 1
+    agg = np.zeros((8, 9), np.uint8)
+    agg[0:5, 0:4] |= a
+    agg[1:6, 5:8] |= b_ref
+    agg[3:8, 2:6] |= a
+    placements = [
+        (0, 0, 0, 0, 0, None),
+        (1, 5, 1, 0, 0, b_ref),
+        (0, 2, 3, 0, 0, None),  # second strip
+    ]
+    payload = encode_refagg_symbol_dict_huffman(
+        [(agg, placements)], [a, b], rtemplate=rtemplate
+    )
+    out = decode_symbol_dictionary(payload, [a, b])
+    assert len(out) == 1
+    assert (out[0] == agg).all()
+
+
+def test_symbol_dict_huffman_aggregate_chain_and_mix():
+    """Huffman aggregates chained with single-instance refinements in
+    one dictionary; the second aggregate places the first (pool
+    growth), and ids stay SBSYMCODELEN-bit fixed-length fields."""
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict_huffman
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    rng = np.random.RandomState(48)
+    a = (rng.rand(4, 4) < 0.5).astype(np.uint8)
+    t1 = a.copy(); t1[1, 2] ^= 1  # single-instance refinement (id 0)
+    agg1 = np.zeros((4, 7), np.uint8)
+    agg1[:, 0:4] |= a
+    agg1[:, 3:7] |= t1
+    agg2 = np.zeros((5, 8), np.uint8)
+    agg2[0:4, 0:7] |= agg1
+    agg2[1:5, 1:8] |= agg1
+    p1 = [(0, 0, 0, 0, 0, None), (1, 3, 0, 0, 0, None)]  # id 1 = t1
+    p2 = [(2, 0, 0, 0, 0, None), (2, 1, 1, 0, 0, None)]  # id 2 = agg1
+    payload = encode_refagg_symbol_dict_huffman(
+        [(t1, 0, 0, 0), (agg1, p1), (agg2, p2)], [a]
+    )
+    out = decode_symbol_dictionary(payload, [a])
+    assert len(out) == 3
+    assert (out[0] == t1).all()
+    assert (out[1] == agg1).all()
+    assert (out[2] == agg2).all()
+
+
+def test_symbol_dict_huffman_aggregate_truncated_raises():
+    from pdf_ray.fixtures.jbig2enc import encode_refagg_symbol_dict_huffman
+    from pdf_ray.pdfcore.jbig2 import decode_symbol_dictionary
+
+    base = np.eye(5, dtype=np.uint8)
+    agg = np.zeros((5, 9), np.uint8)
+    agg[:, 0:5] |= base
+    agg[:, 4:9] |= base
+    p = [(0, 0, 0, 0, 0, None), (0, 4, 0, 0, 0, None)]
+    payload = encode_refagg_symbol_dict_huffman([(agg, p)], [base])
+    for cut in (1, 2, 4):
+        with pytest.raises(PdfParseError):
+            decode_symbol_dictionary(payload[:-cut], [base])
