@@ -20,7 +20,14 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None):
 
 
 def _load_all():
-    from . import dedup, relational, simsearch, sketches, textstats  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        relational,
+        simsearch,
+        sketches,
+        substring,
+        textstats,
+    )
 
 
 _load_all()

@@ -44,6 +44,7 @@ SUBSET = [
     "doc_rolling_fingerprint",
     "decontaminate",
     "bottomk_sample",
+    "duplicate_ngram_windows",
 ]
 
 
