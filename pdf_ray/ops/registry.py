@@ -21,6 +21,7 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None):
 
 def _load_all():
     from . import (  # noqa: F401
+        cluster,
         dedup,
         relational,
         simsearch,

@@ -45,6 +45,8 @@ SUBSET = [
     "decontaminate",
     "bottomk_sample",
     "duplicate_ngram_windows",
+    "semantic_kmeans",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -275,3 +277,27 @@ def test_rolling_fingerprint_survives_local_edit(ray_session, tmp_path):
     e = dict(zip(exact["doc_id"], exact["fingerprint"]))
     assert r[1] == r[2]      # rolling sketch collides for the revision
     assert e[1] != e[2]      # exact fingerprint separates them
+
+
+def test_semantic_dedup_pairs_are_within_cluster_near_dups(ray_session):
+    """Every emitted pair must share its final k-means cell and have true
+    float cosine >= tau (0.3) up to quantization slack."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+
+    pairs = to_pandas(m.queries()["semantic_dedup_pairs"](SF))
+    km = to_pandas(m.queries()["semantic_kmeans"](SF))
+    cl = dict(zip(km["vec_id"], km["cluster"]))
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    row = {int(v): i for i, v in enumerate(ids)}
+    assert len(pairs) > 0
+    for a, b, c in pairs[["vec_a", "vec_b", "cluster"]].itertuples(index=False):
+        assert cl[a] == cl[b] == c
+        cos = float(M[row[a]] @ M[row[b]])
+        assert cos >= 0.3 - 1e-5, (a, b, cos)
