@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_actualtext_spans": p.pdf_actualtext_spans,
         "pdf_extract_recovered": p.pdf_extract_recovered,
         "pdf_span_text_dedup": p.pdf_span_text_dedup,
+        "pdf_structure_text": p.pdf_structure_text,
+        "pdf_main_content": p.pdf_main_content,
     }
     from pdf_ray.ops import html_queries as h
 

@@ -1425,6 +1425,72 @@ def f32_actualtext():
     return b.build(1), _t("Before", "Tele-", "vision", "hy-", "phen", "After")
 
 
+# hand-written logical-structure golden for f39 (DFS element order over
+# the tree: Document=0 owns no MCIDs, Chap->H1 via RoleMap=1, P=2):
+# (elem_order, role, page_index, text)
+F39_STRUCTURE = [
+    (1, "H1", 0, "Title"),
+    (2, "P", 0, "Hello world."),
+]
+
+
+def f39_tagged_structure():
+    """Tagged PDF (PDF 32000-1 §14.7-14.8): a pagination /Artifact header,
+    an /H1 (via single-hop /RoleMap from /Chap) and a /P whose two
+    marked-content sequences are PAINTED out of logical order — the
+    structure tree, not the content stream, carries reading order. The
+    /P references MCID 1 directly and MCID 2 through an /MCR dict. RAW
+    span parity = paint order including the artifact (the reference
+    never walks StructTreeRoot, src/catalog.rs)."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(
+        4,
+        b"",
+        b"/Artifact << /Type /Pagination >> BDC "
+        b"BT /F1 9 Tf 72 770 Td (Page 1 of 1) Tj ET "
+        b"EMC "
+        b"/P << /MCID 2 >> BDC "
+        b"BT /F1 12 Tf 72 660 Td (world.) Tj ET "
+        b"EMC "
+        b"/H1 << /MCID 0 >> BDC "
+        b"BT /F1 18 Tf 72 720 Td (Title) Tj ET "
+        b"EMC "
+        b"/P << /MCID 1 >> BDC "
+        b"BT /F1 12 Tf 72 680 Td (Hello) Tj ET "
+        b"EMC",
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        6,
+        b"<< /Type /StructTreeRoot /K 7 0 R "
+        b"/RoleMap << /Chap /H1 >> >>",
+    )
+    b.add(7, b"<< /S /Document /P 6 0 R /Pg 3 0 R /K [8 0 R 9 0 R] >>")
+    b.add(8, b"<< /S /Chap /P 7 0 R /Pg 3 0 R /K 0 >>")
+    b.add(
+        9,
+        b"<< /S /P /P 7 0 R /Pg 3 0 R "
+        b"/K [1 << /Type /MCR /Pg 3 0 R /MCID 2 >>] >>",
+    )
+    return b.build(1), _t("Page 1 of 1", "world.", "Title", "Hello")
+
+
+# hand-written ARTIFACT-STRIPPED span expectations (pdf_main_content):
+# fixtures not listed are identical to their raw golden; only f17 and f39
+# paint /Artifact-scoped text (headers the main-content rule drops).
+MAIN_OVERRIDES: dict[str, list] = {
+    "f17": _t("Marked two", "After paths"),
+    "f39": _t("world.", "Title", "Hello"),
+}
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
@@ -1475,4 +1541,5 @@ FIXTURES = {
     "f36": f36_jbig2_text_region,
     "f37": f37_jbig2_huffman_text,
     "f38": f38_jpx_image,
+    "f39": f39_tagged_structure,
 }

@@ -20,7 +20,7 @@ FIXTURES_DIR = os.path.join(
 
 
 def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False,
-          recover=False):
+          recover=False, strip_artifacts=False):
     import ray
     import ray.data as rd
 
@@ -38,6 +38,7 @@ def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False,
         apply_tounicode=apply_tounicode,
         apply_actual_text=apply_actual_text,
         recover=recover,
+        strip_artifacts=strip_artifacts,
     )
 
 
@@ -312,6 +313,63 @@ def pdf_outlines(sf_dir: str | None = None):
     )
 
 
+def pdf_structure_text(sf_dir: str | None = None):
+    """Tagged-PDF logical-structure extraction: /StructTreeRoot DFS with
+    per-element text assembled from its /MCID marked-content sequences —
+    reading order as tagged, independent of paint order (the reference
+    captures the StructTreeRoot ref and never walks it, src/catalog.rs).
+    Oracle: the hand-written F39_STRUCTURE golden expanded per replica."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import StructureStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        StructureStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _structure_oracle() -> str:
+    from ..fixtures.corpus import F39_STRUCTURE
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for order, role, page, text in F39_STRUCTURE:
+            rows.append(
+                f"SELECT 'f39-{r:04d}' AS doc_id, {order}::INT AS elem_order, "
+                f"'{role}' AS role, {page}::INT AS page_index, '{text}' AS text"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS elem_order, "
+                f"'__error__' AS role, -1::INT AS page_index, '{msg}' AS text"
+            )
+    return " UNION ALL ".join(rows)
+
+
+def pdf_main_content(sf_dir: str | None = None):
+    """Artifact-stripped extraction (PDF main-content rule): spans painted
+    inside /Artifact marked-content scopes — page headers, footers,
+    pagination — are dropped and span order is re-enumerated, the PDF
+    analogue of the HTML boilerplate strip. Oracle: golden_main parquet
+    (hand-written MAIN_OVERRIDES for the artifact-bearing fixtures,
+    identical to raw goldens elsewhere)."""
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load(strip_artifacts=True))
+
+
 def _outlines_oracle() -> str:
     from ..fixtures.corpus import F31_OUTLINES
     from ..fixtures.tables import DEFAULT_REPLICAS
@@ -451,6 +509,14 @@ PDF_ORACLE_SQL["pdf_span_text_dedup"] = f"""
     WHERE s.kind = 'text'
     GROUP BY 1
 """
+GOLDEN_MAIN = os.path.join(FIXTURES_DIR, "golden_main.parquet")
+PDF_ORACLE_SQL["pdf_main_content"] = f"""
+    SELECT doc_id, s.kind AS kind, s.text AS text,
+           s.media_ref AS media_ref, s."order" AS "order"
+    FROM (SELECT doc_id, unnest(spans) AS s
+          FROM read_parquet('{GOLDEN_MAIN}'))
+"""
+PDF_ORACLE_SQL["pdf_structure_text"] = _structure_oracle()
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
 PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()

@@ -98,6 +98,7 @@ class Interpreter:
         compute_positions: bool = False,
         apply_tounicode: bool = False,
         apply_actual_text: bool = False,
+        collect_mcids: bool = False,
     ):
         self.doc = doc
         self.collect_images = collect_images
@@ -109,10 +110,37 @@ class Interpreter:
         # 32000-1 §14.9.4 — the reference only tracks the tag stack,
         # src/render/mod.rs:1486-1520)
         self.apply_actual_text = apply_actual_text
+        # optional (OFF for parity): record, per emitted span, the page
+        # index, innermost marked-content /MCID and whether any enclosing
+        # scope is tagged /Artifact (PDF 32000-1 §14.6/14.8) — the inputs
+        # for tagged-PDF logical structure + artifact stripping. The
+        # reference captures none of this (tag stack only).
+        self.collect_mcids = collect_mcids
         self.spans: list[tuple[str, str | None, str | None]] = []
+        # parallels self.spans one-to-one while collect_mcids is on (only
+        # valid if self.spans isn't mutated externally)
+        self.span_marks: list[tuple[int, int, bool]] = []
+        self._page_idx = -1
         self.images: dict[str, bytes] = {}
         self._font_widths = None  # lazy per-Tf width lookup
         self._font_info = None  # FontInfo for unicode enrichment
+
+    def _append_span(self, kind, text, ref) -> None:
+        self.spans.append((kind, text, ref))
+        if self.collect_mcids:
+            mcid, artifact = -1, False
+            for entry in reversed(self.marked):  # innermost MCID wins
+                if isinstance(entry, dict):  # ActualText scope
+                    tag, props = entry.get("tag"), entry.get("props")
+                else:
+                    tag, props = entry
+                if str(tag) == "Artifact":
+                    artifact = True
+                if mcid < 0 and isinstance(props, dict):
+                    m = props.get("MCID")
+                    if isinstance(m, int) and not isinstance(m, bool):
+                        mcid = m
+            self.span_marks.append((self._page_idx, mcid, artifact))
 
     # -- entry point ---------------------------------------------------------
 
@@ -127,6 +155,7 @@ class Interpreter:
     def _run_page(self, page: Page) -> None:
         content = self.doc.page_content(page)
         resources = page.resources if isinstance(page.resources, dict) else {}
+        self._page_idx += 1
         self.ts = TextState()
         self.gs_stack: list[tuple] = []
         self.ctm = IDENTITY
@@ -173,13 +202,13 @@ class Interpreter:
                 # first show inside the scope; further shows are suppressed
                 if not scope["emitted"]:
                     scope["emitted"] = True
-                    self.spans.append(("text", scope["text"], None))
+                    self._append_span("text", scope["text"], None)
                 return
         if self.apply_tounicode and self._font_info is not None:
             from .fonts import unicode_text
 
             text = unicode_text(self._font_info, text)
-        self.spans.append(("text", text, None))
+        self._append_span("text", text, None)
 
     def _actual_text_scope(self):
         """OUTERMOST enclosing marked-content entry carrying /ActualText —
@@ -276,7 +305,7 @@ class Interpreter:
         ref = media_ref_for_pixels(w, h, rgb)
         if self.collect_images and ref not in self.images:
             self.images[ref] = encode_png(w, h, rgb)
-        self.spans.append(("image", None, ref))
+        self._append_span("image", None, ref)
 
     def _run_form(self, form: Stream, outer_resources: dict) -> None:
         """src/render/mod.rs:178-202: push gs, apply form Matrix, swap
@@ -400,7 +429,7 @@ class Interpreter:
             elif op == "BDC":
                 props = self._pop()
                 tag = self._pop_name()
-                if self.apply_actual_text:
+                if self.apply_actual_text or self.collect_mcids:
                     if isinstance(props, Name):  # /Properties resource ref
                         props_res = self.doc.resolve(
                             resources.get("Properties", NULL)
@@ -417,11 +446,18 @@ class Interpreter:
                         if isinstance(pdict, dict)
                         else None
                     )
-                    if isinstance(at, str):
+                    if self.apply_actual_text and isinstance(at, str):
                         self.marked.append(
-                            {"text": at, "emitted": False, "tag": tag}
+                            {
+                                "text": at,
+                                "emitted": False,
+                                "tag": tag,
+                                "props": pdict if isinstance(pdict, dict) else None,
+                            }
                         )
                         continue
+                    self.marked.append((tag, pdict))
+                    continue
                 self.marked.append((tag, props))
             elif op == "EMC":
                 if self.marked:
@@ -433,10 +469,10 @@ class Interpreter:
                     if isinstance(entry, dict) and not entry["emitted"]:
                         outer = self._actual_text_scope()
                         if outer is None:
-                            self.spans.append(("text", entry["text"], None))
+                            self._append_span("text", entry["text"], None)
                         elif not outer["emitted"]:
                             outer["emitted"] = True
-                            self.spans.append(("text", outer["text"], None))
+                            self._append_span("text", outer["text"], None)
             elif op == "BI":
                 pass  # key/value objects accumulate on the stack until ID
             elif op == "ID":

@@ -37,6 +37,7 @@ def extract_dataset(
     apply_tounicode: bool = False,
     apply_actual_text: bool = False,
     recover: bool = False,
+    strip_artifacts: bool = False,
 ):
     """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
     ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
@@ -51,6 +52,7 @@ def extract_dataset(
             "apply_tounicode": apply_tounicode,
             "apply_actual_text": apply_actual_text,
             "recover": recover,
+            "strip_artifacts": strip_artifacts,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

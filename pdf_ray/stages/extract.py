@@ -39,6 +39,7 @@ class ExtractStage:
         apply_tounicode=False,
         apply_actual_text=False,
         recover=False,
+        strip_artifacts=False,
     ):
         if payloads is not None:
             import ray
@@ -53,6 +54,11 @@ class ExtractStage:
         self.apply_tounicode = apply_tounicode
         self.apply_actual_text = apply_actual_text
         self.recover = recover
+        # main-content mode: drop spans painted inside /Artifact
+        # marked-content scopes (page headers/footers/pagination — the PDF
+        # analogue of the HTML boilerplate strip); span order is
+        # re-enumerated over the kept sequence
+        self.strip_artifacts = strip_artifacts
         # font-program cache shared across all rows this actor processes
         # (reference reloads fonts per draw_text call — SURVEY §2.5);
         # LRU-bounded so adversarial corpora can't grow the actor heap
@@ -141,14 +147,18 @@ class ExtractStage:
                     font_cache=self.font_cache,
                     apply_tounicode=self.apply_tounicode,
                     apply_actual_text=self.apply_actual_text,
+                    collect_mcids=self.strip_artifacts,
                 )
                 for page in doc.pages:
                     interp._run_page(page)
-                for k, text, mref in interp.spans:
+                for i, (k, text, mref) in enumerate(interp.spans):
+                    if self.strip_artifacts and interp.span_marks[i][2]:
+                        continue
                     kinds.append(k)
                     texts.append(text)
                     refs.append(mref)
                 interp.spans.clear()
+                interp.span_marks.clear()
             else:
                 raise ValueError(f"bad input span kind {kind!r}")
         orders.extend(range(len(kinds) - start))
@@ -347,5 +357,58 @@ class HtmlSummaryStage(ExtractStage):
                 "n_kept": pa.array(rows["n_kept"], pa.int32()),
                 "n_dropped": pa.array(rows["n_dropped"], pa.int32()),
                 "status": pa.array(rows["status"], pa.string()),
+            }
+        )
+
+
+class StructureStage(ExtractStage):
+    """Variant that emits TAGGED-STRUCTURE rows (doc_id, elem_order, role,
+    page_index, text): the /StructTreeRoot depth-first walk with each
+    element's text assembled from its marked-content sequences — logical
+    reading order, independent of paint order (pdfcore/structure.py; the
+    reference captures the StructTreeRoot ref and never walks it,
+    src/catalog.rs). Same actor-pool shape and poison containment as
+    ExtractStage; untagged docs emit nothing."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.structure import structure_text
+
+        rows: dict[str, list] = {
+            "doc_id": [], "elem_order": [], "role": [],
+            "page_index": [], "text": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for el in structure_text(doc):
+                        rows["doc_id"].append(doc_id)
+                        rows["elem_order"].append(el["order"])
+                        rows["role"].append(el["role"])
+                        rows["page_index"].append(el["page_index"])
+                        rows["text"].append(el["text"])
+                except Exception as e:
+                    # explicit error marker row, like Annotation/Outline
+                    rows["doc_id"].append(doc_id)
+                    rows["elem_order"].append(-1)
+                    rows["role"].append("__error__")
+                    rows["page_index"].append(-1)
+                    rows["text"].append(
+                        f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "elem_order": pa.array(rows["elem_order"], pa.int32()),
+                "role": pa.array(rows["role"], pa.string()),
+                "page_index": pa.array(rows["page_index"], pa.int32()),
+                "text": pa.array(rows["text"], pa.string()),
             }
         )

@@ -157,7 +157,7 @@ def test_image_blob_pipeline(ray_session):
     from pdf_ray.fixtures.tables import build_corpus
     from pdf_ray.pipelines.extract import extract_image_blobs
 
-    docs, ptbl, golden, _ = build_corpus(replicas=2)
+    docs, ptbl, golden, _, _ = build_corpus(replicas=2)
     payloads = dict(
         zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
     )

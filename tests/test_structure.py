@@ -1,0 +1,82 @@
+"""Tagged-PDF structure-tree extraction (pdfcore/structure.py) and
+artifact stripping (ExtractStage strip_artifacts)."""
+
+from pdf_ray.fixtures.corpus import F39_STRUCTURE, f39_tagged_structure
+from pdf_ray.pdfcore.document import Document
+from pdf_ray.pdfcore.interp import Interpreter
+from pdf_ray.pdfcore.structure import structure_text
+
+
+def test_f39_structure_matches_hand_golden():
+    pdf, _ = f39_tagged_structure()
+    rows = structure_text(Document(pdf))
+    got = [(r["order"], r["role"], r["page_index"], r["text"]) for r in rows]
+    assert got == F39_STRUCTURE
+
+
+def test_f39_raw_parity_and_marks():
+    """Raw spans stay paint-ordered (parity); marks identify the artifact
+    and the innermost MCIDs."""
+    pdf, golden = f39_tagged_structure()
+    doc = Document(pdf)
+    interp = Interpreter(doc, collect_mcids=True)
+    assert interp.run() == golden
+    assert interp.span_marks == [
+        (0, -1, True),   # artifact header, no MCID
+        (0, 2, False),
+        (0, 0, False),
+        (0, 1, False),
+    ]
+
+
+def test_untagged_doc_has_no_structure():
+    from pdf_ray.fixtures.corpus import f01_minimal_tj
+
+    pdf, _ = f01_minimal_tj()
+    assert structure_text(Document(pdf)) == []
+
+
+def test_structure_cycle_guard():
+    """A structure element whose /K points back at an ancestor must not
+    loop forever."""
+    from pdf_ray.fixtures.builder import PdfBuilder
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(
+        4, b"", b"/P << /MCID 0 >> BDC BT /F1 12 Tf (x) Tj ET EMC"
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(6, b"<< /Type /StructTreeRoot /K 7 0 R >>")
+    b.add(7, b"<< /S /Sect /K [8 0 R] >>")
+    b.add(8, b"<< /S /P /Pg 3 0 R /K [0 7 0 R] >>")  # cycle back to 7
+    rows = structure_text(Document(b.build(1)))
+    assert [(r["role"], r["text"]) for r in rows] == [("P", "x")]
+
+
+def test_artifact_strip_nested_scope():
+    """Artifact stripping drops nested scopes painted inside an /Artifact
+    (any enclosing Artifact wins) while keeping surrounding content."""
+    from pdf_ray.fixtures.corpus import simple_page_pdf
+
+    content = (
+        b"BT /F1 12 Tf (keep1) Tj ET "
+        b"/Artifact BMC "
+        b"BT /F1 12 Tf (drop1) Tj ET "
+        b"/P << /MCID 0 >> BDC BT /F1 12 Tf (drop2) Tj ET EMC "
+        b"EMC "
+        b"BT /F1 12 Tf (keep2) Tj ET"
+    )
+    doc = Document(simple_page_pdf(content))
+    interp = Interpreter(doc, collect_mcids=True)
+    spans = interp.run()
+    kept = [
+        s[1] for s, m in zip(spans, interp.span_marks) if not m[2]
+    ]
+    assert kept == ["keep1", "keep2"]
