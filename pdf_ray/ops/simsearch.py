@@ -293,3 +293,144 @@ def _ivf_oracle(dim: int = 64) -> str:
 
 
 register("knn_ivf", knn_ivf, _ivf_oracle())
+
+
+# -- all-pairs nearest neighbor (exact integer squared-L2) -------------------
+
+NN_CHUNKS = 4
+NN_BUCKETS = 64
+
+
+def nearest_neighbor(sf_dir: str):
+    """Every vector's exact nearest neighbor by squared L2 on quantized
+    int64 components (monotone in true L2 up to quantization; integer
+    arithmetic end-to-end so the result hashes identically to the SQL
+    replay — no float argmin boundary flips).
+
+    Shape: the same blocked chunk-pair join as dedup_embedding_cosine —
+    vectors chunked by vec_id %% C, each (a, b) chunk-pair group computes
+    one cross distance matrix and emits per-vector PARTIAL minima (both
+    sides), then a fixed-fan-in bucketed reduce takes the global min per
+    vector (ties -> lowest neighbor id). Per-task memory O((n/C)^2),
+    all-pairs work inherent to exact NN; C scales with the corpus."""
+    import pyarrow as pa
+
+    from .cluster import _quantize_table
+
+    C = NN_CHUNKS
+    emb = _read_embeddings(sf_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("vec_id").to_numpy()
+        c = ids % C
+        idx = np.repeat(np.arange(n), C)
+        peer = np.tile(np.arange(C, dtype=np.int64), n)
+        cc = c[idx]
+        lo = np.minimum(cc, peer)
+        hi = np.maximum(cc, peer)
+        rep = t.take(pa.array(idx))
+        return rep.append_column(
+            "gid", pa.array((lo * C + hi).astype("int64"))
+        ).append_column("chunk", pa.array(cc.astype("int64")))
+
+    def group_minima(g: pd.DataFrame) -> pd.DataFrame:
+        gid = int(g["gid"].iloc[0])
+        a, b = gid // C, gid % C
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "nn_id": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+            }
+        )
+
+        def side(chunk):
+            s = g[g["chunk"] == chunk]
+            if not len(s):
+                return None, None
+            ids = s["vec_id"].to_numpy()
+            Q = np.stack(s["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(Q * 1_000_000 + 0.5).astype(np.int64)
+            return ids, Q
+
+        ids_a, Qa = side(a)
+        if ids_a is None:
+            return empty
+        na2 = (Qa * Qa).sum(axis=1)
+        if a == b:
+            if len(ids_a) < 2:
+                return empty
+            d2 = na2[:, None] + na2[None, :] - 2 * (Qa @ Qa.T)
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+            rows = [(ids_a, ids_a, d2)]
+        else:
+            ids_b, Qb = side(b)
+            if ids_b is None:
+                return empty
+            nb2 = (Qb * Qb).sum(axis=1)
+            d2 = na2[:, None] + nb2[None, :] - 2 * (Qa @ Qb.T)
+            rows = [(ids_a, ids_b, d2), (ids_b, ids_a, d2.T)]
+        out_v, out_n, out_d = [], [], []
+        for vids, nids, m in rows:
+            # per-row min with lowest-id tie-break: order candidate cols
+            # by (d2, nn_id) via lexsort once per matrix
+            order = np.argsort(nids, kind="stable")
+            m2 = m[:, order]
+            j = np.argmin(m2, axis=1)  # first min = lowest nn_id
+            out_v.append(vids)
+            out_n.append(nids[order][j])
+            out_d.append(m2[np.arange(len(vids)), j])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v).astype("int64"),
+                "nn_id": np.concatenate(out_n).astype("int64"),
+                "d2": np.concatenate(out_d).astype("int64"),
+            }
+        )
+
+    partials = (
+        emb.map_batches(expand, batch_format="pyarrow")
+        .groupby("gid")
+        .map_groups(group_minima, batch_format="pandas")
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((v % NN_BUCKETS).astype("int32"))
+        )
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "d2", "nn_id"], kind="mergesort")
+        return g.drop_duplicates("vec_id")[["vec_id", "nn_id", "d2"]]
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_min(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "nearest_neighbor",
+    nearest_neighbor,
+    """
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                    AS BIGINT)) AS qv
+               FROM embeddings),
+    d AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                 list_sum(list_transform(range(1, 65),
+                     i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2
+          FROM q a JOIN q b ON a.vec_id <> b.vec_id)
+    SELECT vec_id, nn_id, d2::BIGINT AS d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, nn_id) AS rn
+        FROM d) WHERE rn = 1
+    """,
+)

@@ -36,19 +36,26 @@ def _read_documents(sf_dir: str, columns=None):
 
 
 def _explode_windows(batch: pa.Table) -> pa.Table:
-    """doc rows -> one (bucket, window, doc_id, n_pos) row per DISTINCT
+    """doc rows -> one (bucket, win_hash, doc_id, n_pos) row per DISTINCT
     5-token window (n_pos = number of positions showing it). Docs with
-    fewer than 5 tokens emit a zero marker row (window='' is unreachable
-    for real windows — joining 5 tokens always yields >= 4 chars) so
-    every doc survives to the final rollup."""
+    fewer than 5 tokens emit a zero marker row (hash 0 collides with
+    nothing that matters: its dup flag is multiplied by n_pos=0) so every
+    doc survives to the final rollup.
+
+    The shuffle key is the window's 64-bit md5 prefix, not the window
+    string — ~5x fewer shuffle bytes and an int64 groupby downstream.
+    (Counts would only drift on a 64-bit collision between two distinct
+    windows sharing a hash bucket AND a doc overlap — ~n^2/2^64; the SQL
+    oracle stays exact-equal at any realistic corpus size.)"""
     doc_ids, wins, n_pos = [], [], []
+    md5 = hashlib.md5
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         toks = text.lower().split(" ")
         if len(toks) < WINDOW_TOKENS:
             doc_ids.append(doc_id)
-            wins.append("")
+            wins.append(0)
             n_pos.append(0)
             continue
         counts: dict[str, int] = {}
@@ -57,17 +64,16 @@ def _explode_windows(batch: pa.Table) -> pa.Table:
             counts[w] = counts.get(w, 0) + 1
         for w, c in counts.items():
             doc_ids.append(doc_id)
-            wins.append(w)
+            wins.append(
+                int.from_bytes(md5(w.encode()).digest()[:8], "little", signed=True)
+            )
             n_pos.append(c)
-    bucket = [
-        int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
-        % N_WINDOW_BUCKETS
-        for w in wins
-    ]
+    win_arr = np.asarray(wins, dtype=np.int64)
+    bucket = (win_arr % N_WINDOW_BUCKETS).astype("int32")
     return pa.table(
         {
-            "bucket": pa.array(bucket, pa.int32()),
-            "win": pa.array(wins, pa.string()),
+            "bucket": pa.array(bucket),
+            "win": pa.array(win_arr),
             "doc_id": pa.array(doc_ids, pa.int64()),
             "n_pos": pa.array(n_pos, pa.int64()),
         }

@@ -778,3 +778,54 @@ register(
     GROUP BY g.doc_id
     """,
 )
+
+
+def lang_source_rollup(sf_dir: str):
+    """GROUPING-SETS rollup in ONE streaming pass: per-batch partials are
+    emitted for all four grouping sets — (lang, source), (lang), (source),
+    () — with '__all__' sentinels, so the wide input is reduced 4x inside
+    map_batches and a single tiny groupby finishes the job (one shuffle
+    for the whole cube, not one per level)."""
+    from ray.data.aggregate import Sum
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for keys in ((["lang", "source"]), (["lang"]), (["source"]), ([])):
+            if keys:
+                g = df.groupby(keys, as_index=False).agg(
+                    part_docs=("doc_id", "count"), part_chars=("n_chars", "sum")
+                )
+            else:
+                g = pd.DataFrame(
+                    {
+                        "part_docs": [len(df)],
+                        "part_chars": [df["n_chars"].sum()],
+                    }
+                )
+            for col in ("lang", "source"):
+                if col not in g.columns:
+                    g[col] = "__all__"
+            outs.append(g[["lang", "source", "part_docs", "part_chars"]])
+        return pd.concat(outs, ignore_index=True)
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        partials, batch_format="pandas"
+    )
+    return ds.groupby(["lang", "source"]).aggregate(
+        Sum("part_docs", alias_name="n_docs"),
+        Sum("part_chars", alias_name="total_chars"),
+    )
+
+
+register(
+    "lang_source_rollup",
+    lang_source_rollup,
+    """
+    SELECT coalesce(lang, '__all__') AS lang,
+           coalesce(source, '__all__') AS source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+)

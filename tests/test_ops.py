@@ -47,6 +47,8 @@ SUBSET = [
     "duplicate_ngram_windows",
     "semantic_kmeans",
     "semantic_dedup_pairs",
+    "lang_source_rollup",
+    "nearest_neighbor",
 ]
 
 
