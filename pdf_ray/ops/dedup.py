@@ -899,3 +899,112 @@ register(
     FROM walk GROUP BY node
     """,
 )
+
+
+# -- incremental (snapshot) dedup --------------------------------------------
+
+SNAPSHOT_SOURCE = "src0"  # the "already-ingested" half of the corpus
+
+
+def incremental_near_dups(sf_dir: str, tau: float = JACCARD_TAU):
+    """Snapshot-incremental dedup: NEW documents (source != snapshot) that
+    near-duplicate an EXISTING document (source == snapshot), with the
+    lowest existing doc as canonical — the shape of deduping a fresh
+    crawl against an already-ingested corpus without re-deduping the old
+    half against itself.
+
+    Pipeline: exact jaccard pairs (dedup_ngram_jaccard), then each pair
+    side learns its snapshot flag through a bucketed hash join against
+    the pruned (doc_id, is_old) dimension — two rounds, same shape as the
+    minhash verify joins; no doc->source map ever lands on the driver.
+    Cross-snapshot pairs keep (new, existing); a final fixed-key groupby
+    takes the min existing per new doc."""
+    from ray.data.aggregate import Min
+
+    pairs = dedup_ngram_jaccard(sf_dir, tau)
+    flags = _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "is_old": pa.array(
+                    [s == SNAPSHOT_SOURCE for s in t.column("source").to_pylist()],
+                    pa.bool_(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_round(pair_ds, key: str, out_flag: str):
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy()
+            return t.append_column(
+                "jbucket", pa.array((k % N_SHINGLE_BUCKETS).astype("int32"))
+            ).append_column("side", pa.array(["p"] * t.num_rows))
+
+        def tag_flags(t: pa.Table) -> pa.Table:
+            k = t.column("doc_id").to_numpy()
+            return t.append_column(
+                "jbucket", pa.array((k % N_SHINGLE_BUCKETS).astype("int32"))
+            ).append_column("side", pa.array(["d"] * t.num_rows))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            p = g[g["side"] == "p"].drop(columns=["side", "is_old"], errors="ignore")
+            d = g[g["side"] == "d"][["doc_id", "is_old"]]
+            if not len(p) or not len(d):
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=p[c].dtype if c in p else "bool")
+                     for c in list(p.columns) + [out_flag]}
+                )
+            m = p.merge(
+                d.rename(columns={"doc_id": key, "is_old": out_flag}),
+                on=key,
+                how="inner",
+            )
+            return m
+
+        import ray.data  # noqa: F401  (union is a Dataset method)
+
+        both = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            flags.map_batches(tag_flags, batch_format="pyarrow")
+        )
+        return both.groupby("jbucket").map_groups(
+            lambda g: merge(g.drop(columns="jbucket")), batch_format="pandas"
+        )
+
+    joined = join_round(join_round(pairs, "doc_a", "a_old"), "doc_b", "b_old")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["a_old"] != df["b_old"]]
+        new = np.where(df["a_old"].to_numpy(), df["doc_b"], df["doc_a"])
+        old = np.where(df["a_old"].to_numpy(), df["doc_a"], df["doc_b"])
+        return pd.DataFrame(
+            {
+                "new_doc_id": new.astype("int64"),
+                "existing_doc_id": old.astype("int64"),
+            }
+        )
+
+    return (
+        joined.map_batches(pick, batch_format="pandas")
+        .groupby("new_doc_id")
+        .aggregate(Min("existing_doc_id", alias_name="existing_doc_id"))
+    )
+
+
+register(
+    "incremental_near_dups",
+    incremental_near_dups,
+    f"""
+    WITH p AS ({_JACCARD_PAIR_SQL}),
+    s AS (SELECT doc_id, (source = '{SNAPSHOT_SOURCE}') AS is_old FROM documents)
+    SELECT new_doc_id, min(existing_doc_id) AS existing_doc_id FROM (
+        SELECT CASE WHEN a.is_old THEN p.doc_b ELSE p.doc_a END AS new_doc_id,
+               CASE WHEN a.is_old THEN p.doc_a ELSE p.doc_b END AS existing_doc_id
+        FROM p
+        JOIN s a ON a.doc_id = p.doc_a
+        JOIN s b ON b.doc_id = p.doc_b
+        WHERE a.is_old <> b.is_old)
+    GROUP BY new_doc_id
+    """,
+)

@@ -1620,3 +1620,55 @@ register(
     LIMIT {BOTTOMK_K}
     """,
 )
+
+
+SOURCE_QUOTA = 20
+
+
+def source_quota_sample(sf_dir: str):
+    """Per-source quota enforcement (cap each provider's contribution):
+    keep at most SOURCE_QUOTA docs per source, chosen by md5(doc_id) —
+    deterministic across runs/engines, no RNG. Per-batch partial
+    bottom-K per source makes every block emit <= K rows per source
+    before the tiny final groupby (sources are a small dimension), so
+    the shuffle is O(K * |sources| * blocks), not corpus-sized."""
+
+    def partial_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        df = df[["doc_id", "source"]].copy()
+        df["h"] = [
+            _hl.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return df.groupby("source", as_index=False, sort=False).head(
+            SOURCE_QUOTA
+        )
+
+    def final_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(SOURCE_QUOTA)
+        return g[["doc_id", "source"]]
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(partial_bottomk, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final_bottomk, batch_format="pandas")
+    )
+
+
+register(
+    "source_quota_sample",
+    source_quota_sample,
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {SOURCE_QUOTA}
+    """,
+)

@@ -829,3 +829,45 @@ register(
     GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
     """,
 )
+
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization (the pre-dedup cleanup op): lowercase,
+    collapse ASCII whitespace runs to single spaces, trim. Output carries
+    the md5 of the normalized text (hash-stable; no raw-text shuffle) and
+    the byte shrinkage."""
+    import re
+
+    ws = re.compile(r"[ \t\r\n]+")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        normed = [ws.sub(" ", t.lower()).strip(" ") for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "norm_md5": [
+                    hashlib.md5(t.encode()).hexdigest() for t in normed
+                ],
+                "n_chars_norm": pd.Series(
+                    [len(t) for t in normed], dtype="int64"
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas"
+    )
+
+
+register(
+    "normalize_text",
+    normalize_text,
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'), ' '))
+               AS norm_md5,
+           length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'), ' '))
+               ::BIGINT AS n_chars_norm
+    FROM documents
+    """,
+)

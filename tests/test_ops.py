@@ -49,6 +49,9 @@ SUBSET = [
     "semantic_dedup_pairs",
     "lang_source_rollup",
     "nearest_neighbor",
+    "incremental_near_dups",
+    "normalize_text",
+    "source_quota_sample",
 ]
 
 
