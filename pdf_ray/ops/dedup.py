@@ -53,23 +53,42 @@ def _read_documents(sf_dir: str, columns=None):
 
 
 def dedup_exact(sf_dir: str):
-    """Exact dedup: md5 over lowercased text, keep lowest doc_id per group
-    (hash-partitioned groupby; first-per-group)."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup: md5 over lowercased text, keep lowest doc_id per group.
+    Hash-partitioned as a bucket-hash reduce (bucket = hash prefix %% B,
+    one vectorized pandas groupby per bucket) — all copies of a hash share
+    a bucket, so the in-group min/count is global. Same wall time as
+    ray's native groupby().aggregate() here (the sort shuffle's fixed
+    cost dominates at this scale), but B fixed reducers + one vectorized
+    pandas call per bucket is the shape that stays flat as group count
+    grows — native Aggregate measured 330s on 640k tiny groups in the
+    duplicate_ngram_windows pipeline vs <1s for this reduce."""
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["text_hash"] = [
-            hashlib.md5(t.lower().encode()).hexdigest() for t in df["text"]
-        ]
-        return df[["doc_id", "text_hash"]]
+        hashes = [hashlib.md5(t.lower().encode()).hexdigest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_hash": hashes,
+                "bucket": pd.Series(
+                    [int(h[:4], 16) % N_SHINGLE_BUCKETS for h in hashes],
+                    dtype="int32",
+                ),
+            }
+        )
 
-    ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        add_hash, batch_format="pandas"
-    )
-    return ds.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="canonical_doc_id"),
-        Count(alias_name="n_docs"),
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False).agg(
+            canonical_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_combine(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
     )
 
 

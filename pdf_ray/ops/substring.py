@@ -107,11 +107,29 @@ def duplicate_ngram_windows(sf_dir: str):
         batch_format="pandas",
     )
 
-    from ray.data.aggregate import Sum
+    # cross-bucket per-doc sum as a bucket-hash reduce (doc_id %% B), NOT
+    # ray's native groupby().aggregate() — measured on this exact query,
+    # the Aggregate operator spent 330s remote wall on 5k docs where the
+    # map_groups shuffle spends <1s (same finding that moved events_hourly
+    # to this shape in round 2)
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return t.append_column(
+            "dbucket", pa.array((d % N_WINDOW_BUCKETS).astype("int32"))
+        )
 
-    per_doc = partial.groupby("doc_id").aggregate(
-        Sum("dup_windows", alias_name="dup_windows"),
-        Sum("n_windows", alias_name="n_windows"),
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            dup_windows=("dup_windows", "sum"), n_windows=("n_windows", "sum")
+        )
+
+    per_doc = (
+        partial.map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(
+            lambda g: doc_sum(g.drop(columns="dbucket")),
+            batch_format="pandas",
+        )
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
