@@ -306,3 +306,93 @@ def test_semantic_dedup_pairs_are_within_cluster_near_dups(ray_session):
         assert cl[a] == cl[b] == c
         cos = float(M[row[a]] @ M[row[b]])
         assert cos >= 0.3 - 1e-5, (a, b, cos)
+
+
+def test_duplicate_ngram_windows_synthetic(ray_session, tmp_path):
+    """Hand-constructed corpus with known duplicated-window counts:
+    doc0/doc1 share one exact 5-token window; doc2 is unique; doc3 is too
+    short for any window."""
+    import pandas as pd
+
+    import pdf_ray.ops.substring as ss
+    from check_oracles import to_pandas
+
+    docs = {
+        0: "a b c d e x y",      # windows: abcde, bcdex, cdexy
+        1: "z a b c d e",        # windows: zabcd, abcde
+        2: "p q r s t u",        # windows: pqrst, qrstu
+        3: "one two",            # no windows
+    }
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        to_pandas(ss.duplicate_ngram_windows(str(tmp_path)))
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "n_windows"] == 3 and got.loc[0, "dup_windows"] == 1
+    assert got.loc[1, "n_windows"] == 2 and got.loc[1, "dup_windows"] == 1
+    assert got.loc[2, "n_windows"] == 2 and got.loc[2, "dup_windows"] == 0
+    assert got.loc[3, "n_windows"] == 0 and got.loc[3, "dup_frac_bp"] == 0
+    assert got.loc[0, "dup_frac_bp"] == 10000 // 3
+
+
+def test_nearest_neighbor_matches_local_brute(ray_session, tmp_path):
+    """Pipeline NN == local numpy brute force on a seeded synthetic
+    corpus (quantized int64 L2, lowest-id tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    import pdf_ray.ops.simsearch as sim
+    from check_oracles import to_pandas
+
+    rng = np.random.RandomState(11)
+    n = 60
+    M = rng.randn(n, 64).astype(np.float32)
+    M[7] = M[3] + 1e-4 * rng.randn(64).astype(np.float32)  # planted NN
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64) * 3,  # sparse id space
+            "embedding": [row for row in M],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = to_pandas(sim.nearest_neighbor(str(tmp_path))).set_index("vec_id")
+
+    Q = np.floor(M.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    d2 = n2[:, None] + n2[None, :] - 2 * (Q @ Q.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    ids = np.arange(n, dtype=np.int64) * 3
+    for i in range(n):
+        j = int(np.argmin(d2[i]))
+        assert got.loc[ids[i], "nn_id"] == ids[j]
+        assert got.loc[ids[i], "d2"] == d2[i, j]
+    assert got.loc[ids[7], "nn_id"] == ids[3]
+
+
+def test_semantic_kmeans_parallelism_invariance(ray_session, tmp_path):
+    """Assignments are identical whatever the block layout (integer math
+    has no accumulation-order sensitivity)."""
+    import numpy as np
+    import pandas as pd
+
+    import pdf_ray.ops.cluster as cl
+    from check_oracles import to_pandas
+
+    rng = np.random.RandomState(3)
+    M = rng.randn(200, 64).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(M)}
+    )
+    df.to_parquet(tmp_path / "embeddings.parquet")
+    a = to_pandas(cl.semantic_kmeans(str(tmp_path))).sort_values("vec_id")
+
+    # same rows shuffled into a different physical order
+    df2 = df.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    (tmp_path / "embeddings.parquet").unlink()
+    df2.to_parquet(tmp_path / "embeddings.parquet")
+    b = to_pandas(cl.semantic_kmeans(str(tmp_path))).sort_values("vec_id")
+
+    assert list(a["cluster"]) == list(b["cluster"])
