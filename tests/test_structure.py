@@ -80,3 +80,64 @@ def test_artifact_strip_nested_scope():
         s[1] for s, m in zip(spans, interp.span_marks) if not m[2]
     ]
     assert kept == ["keep1", "keep2"]
+
+
+def _two_page_tagged():
+    from pdf_ray.fixtures.builder import PdfBuilder
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 8 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    for num, cnt in ((3, 5), (4, 6)):
+        b.add(
+            num,
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 7 0 R >> >> /Contents {cnt} 0 R >>".encode(),
+        )
+    b.add_stream(5, b"", b"/P << /MCID 0 >> BDC BT /F1 12 Tf (first) Tj ET EMC")
+    b.add_stream(6, b"", b"/P << /MCID 0 >> BDC BT /F1 12 Tf (second) Tj ET EMC")
+    b.add(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(8, b"<< /Type /StructTreeRoot /K 9 0 R >>")
+    # one element owning content on BOTH pages: int MCID (elem /Pg = page
+    # 1) + /MCR pointing at page 2 — both pages' MCID 0 must resolve to
+    # the right page's chunks
+    b.add(
+        9,
+        b"<< /S /P /Pg 3 0 R "
+        b"/K [0 << /Type /MCR /Pg 4 0 R /MCID 0 >>] >>",
+    )
+    return b.build(1)
+
+
+def test_structure_mcr_cross_page():
+    rows = structure_text(Document(_two_page_tagged()))
+    assert [(r["role"], r["text"]) for r in rows] == [("P", "first second")]
+
+
+def test_structure_malformed_trees_total():
+    """Garbage /K shapes (bools, dangling refs, dicts without /S or /Type,
+    missing MCIDs, deep chains) must neither crash nor loop."""
+    from pdf_ray.fixtures.builder import PdfBuilder
+
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"/P << /MCID 3 >> BDC BT /F1 12 Tf (ok) Tj ET EMC")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        6,
+        b"<< /Type /StructTreeRoot "
+        b"/K [7 0 R true 99 0 R << /NoS /Here >>] >>",
+    )
+    b.add(
+        7,
+        b"<< /S /Div /K [true << /Type /MCR >> "
+        b"<< /Type /OBJR /Obj 3 0 R >> 3 << /S /Span /K [] >>] >>",
+    )
+    rows = structure_text(Document(b.build(1)))
+    assert [(r["role"], r["text"]) for r in rows] == [("Div", "ok")]
