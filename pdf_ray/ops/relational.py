@@ -1672,3 +1672,269 @@ register(
     WHERE rn <= {SOURCE_QUOTA}
     """,
 )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1997-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the canonical multi-way distributed join chain:
+    lineitem ⋈ orders (orderkey) ⋈ customer (custkey) ⋈ supplier
+    (suppkey), keeping only orders where the CUSTOMER's nation equals the
+    SUPPLIER's nation, rolled up to nation-name revenue within one region
+    and one order-date year.
+
+    Scale shape: THREE sequential partitioned hash joins (bucket = key &
+    (B-1), B sized from the big side's parquet footer; both sides tagged
+    + unioned, one vectorized pandas merge per bucket) — supplier is
+    joined PARTITIONED too, since at TPC-H-at-100TB the supplier
+    dimension is ~1e9 rows (broadcast would be a driver OOM; nation and
+    region, 25 + 5 rows, ARE broadcast). The orders read pushes the
+    date-range filter into the parquet scan, and every stage carries
+    int64 1e-4-unit revenue partials (float only in the final row)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_buckets = _join_buckets(sf_dir, "lineitem")
+
+    # broadcast side: nation -> name, restricted to the target region
+    ntbl = pq.read_table(f"{sf_dir}/nation.parquet")
+    rtbl = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {
+        rk
+        for rk, rn in zip(
+            rtbl.column("r_regionkey").to_pylist(), rtbl.column("r_name").to_pylist()
+        )
+        if rn == Q5_REGION
+    }
+    nation_name = {
+        nk: nn
+        for nk, nn, nr in zip(
+            ntbl.column("n_nationkey").to_pylist(),
+            ntbl.column("n_name").to_pylist(),
+            ntbl.column("n_regionkey").to_pylist(),
+        )
+        if nr in rkeys
+    }
+
+    def tag(t: pa.Table, key_col: str, side: str, carry: dict) -> pa.Table:
+        cols = {
+            "key": t.column(key_col),
+            "bucket": pc.cast(
+                pc.bit_wise_and(t.column(key_col), n_buckets - 1), pa.int32()
+            ),
+            "side": pa.array([side] * t.num_rows, pa.string()),
+        }
+        cols.update(carry)
+        return pa.table(cols)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return tag(
+            t, "l_orderkey", "L", {"rev": rev, "extra": t.column("l_suppkey")}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    import ray.data as rd
+
+    import pyarrow.dataset as pads
+
+    date_filter = (
+        pads.field("o_orderdate") >= datetime.fromisoformat(Q5_DATE_LO)
+    ) & (pads.field("o_orderdate") < datetime.fromisoformat(Q5_DATE_HI))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=date_filter,
+    ).map_batches(
+        lambda t: tag(
+            t, "o_orderkey", "R",
+            {"rev": pa.array([0] * t.num_rows, pa.int64()),
+             "extra": t.column("o_custkey")},
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_stage(left_ds, right_ds, out_key_from_right: bool):
+        """Union-tagged partitioned join: rows (key, rev, extra) side=L
+        merge rows (key, extra) side=R -> (key=R.extra re-keyed, rev,
+        extra=L.extra)."""
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            left = g[g["side"] == "L"][["key", "rev", "extra"]]
+            right = g[g["side"] == "R"][["key", "extra"]].rename(
+                columns={"extra": "rkey"}
+            )
+            j = left.merge(right, on="key", how="inner")
+            key = j["rkey"].to_numpy(dtype="int64", na_value=0) if len(j) else []
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "bucket": pa.array(
+                        [int(k) & (n_buckets - 1) for k in key], pa.int32()
+                    ),
+                    "side": pa.array(["L"] * len(j), pa.string()),
+                    "rev": pa.array(
+                        j["rev"].to_numpy(dtype="int64") if len(j) else [],
+                        pa.int64(),
+                    ),
+                    "extra": pa.array(
+                        j["extra"].to_numpy(dtype="int64") if len(j) else [],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            left_ds.union(right_ds)
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    # stage 1: lineitem ⋈ orders -> keyed by custkey, carrying suppkey
+    s1 = join_stage(li, orders, True)
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: tag(
+            t, "c_custkey", "R",
+            {"rev": pa.array([0] * t.num_rows, pa.int64()),
+             "extra": t.column("c_nationkey")},
+        ),
+        batch_format="pyarrow",
+    )
+
+    # stage 2: ⋈ customer -> keyed by c_nationkey... but we must KEEP the
+    # suppkey to join supplier; re-key by suppkey and carry c_nationkey
+    def merge2(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["key", "rev", "extra"]].rename(
+            columns={"extra": "suppkey"}
+        )
+        right = g[g["side"] == "R"][["key", "extra"]].rename(
+            columns={"extra": "c_nationkey"}
+        )
+        j = left.merge(right, on="key", how="inner")
+        key = j["suppkey"].to_numpy(dtype="int64") if len(j) else []
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "bucket": pa.array(
+                    [int(k) & (n_buckets - 1) for k in key], pa.int32()
+                ),
+                "side": pa.array(["L"] * len(j), pa.string()),
+                "rev": pa.array(
+                    j["rev"].to_numpy(dtype="int64") if len(j) else [],
+                    pa.int64(),
+                ),
+                "extra": pa.array(
+                    j["c_nationkey"].to_numpy(dtype="int64") if len(j) else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    s2 = (
+        s1.union(customer)
+        .groupby("bucket")
+        .map_groups(merge2, batch_format="pandas")
+    )
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: tag(
+            t, "s_suppkey", "R",
+            {"rev": pa.array([0] * t.num_rows, pa.int64()),
+             "extra": t.column("s_nationkey")},
+        ),
+        batch_format="pyarrow",
+    )
+
+    # stage 3: ⋈ supplier, keep c_nationkey == s_nationkey AND in-region,
+    # pre-sum per nation inside the bucket (tiny output per bucket)
+    def merge3(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["key", "rev", "extra"]].rename(
+            columns={"extra": "c_nationkey"}
+        )
+        right = g[g["side"] == "R"][["key", "extra"]].rename(
+            columns={"extra": "s_nationkey"}
+        )
+        j = left.merge(right, on="key", how="inner")
+        j = j[j["c_nationkey"] == j["s_nationkey"]]
+        j = j[j["s_nationkey"].isin(nation_name)]
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "nationkey": pd.Series(dtype="int64"),
+                    "p_rev": pd.Series(dtype="int64"),
+                }
+            )
+        out = j.groupby("s_nationkey", as_index=False).agg(p_rev=("rev", "sum"))
+        return out.rename(columns={"s_nationkey": "nationkey"})
+
+    s3 = (
+        s2.union(supplier)
+        .groupby("bucket")
+        .map_groups(merge3, batch_format="pandas")
+    )
+
+    # final: tiny per-nation rollup on the driver-visible key space (25)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("nationkey", as_index=False).agg(p_rev=("p_rev", "sum"))
+        return pd.DataFrame(
+            {
+                "n_name": [nation_name[int(k)] for k in out["nationkey"]],
+                "revenue": (out["p_rev"] / 10000.0).round(2),
+            }
+        )
+
+    import numpy as np  # noqa: F401
+
+    def add_nbucket(t: pa.Table) -> pa.Table:
+        k = t.column("nationkey").to_numpy()
+        return t.append_column(
+            "nbucket", pa.array((k % 16).astype("int32"))
+        )
+
+    return (
+        s3.map_batches(add_nbucket, batch_format="pyarrow")
+        .groupby("nbucket")
+        .map_groups(
+            lambda g: finish(g.drop(columns="nbucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "local_supplier_revenue",
+    local_supplier_revenue,
+    f"""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+      AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+    GROUP BY n_name
+    """,
+)

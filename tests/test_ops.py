@@ -52,6 +52,7 @@ SUBSET = [
     "incremental_near_dups",
     "normalize_text",
     "source_quota_sample",
+    "local_supplier_revenue",
 ]
 
 
