@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_span_text_dedup": p.pdf_span_text_dedup,
         "pdf_structure_text": p.pdf_structure_text,
         "pdf_main_content": p.pdf_main_content,
+        "pdf_main_content_quality": p.pdf_main_content_quality,
     }
     from pdf_ray.ops import html_queries as h
 

@@ -517,8 +517,54 @@ PDF_ORACLE_SQL["pdf_main_content"] = f"""
           FROM read_parquet('{GOLDEN_MAIN}'))
 """
 PDF_ORACLE_SQL["pdf_structure_text"] = _structure_oracle()
+PDF_ORACLE_SQL["pdf_main_content_quality"] = f"""
+    SELECT doc_id,
+           count(*)::BIGINT AS n_text_spans,
+           length(string_agg(txt, ' ' ORDER BY ord))::BIGINT AS n_chars,
+           md5(string_agg(txt, ' ' ORDER BY ord)) AS text_md5
+    FROM (SELECT doc_id, s.text AS txt, s."order" AS ord, s.kind AS kind
+          FROM (SELECT doc_id, unnest(spans) AS s
+                FROM read_parquet('{GOLDEN_MAIN}')))
+    WHERE kind = 'text'
+    GROUP BY doc_id
+"""
 PDF_ORACLE_SQL["pdf_image_features"] = _image_features_oracle()
 PDF_ORACLE_SQL["pdf_annotations"] = _annotations_oracle()
 PDF_ORACLE_SQL["pdf_outlines"] = _outlines_oracle()
 PDF_ORACLE_SQL["pdf_actualtext_spans"] = _actualtext_oracle()
 PDF_ORACLE_SQL["pdf_extract_recovered"] = _recovered_oracle()
+
+
+def pdf_main_content_quality(sf_dir: str | None = None):
+    """Chained pipeline: artifact-stripped extraction -> per-doc document
+    assembly (text spans joined in span order) -> quality-shape features
+    (span count, char count, content md5) — extraction output flowing
+    straight into the text-analysis family with no intermediate
+    materialization. Oracle: the same assembly recomputed by DuckDB over
+    the hand-written golden_main parquet."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from ..pipelines.extract import explode_spans
+
+    def assemble(df: _pd.DataFrame) -> _pd.DataFrame:
+        # explode preserves in-doc span order within a block and docs
+        # never straddle blocks (spans of one doc come from one input
+        # row), so a per-doc sort on "order" inside the batch is exact
+        out = []
+        for doc_id, g in df[df["kind"] == "text"].groupby("doc_id", sort=False):
+            g = g.sort_values("order", kind="mergesort")
+            text = " ".join(t for t in g["text"] if t)
+            out.append(
+                (doc_id, len(g), len(text), _hl.md5(text.encode()).hexdigest())
+            )
+        return _pd.DataFrame(
+            out, columns=["doc_id", "n_text_spans", "n_chars", "text_md5"]
+        ).astype({"n_text_spans": "int64", "n_chars": "int64"})
+
+    # batch_size=None: whole-block batches, so a doc's spans (always
+    # emitted into one block by explode) can never straddle a batch
+    return explode_spans(_load(strip_artifacts=True)).map_batches(
+        assemble, batch_format="pandas", batch_size=None
+    )

@@ -1938,3 +1938,73 @@ register(
     GROUP BY n_name
     """,
 )
+
+
+def sliding_window_distinct_users(sf_dir: str):
+    """EXACT distinct users per sliding 60-min window (every 15 min) —
+    the windowed-DISTINCT composition: flat-map each event to its 4
+    covering windows, dedup (window, user) pairs map-side per batch, then
+    globally in a fixed-fan-in bucket keyed by hash(window, user) (all
+    copies of a pair colocate, so the in-bucket dedup is global and each
+    surviving pair is counted exactly once). The shuffle carries only
+    deduped pairs; the final per-window sum is windows-sized (tiny)."""
+    k = WINDOW_MIN // SLIDE_MIN
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{SLIDE_MIN}min")
+        frames = [
+            pd.DataFrame(
+                {
+                    "ws": base - pd.Timedelta(minutes=SLIDE_MIN * i),
+                    "user_id": df["user_id"],
+                }
+            )
+            for i in range(k)
+        ]
+        g = pd.concat(frames, ignore_index=True).drop_duplicates()
+        ws_id = g["ws"].astype("int64") // (SLIDE_MIN * 60 * 1_000_000_000)
+        g["bucket"] = (
+            (ws_id * 1000003 + g["user_id"].astype("int64")) % N_JOIN_BUCKETS
+        ).astype("int32")
+        return g
+
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates()
+            .groupby("ws", as_index=False)
+            .agg(p_users=("user_id", "size"))
+        )
+
+    out = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_combine(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = out.groupby("ws", as_index=False).agg(n_users=("p_users", "sum"))
+    out["window_start"] = pd.to_datetime(out["ws"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["window_start", "n_users"]]
+
+
+register(
+    "sliding_window_distinct_users",
+    sliding_window_distinct_users,
+    f"""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL {SLIDE_MIN} MINUTE, ts) AS tb, user_id
+      FROM events),
+    w AS (
+      SELECT tb - (k * INTERVAL {SLIDE_MIN} MINUTE) AS ws, user_id
+      FROM e, unnest([0, 1, 2, 3]) t(k))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM w GROUP BY 1
+    """,
+)

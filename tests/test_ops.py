@@ -53,6 +53,7 @@ SUBSET = [
     "normalize_text",
     "source_quota_sample",
     "local_supplier_revenue",
+    "sliding_window_distinct_users",
 ]
 
 
