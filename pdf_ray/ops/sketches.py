@@ -297,3 +297,87 @@ def value_quantiles_tdigest(sf_dir: str):
 
 
 register("value_quantiles_tdigest", value_quantiles_tdigest, None)  # approx
+
+
+# -- Misra-Gries heavy hitters (mergeable) ------------------------------------
+
+MG_K = 64  # counter budget: every token with freq > n/K is guaranteed kept
+
+
+class MisraGries:
+    """Misra-Gries / SpaceSaving-family heavy-hitter summary with K
+    counters. Guarantees after any stream + merges: every item with true
+    count > n/K survives, and kept estimates undercount the truth by at
+    most the sketch's cumulative decrement (<= n/K). Merging adds
+    counters then re-trims to K by subtracting the (K+1)-th largest —
+    the guarantee composes across shards (Agarwal et al., 'Mergeable
+    Summaries', PODS 2012)."""
+
+    __slots__ = ("counts",)
+
+    def __init__(self, counts: dict | None = None):
+        self.counts: dict[str, int] = counts or {}
+
+    def add_counts(self, items: dict[str, int]) -> None:
+        for tok, c in items.items():
+            self.counts[tok] = self.counts.get(tok, 0) + int(c)
+        self._trim()
+
+    def merge(self, other: "MisraGries") -> None:
+        self.add_counts(other.counts)
+
+    def _trim(self) -> None:
+        if len(self.counts) <= MG_K:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        dec = vals[MG_K]  # (K+1)-th largest
+        self.counts = {
+            t: c - dec for t, c in self.counts.items() if c - dec > 0
+        }
+
+    def tobytes(self) -> bytes:
+        import json
+
+        return json.dumps(self.counts, ensure_ascii=False).encode()
+
+    @classmethod
+    def frombytes(cls, b: bytes) -> "MisraGries":
+        import json
+
+        return cls({k: int(v) for k, v in json.loads(b.decode()).items()})
+
+
+def top_tokens_mg(sf_dir: str):
+    """Approximate corpus-wide heavy-hitter tokens: one Misra-Gries
+    sketch per batch (vectorized pandas value_counts feeds it), KB-sized
+    driver merge — the sketch path for corpora where the exact bucketed
+    top-k (`top_bigrams`) would still shuffle every distinct token.
+    Rows-only check (approximate by construction); the n/K guarantee is
+    asserted against exact counts in tests."""
+    import ray.data as rd
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ").explode()
+        vc = toks.value_counts()
+        mg = MisraGries()
+        mg.add_counts({str(t): int(c) for t, c in vc.items()})
+        return pd.DataFrame({"sketch": [mg.tobytes()]})
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(sketch_batch, batch_format="pandas")
+        .take_all()
+    )
+    merged = MisraGries()
+    for r in parts:
+        merged.merge(MisraGries.frombytes(r["sketch"]))
+    top = sorted(merged.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(
+        {
+            "token": [t for t, _ in top],
+            "est_count": pd.Series([c for _, c in top], dtype="int64"),
+        }
+    )
+
+
+register("top_tokens_mg", top_tokens_mg)  # rows-only: approximate sketch

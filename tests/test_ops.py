@@ -398,3 +398,39 @@ def test_semantic_kmeans_parallelism_invariance(ray_session, tmp_path):
     b = to_pandas(cl.semantic_kmeans(str(tmp_path))).sort_values("vec_id")
 
     assert list(a["cluster"]) == list(b["cluster"])
+
+
+def test_misra_gries_guarantee(ray_session):
+    """Every token with true count > n/K must be kept, and kept
+    estimates never overcount / undercount by more than n/K; merge
+    composes (Mergeable Summaries)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_ray.ops.sketches import MG_K, MisraGries
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    exact = pd.Series(
+        [t for txt in texts for t in txt.lower().split(" ")]
+    ).value_counts()
+    n = int(exact.sum())
+
+    merged = MisraGries()
+    for i in range(0, len(texts), 37):  # uneven shards
+        mg = MisraGries()
+        vc = pd.Series(
+            [t for txt in texts[i : i + 37] for t in txt.lower().split(" ")]
+        ).value_counts()
+        mg.add_counts({str(k): int(v) for k, v in vc.items()})
+        merged.merge(MisraGries.frombytes(mg.tobytes()))
+
+    bound = n / MG_K
+    for tok, true in exact.items():
+        if true > bound:
+            assert tok in merged.counts, tok
+        if tok in merged.counts:
+            est = merged.counts[tok]
+            assert est <= true
+            assert true - est <= bound, (tok, true, est)
