@@ -2008,3 +2008,46 @@ register(
     FROM w GROUP BY 1
     """,
 )
+
+
+def event_prop_stats(sf_dir: str):
+    """Semi-structured column extraction: parse the ``props`` JSON blob
+    per event (C-speed json.loads in the batch UDF — the schema-on-read
+    pattern for logs/telemetry payloads), pre-aggregate per (batch,
+    event_type), tiny final reduce. Integer outputs only."""
+    import json
+
+    from ray.data.aggregate import Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.Series(
+            [int(json.loads(p)["k"]) for p in df["props"]], dtype="int64"
+        )
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", as_index=False
+        )
+        return g.agg(p_n=("k", "size"), p_sum=("k", "sum"), p_max=("k", "max"))
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n_events"),
+            Sum("p_sum", alias_name="sum_k"),
+            Max("p_max", alias_name="max_k"),
+        )
+    )
+
+
+register(
+    "event_prop_stats",
+    event_prop_stats,
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k
+    FROM events GROUP BY 1
+    """,
+)

@@ -54,6 +54,7 @@ SUBSET = [
     "source_quota_sample",
     "local_supplier_revenue",
     "sliding_window_distinct_users",
+    "event_prop_stats",
 ]
 
 
