@@ -27,6 +27,11 @@ def main(argv=None):
     ex.add_argument("--concurrency", type=int, default=None)
     ex.add_argument("--batch-size", type=int, default=200)
     ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument(
+        "--strip-artifacts", action="store_true",
+        help="main-content mode: drop /Artifact-scoped spans "
+             "(headers/footers/pagination)",
+    )
     ex.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args(argv)
@@ -56,6 +61,7 @@ def main(argv=None):
         concurrency=args.concurrency or max(2, args.num_cpus - 2),
         batch_size=args.batch_size,
         resume=not args.no_resume,
+        strip_artifacts=args.strip_artifacts,
     )
     print(json.dumps(stats))
     ray.shutdown()

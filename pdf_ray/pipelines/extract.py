@@ -239,6 +239,7 @@ def run_extract(
     batch_size: int = 64,
     resume: bool = True,
     fused: bool = True,
+    strip_artifacts: bool = False,
 ):
     """Run the flagship pipeline with per-partition lineage + resume.
 
@@ -283,7 +284,11 @@ def run_extract(
         pref = payloads if not isinstance(payloads, dict) else ray.put(payloads)
         stats = docs_ds.map_batches(
             ExtractWriteStage,
-            fn_constructor_kwargs={"payloads": pref, "output_dir": output_dir},
+            fn_constructor_kwargs={
+                "payloads": pref,
+                "output_dir": output_dir,
+                "strip_artifacts": strip_artifacts,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -298,7 +303,11 @@ def run_extract(
         }
 
     extracted = extract_dataset(
-        docs_ds, payloads, concurrency=concurrency, batch_size=batch_size
+        docs_ds,
+        payloads,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        strip_artifacts=strip_artifacts,
     )
 
     def write_partition(batch: pa.Table) -> pa.Table:
