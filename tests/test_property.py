@@ -349,3 +349,67 @@ def test_interpreter_operator_soup(ops):
         return
     texts = [t for k, t, *_ in spans if k == "text"]
     assert all(t in ("x", "ab", "y", "z", "A", "a", "b") for t in texts)
+
+
+@given(st.text(alphabet=" \t\r\nabcXYZ09", max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_normalize_text_idempotent_and_canonical(t):
+    """normalize is idempotent and collapses every ASCII-whitespace run."""
+    import re
+
+    ws = re.compile(r"[ \t\r\n]+")
+
+    def norm(x):
+        return ws.sub(" ", x.lower()).strip(" ")
+
+    n1 = norm(t)
+    assert norm(n1) == n1
+    assert "  " not in n1 and "\t" not in n1 and "\n" not in n1
+    assert n1 == n1.strip(" ")
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=3000),
+    st.integers(2, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_bound_random_streams(vals, n_shards):
+    """On random sharded streams: kept estimates never exceed the truth,
+    undercount by <= n/K, and every item with count > n/K survives."""
+    from collections import Counter
+
+    import numpy as np
+
+    from pdf_ray.ops.sketches import MG_K, MisraGries
+
+    arr = [str(v) for v in vals]
+    exact = Counter(arr)
+    merged = MisraGries()
+    for shard in np.array_split(np.array(arr, dtype=object), n_shards):
+        mg = MisraGries()
+        mg.add_counts(Counter(shard.tolist()))
+        merged.merge(MisraGries.frombytes(mg.tobytes()))
+    bound = len(arr) / MG_K
+    for tok, true in exact.items():
+        if true > bound:
+            assert tok in merged.counts
+        if tok in merged.counts:
+            assert merged.counts[tok] <= true
+            assert true - merged.counts[tok] <= bound
+
+
+@given(st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_kmeans_assignment_tie_break(n, seed):
+    """Exact-int argmin assignment: first-min tie-break == lowest cluster
+    index, independent of duplicate centroids."""
+    import numpy as np
+
+    from pdf_ray.ops.cluster import _assign
+
+    rng = np.random.RandomState(seed % 2**31)
+    C = rng.randint(-5, 5, size=(4, 64)).astype(np.int64)
+    C[2] = C[0]  # duplicate centroid -> ties must resolve to index 0
+    Q = C[np.zeros(n, dtype=int)]
+    a = _assign(Q, C)
+    assert (a == 0).all()
