@@ -2051,3 +2051,69 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+TOP_EVENTS_N = 2
+
+
+def top_events_per_user(sf_dir: str):
+    """Per-group top-N at HIGH group cardinality (one group per user —
+    the case where per-key map_groups dies of per-group Python overhead):
+    bucket = user %% B, ONE vectorized sort + groupby-head per bucket.
+    This is the documented high-cardinality variant of the tiny-key
+    `top_parts_per_type`. Ties break on event_id for determinism; value
+    is compared in exact cents."""
+
+    def partial_topn(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side pre-trim: a batch can only contribute its own top-N
+        # per user, so the shuffle carries <= N rows per (batch, user)
+        df = df.copy()
+        df["val_c"] = _cents(df["value"])
+        df = df.sort_values(
+            ["user_id", "val_c", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("user_id", sort=False).head(TOP_EVENTS_N)
+        df["bucket"] = (df["user_id"] % N_JOIN_BUCKETS).astype("int32")
+        return df[["bucket", "user_id", "event_id", "val_c"]]
+
+    def bucket_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "val_c", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("user_id", sort=False).head(TOP_EVENTS_N)
+        out = g[["user_id", "event_id"]].copy()
+        out["rank"] = g.groupby("user_id", sort=False).cumcount() + 1
+        out["value"] = _cents_to_f64(g["val_c"])
+        return out.astype({"user_id": "int64", "event_id": "int64", "rank": "int64"})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "value"])
+        .map_batches(partial_topn, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_topn(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "top_events_per_user",
+    top_events_per_user,
+    f"""
+    SELECT user_id, event_id, rank,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id
+               ) AS rank
+        FROM events)
+    WHERE rank <= {TOP_EVENTS_N}
+    """,
+)

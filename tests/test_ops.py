@@ -55,6 +55,7 @@ SUBSET = [
     "local_supplier_revenue",
     "sliding_window_distinct_users",
     "event_prop_stats",
+    "top_events_per_user",
 ]
 
 
