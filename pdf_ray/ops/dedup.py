@@ -936,10 +936,9 @@ def incremental_near_dups(sf_dir: str, tau: float = JACCARD_TAU):
     side learns its snapshot flag through a bucketed hash join against
     the pruned (doc_id, is_old) dimension — two rounds, same shape as the
     minhash verify joins; no doc->source map ever lands on the driver.
-    Cross-snapshot pairs keep (new, existing); a final fixed-key groupby
-    takes the min existing per new doc."""
-    from ray.data.aggregate import Min
-
+    Cross-snapshot pairs keep (new, existing); a final bucket-hash reduce
+    (new_doc_id %% B — its cardinality scales with the corpus, so no
+    native Aggregate) takes the min existing per new doc."""
     pairs = dedup_ngram_jaccard(sf_dir, tau)
     flags = _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
         lambda t: pa.table(
@@ -1004,10 +1003,25 @@ def incremental_near_dups(sf_dir: str, tau: float = JACCARD_TAU):
             }
         )
 
+    def add_nbucket(t: pa.Table) -> pa.Table:
+        k = t.column("new_doc_id").to_numpy()
+        return t.append_column(
+            "nbucket", pa.array((k % N_SHINGLE_BUCKETS).astype("int32"))
+        )
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("new_doc_id", as_index=False).agg(
+            existing_doc_id=("existing_doc_id", "min")
+        )
+
     return (
         joined.map_batches(pick, batch_format="pandas")
-        .groupby("new_doc_id")
-        .aggregate(Min("existing_doc_id", alias_name="existing_doc_id"))
+        .map_batches(add_nbucket, batch_format="pyarrow")
+        .groupby("nbucket")
+        .map_groups(
+            lambda g: bucket_min(g.drop(columns="nbucket")),
+            batch_format="pandas",
+        )
     )
 
 
