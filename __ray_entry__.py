@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_structure_text": p.pdf_structure_text,
         "pdf_main_content": p.pdf_main_content,
         "pdf_main_content_quality": p.pdf_main_content_quality,
+        "pdf_form_fields": p.pdf_form_fields,
     }
     from pdf_ray.ops import html_queries as h
 

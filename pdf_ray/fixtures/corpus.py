@@ -1482,6 +1482,52 @@ def f39_tagged_structure():
     return b.build(1), _t("Page 1 of 1", "world.", "Title", "Hello")
 
 
+# hand-written AcroForm field-tree golden for f40 (terminal fields in
+# DFS order): (order, fq_name, ftype, value)
+F40_FORM = [
+    (0, "person.first", "Tx", "Ada"),
+    (1, "person.last", "Tx", "Lovelace"),
+    (2, "choice", "Btn", "Yes"),
+]
+
+
+def f40_acroform_tree():
+    """Catalog-level AcroForm field tree (PDF 32000-1 §12.7): a
+    non-terminal /T (person) node carrying an inheritable /V, two child
+    fields (one overriding /V, one inheriting it), and a /Btn field
+    whose only kid is a widget WITHOUT /T (widget kids don't split a
+    field — it stays terminal). RAW span parity = the page's one text
+    show. The reference declares the field dict (src/acro_form.rs) but
+    never assembles qualified names."""
+    b = PdfBuilder()
+    b.add(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/AcroForm << /Fields [10 0 R 13 0 R] >> >>",
+    )
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td (Form page) Tj ET")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        10,
+        b"<< /T (person) /FT /Tx /V (Lovelace) /Kids [11 0 R 12 0 R] >>",
+    )
+    b.add(11, b"<< /T (first) /Parent 10 0 R /V (Ada) >>")
+    b.add(12, b"<< /T (last) /Parent 10 0 R >>")
+    b.add(13, b"<< /T (choice) /FT /Btn /V /Yes /Kids [14 0 R] >>")
+    b.add(
+        14,
+        b"<< /Type /Annot /Subtype /Widget /Rect [0 0 10 10] "
+        b"/Parent 13 0 R >>",
+    )
+    return b.build(1), _t("Form page")
+
+
 # hand-written ARTIFACT-STRIPPED span expectations (pdf_main_content):
 # fixtures not listed are identical to their raw golden; only f17 and f39
 # paint /Artifact-scoped text (headers the main-content rule drops).
@@ -1542,4 +1588,5 @@ FIXTURES = {
     "f37": f37_jbig2_huffman_text,
     "f38": f38_jpx_image,
     "f39": f39_tagged_structure,
+    "f40": f40_acroform_tree,
 }

@@ -568,3 +568,51 @@ def pdf_main_content_quality(sf_dir: str | None = None):
     return explode_spans(_load(strip_artifacts=True)).map_batches(
         assemble, batch_format="pandas", batch_size=None
     )
+
+
+def pdf_form_fields(sf_dir: str | None = None):
+    """Catalog-level AcroForm field extraction (dotted qualified names,
+    /FT //V inheritance, widget-only kids don't split a field):
+    actor-pool FormFieldStage over the fixture corpus. Oracle: the
+    hand-written F40_FORM golden expanded per replica."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import FormFieldStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        FormFieldStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _form_fields_oracle() -> str:
+    from ..fixtures.corpus import F40_FORM
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for order, name, ftype, value in F40_FORM:
+            rows.append(
+                f"SELECT 'f40-{r:04d}' AS doc_id, {order}::INT AS field_order, "
+                f"'{name}' AS name, '{ftype}' AS ftype, '{value}' AS value"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS field_order, "
+                f"'__error__' AS name, NULL::VARCHAR AS ftype, "
+                f"'{msg}'::VARCHAR AS value"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_form_fields"] = _form_fields_oracle()

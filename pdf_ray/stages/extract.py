@@ -412,3 +412,54 @@ class StructureStage(ExtractStage):
                 "text": pa.array(rows["text"], pa.string()),
             }
         )
+
+
+class FormFieldStage(ExtractStage):
+    """Variant that emits ACROFORM FIELD rows (doc_id, field_order, name,
+    ftype, value): the catalog-level /AcroForm field-tree walk with
+    dotted fully-qualified names and /FT //V inheritance
+    (pdfcore/acroform.py) — catches fields whose widgets span pages or
+    are absent, which the per-page annotation pass cannot. Same
+    actor-pool shape and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.acroform import form_fields
+
+        rows: dict[str, list] = {
+            "doc_id": [], "field_order": [], "name": [],
+            "ftype": [], "value": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for f in form_fields(doc):
+                        rows["doc_id"].append(doc_id)
+                        rows["field_order"].append(f["order"])
+                        rows["name"].append(f["name"])
+                        rows["ftype"].append(f["ftype"])
+                        rows["value"].append(f["value"])
+                except Exception as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["field_order"].append(-1)
+                    rows["name"].append("__error__")
+                    rows["ftype"].append(None)
+                    rows["value"].append(
+                        f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "field_order": pa.array(rows["field_order"], pa.int32()),
+                "name": pa.array(rows["name"], pa.string()),
+                "ftype": pa.array(rows["ftype"], pa.string()),
+                "value": pa.array(rows["value"], pa.string()),
+            }
+        )

@@ -141,3 +141,43 @@ def test_structure_malformed_trees_total():
     )
     rows = structure_text(Document(b.build(1)))
     assert [(r["role"], r["text"]) for r in rows] == [("Div", "ok")]
+
+
+def test_acroform_field_tree_golden():
+    from pdf_ray.fixtures.corpus import F40_FORM, f40_acroform_tree
+    from pdf_ray.pdfcore.acroform import form_fields
+
+    pdf, _ = f40_acroform_tree()
+    rows = form_fields(Document(pdf))
+    assert [
+        (r["order"], r["name"], r["ftype"], r["value"]) for r in rows
+    ] == F40_FORM
+
+
+def test_acroform_no_form_and_cycle():
+    from pdf_ray.fixtures.builder import PdfBuilder
+    from pdf_ray.fixtures.corpus import f01_minimal_tj
+    from pdf_ray.pdfcore.acroform import form_fields
+
+    pdf, _ = f01_minimal_tj()
+    assert form_fields(Document(pdf)) == []
+
+    b = PdfBuilder()
+    b.add(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/AcroForm << /Fields [10 0 R] >> >>",
+    )
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf (x) Tj ET")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # field whose kid points back at itself: must terminate
+    b.add(10, b"<< /T (a) /FT /Tx /Kids [11 0 R] >>")
+    b.add(11, b"<< /T (b) /Parent 10 0 R /Kids [10 0 R] >>")
+    rows = form_fields(Document(b.build(1)))
+    assert [r["name"] for r in rows] == []
