@@ -2117,3 +2117,47 @@ register(
     WHERE rank <= {TOP_EVENTS_N}
     """,
 )
+
+
+def event_value_rank_bp(sf_dir: str):
+    """Per-group RANK NORMALIZATION (the feature-scaling op: each event's
+    value mapped to its rank percentile within its event_type, in integer
+    basis points — rank * 10000 // group_size, competition ranking, ties
+    share the lower rank). Key cardinality is tiny (event types), so one
+    vectorized argsort per group; float-free end to end."""
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = _cents(g["value"])
+        order = pd.DataFrame(
+            {"v": v, "event_id": g["event_id"].to_numpy()}
+        )
+        # competition rank on exact cents (ties -> same rank)
+        r = order["v"].rank(method="min").astype("int64")
+        n = len(order)
+        return pd.DataFrame(
+            {
+                "event_id": order["event_id"].astype("int64"),
+                "event_type": g["event_type"].iloc[0],
+                "rank_bp": (r * 10000 // n).astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+register(
+    "event_value_rank_bp",
+    event_value_rank_bp,
+    """
+    SELECT event_id, event_type,
+           (rank() OVER (PARTITION BY event_type
+                         ORDER BY CAST(value AS DECIMAL(18,2)))
+            * 10000) // (count(*) OVER (PARTITION BY event_type))
+           AS rank_bp
+    FROM events
+    """,
+)

@@ -56,6 +56,7 @@ SUBSET = [
     "sliding_window_distinct_users",
     "event_prop_stats",
     "top_events_per_user",
+    "event_value_rank_bp",
 ]
 
 
