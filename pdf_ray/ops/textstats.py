@@ -871,3 +871,171 @@ register(
     FROM documents
     """,
 )
+
+
+CURATE_MIN_STOPWORD_PERMILLE = 30
+CURATE_TRAIN_PCT = 80
+CURATE_EVAL_PCT = 90
+
+
+def curate_corpus(sf_dir: str, n: int = DECON_N):
+    """END-TO-END corpus curation — the composition a real pre-training
+    pipeline runs, as ONE streaming job: every doc gets a keep/drop
+    decision with its FIRST failing filter as the reason, priority
+    heldout > dup > contaminated > repetition > quality > keep.
+
+    - heldout: split pct >= 80 (the val/test docs are not train corpus)
+    - dup: not the lowest doc_id of its exact md5(lower(text)) group
+    - contaminated: shares a word n-gram with the test split (pct >= 90)
+    - repetition: duplicate-bigram fraction > 1/5 (Gopher-style)
+    - quality: stopword permille < 30
+
+    Shape: one broadcast (the test split's distinct n-grams — tiny by
+    construction), one map pass computing every per-doc signal, ONE
+    bucketed shuffle keyed by text-hash for the global dup decision.
+    Nothing corpus-sized reaches the driver."""
+    import ray
+
+    def _split_pct(doc_ids) -> np.ndarray:
+        return (
+            np.array(
+                [
+                    int(hashlib.md5(str(int(d)).encode()).hexdigest()[:4], 16)
+                    for d in doc_ids
+                ],
+                dtype=np.int64,
+            )
+            * 100
+            // 65536
+        )
+
+    def _doc_ngrams(text: str) -> set:
+        toks = text.lower().split(" ")
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def eval_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        pct = _split_pct(df["doc_id"])
+        grams: set = set()
+        for text in df.loc[pct >= CURATE_EVAL_PCT, "text"]:
+            grams |= _doc_ngrams(text)
+        return pd.DataFrame({"ng": sorted(grams)})
+
+    parts = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_ngrams, batch_format="pandas"
+    )
+    eval_ref = ray.put(frozenset(parts.to_pandas()["ng"]))
+
+    N_B = 128
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        toks = df["text"].str.lower().str.split(" ")
+        nt = toks.map(len).astype("int64")
+        sw = set(STOPWORDS["en"])
+        stop = toks.map(lambda t: sum(x in sw for x in t)).astype("int64")
+        spm = np.floor(1000.0 * stop / nt).astype("int64")
+
+        def rep_keep(t: list) -> bool:
+            if len(t) < 2:
+                return True
+            bg = [t[i] + " " + t[i + 1] for i in range(len(t) - 1)]
+            return (len(bg) - len(set(bg))) * 5 <= len(bg)
+
+        rkeep = toks.map(rep_keep)
+        contam = df["text"].map(
+            lambda x: not _doc_ngrams(x).isdisjoint(ev)
+        )
+        th = [hashlib.md5(t.lower().encode()).hexdigest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(
+                    [int(h[:4], 16) % N_B for h in th], dtype="int32"
+                ),
+                "doc_id": df["doc_id"].astype("int64"),
+                "text_hash": th,
+                "pct": _split_pct(df["doc_id"]),
+                "spm": spm,
+                "rkeep": rkeep.astype(bool),
+                "contam": contam.astype(bool),
+            }
+        )
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.groupby("text_hash")["doc_id"].transform("min")
+        heldout = g["pct"].to_numpy() >= CURATE_TRAIN_PCT
+        dup = g["doc_id"].to_numpy() != canon.to_numpy()
+        contam = g["contam"].to_numpy()
+        rep = ~g["rkeep"].to_numpy()
+        qual = g["spm"].to_numpy() < CURATE_MIN_STOPWORD_PERMILLE
+        reason = np.select(
+            [heldout, dup, contam, rep, qual],
+            ["heldout", "dup", "contaminated", "repetition", "quality"],
+            default="keep",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "keep": (reason == "keep").astype("int64"),
+                "reason": reason,
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(signals, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: decide(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "curate_corpus",
+    curate_corpus,
+    f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS tk,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+               * 100 // 65536 AS pct,
+             {_sw_sql("en")} AS stop
+      FROM documents),
+    base AS (
+      SELECT doc_id, pct,
+             min(doc_id) OVER (PARTITION BY md5(lt)) AS canon,
+             CAST(FLOOR(1000.0 * stop / len(tk)) AS BIGINT) AS spm,
+             CASE WHEN len(tk) < 2 THEN []
+                  ELSE list_transform(range(1, len(tk)),
+                                      i -> tk[i] || ' ' || tk[i+1])
+             END AS bg,
+             tk
+      FROM t),
+    g AS (
+      SELECT doc_id, pct,
+             unnest(list_distinct(list_transform(
+                 range(1, len(tk) - {DECON_N - 2}),
+                 i -> list_aggregate(tk[i:i+{DECON_N - 1}],
+                                     'string_agg', ' ')))) AS ng
+      FROM base WHERE len(tk) >= {DECON_N}),
+    ev AS (SELECT DISTINCT ng FROM g WHERE pct >= {CURATE_EVAL_PCT}),
+    contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)),
+    decided AS (
+      SELECT doc_id,
+             CASE WHEN pct >= {CURATE_TRAIN_PCT} THEN 'heldout'
+                  WHEN doc_id <> canon THEN 'dup'
+                  WHEN doc_id IN (SELECT doc_id FROM contam)
+                       THEN 'contaminated'
+                  WHEN (len(bg) - len(list_distinct(bg))) * 5 > len(bg)
+                       THEN 'repetition'
+                  WHEN spm < {CURATE_MIN_STOPWORD_PERMILLE} THEN 'quality'
+                  ELSE 'keep' END AS reason
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN reason = 'keep' THEN 1 ELSE 0 END::BIGINT AS keep,
+           reason
+    FROM decided
+    """,
+)

@@ -57,6 +57,7 @@ SUBSET = [
     "event_prop_stats",
     "top_events_per_user",
     "event_value_rank_bp",
+    "curate_corpus",
 ]
 
 
@@ -437,3 +438,45 @@ def test_misra_gries_guarantee(ray_session):
             est = merged.counts[tok]
             assert est <= true
             assert true - est <= bound, (tok, true, est)
+
+
+def test_curate_corpus_reason_priority(ray_session, tmp_path):
+    """Synthetic corpus where every reason fires, with priority
+    heldout > dup > contaminated > repetition > quality > keep."""
+    import pandas as pd
+
+    import pdf_ray.ops.textstats as ts
+    from check_oracles import to_pandas
+
+    # doc_ids chosen so the md5 split pct is deterministic; find ids in
+    # the needed split ranges programmatically
+    import hashlib
+
+    def pct(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) * 100 // 65536
+
+    train_ids = [d for d in range(1000) if pct(d) < 80]
+    eval_ids = [d for d in range(1000) if pct(d) >= 90]
+    good = "the quick brown fox and the lazy dog of the town in a field"
+    docs = {
+        train_ids[0]: good,                         # keep
+        train_ids[1]: good,                         # dup of the lower id
+        train_ids[2]: "zz yy xx ww vv uu tt ss",    # quality (no stopwords)
+        train_ids[3]: "a b a b a b a b a b a b",    # repetition + no stopword
+        eval_ids[0]: "held out eval text one two three four",
+        train_ids[4]: "padding held out eval text one stuff the and of in a to",
+    }
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = to_pandas(ts.curate_corpus(str(tmp_path))).set_index("doc_id")
+
+    assert got.loc[min(train_ids[0], train_ids[1]), "reason"] == "keep"
+    assert got.loc[max(train_ids[0], train_ids[1]), "reason"] == "dup"
+    assert got.loc[train_ids[2], "reason"] == "quality"
+    # repetition outranks quality even though both fire
+    assert got.loc[train_ids[3], "reason"] == "repetition"
+    assert got.loc[eval_ids[0], "reason"] == "heldout"
+    # shares the 4-gram "held out eval text" with the eval doc
+    assert got.loc[train_ids[4], "reason"] == "contaminated"
+    assert (got["keep"] == (got["reason"] == "keep").astype(int)).all()
