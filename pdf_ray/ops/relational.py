@@ -2213,3 +2213,43 @@ register(
     FROM events
     """,
 )
+
+
+HIST_BIN_WIDTH = 10  # whole currency units per bin
+
+
+def event_value_histogram(sf_dir: str):
+    """Fixed-width histogram per event_type (the profiling op): integer
+    bin = floor(value / 10), pre-aggregated per batch so the shuffle
+    moves (type, bin) partials, never events. Bin edges in exact cents
+    (floor on int cents // 1000 — no float binning drift)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        binv = _cents(df["value"]) // (HIST_BIN_WIDTH * 100)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "bin": binv})
+            .groupby(["event_type", "bin"], as_index=False)
+            .agg(p_n=("bin", "size"))
+        )
+        return g
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("p_n", alias_name="n_events"))
+    )
+
+
+register(
+    "event_value_histogram",
+    event_value_histogram,
+    f"""
+    SELECT event_type,
+           (CAST(round(value * 100) AS BIGINT) // {HIST_BIN_WIDTH * 100})
+               ::BIGINT AS bin,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)

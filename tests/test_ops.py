@@ -58,6 +58,7 @@ SUBSET = [
     "top_events_per_user",
     "event_value_rank_bp",
     "curate_corpus",
+    "event_value_histogram",
 ]
 
 
