@@ -1039,3 +1039,51 @@ register(
     FROM decided
     """,
 )
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """Classifier-evaluation shape: confusion matrix of the stopword
+    language-ID prediction against the labeled ``lang`` column — both
+    signals computed in ONE map pass (no join; label and text live on
+    the same row), pre-aggregated per batch, tiny (pred, actual) reduce.
+    The eval-harness pattern for any row-level model score."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        hits = {
+            lang: toks.map(lambda t, sw=set(sws): sum(x in sw for x in t))
+            for lang, sws in STOPWORDS.items()
+        }
+        en, es, de = hits["en"], hits["es"], hits["de"]
+        pred = np.where(
+            (en >= es) & (en >= de), "en", np.where(es >= de, "es", "de")
+        )
+        g = (
+            pd.DataFrame({"lang_pred": pred, "lang_actual": df["lang"]})
+            .groupby(["lang_pred", "lang_actual"], as_index=False)
+            .agg(p_n=("lang_pred", "size"))
+        )
+        return g
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang_pred", "lang_actual"])
+        .aggregate(Sum("p_n", alias_name="n_docs"))
+    )
+
+
+register(
+    "lang_confusion_matrix",
+    lang_confusion_matrix,
+    f"""
+    SELECT CASE WHEN {_sw_sql("en")} >= {_sw_sql("es")}
+                 AND {_sw_sql("en")} >= {_sw_sql("de")} THEN 'en'
+                WHEN {_sw_sql("es")} >= {_sw_sql("de")} THEN 'es'
+                ELSE 'de' END AS lang_pred,
+           lang AS lang_actual,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)

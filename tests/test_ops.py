@@ -59,6 +59,7 @@ SUBSET = [
     "event_value_rank_bp",
     "curate_corpus",
     "event_value_histogram",
+    "lang_confusion_matrix",
 ]
 
 
