@@ -12,8 +12,10 @@ then replay the whole iteration chain bit-for-bit as chained CTEs.
 Scale shape: centroids are a K x d int64 array (KBs) captured in the
 batch closure — the classic broadcast-small-side pattern; each Lloyd's
 round is one streaming pass emitting <= K partial rows per batch
-(cluster, component-sum bytes, count), reduced on the driver (K rows —
-same rationale as the HLL/t-digest sketch merges). The within-cluster
+(cluster, component-sum bytes, count), then a FIXED-B bucket-hash
+reduce (``cl %% B`` groupby) merges them to exactly one row per live
+cluster before the driver sees anything — the driver receives <= K
+rows total, not O(n_blocks * K * d) bytes. The within-cluster
 dedup pass uses the final cluster as its blocking key (the SemDeDup
 design point: candidate pairs are bounded per cluster, K grows with the
 corpus) with chunked pair expansion inside each group.
@@ -35,6 +37,7 @@ QUANT_SCALE = 1_000_000
 SEMDEDUP_TAU2_NUM = 900
 SEMDEDUP_TAU2_DEN = 10_000
 SEMDEDUP_PAIR_CHUNK = 2048
+KMEANS_REDUCE_BUCKETS = 16  # fixed-B bucket reduce for partials/seed
 
 
 def _read_embeddings(sf_dir: str):
@@ -61,21 +64,80 @@ def _assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=1)
 
 
+def _reduce_partials_bucketed(parts_ds) -> dict[int, tuple[np.ndarray, int]]:
+    """Merge (cl, vsum:binary, cnt) partial rows to ONE row per cluster
+    via a fixed-B ``cl %% B`` bucket-hash reduce; the driver receives at
+    most K rows (each bucket group sums its clusters' int64 vectors in
+    numpy), never the O(n_blocks * K) partial stream."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(t.column("cl"), KMEANS_REDUCE_BUCKETS - 1),
+                pa.int32(),
+            ),
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cls, sums, cnts = [], [], []
+        for cl, sub in g.groupby("cl"):
+            s = np.zeros(EMB_DIM, dtype=np.int64)
+            for b in sub["vsum"]:
+                s += np.frombuffer(b, dtype=np.int64)
+            cls.append(int(cl))
+            sums.append(s.tobytes())
+            cnts.append(int(sub["cnt"].sum()))
+        return pd.DataFrame({"cl": cls, "vsum": sums, "cnt": cnts})
+
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    merged = (
+        parts_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+    for r in merged.take_all():  # <= K rows, one per live cluster
+        agg[r["cl"]] = (np.frombuffer(r["vsum"], dtype=np.int64), r["cnt"])
+    return agg
+
+
 def _kmeans_centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Run KMEANS_ROUNDS-1 update rounds; return (centroids, cluster_ids)
     for the final assignment pass. Deterministic init: the K vectors
-    with the smallest vec_ids (per-batch partial bottom-K, tiny driver
-    merge — no global sort)."""
+    with the smallest vec_ids — per-batch partial bottom-K, then a
+    fixed-B ``vec_id %% B`` bucket reduce taking each bucket's bottom-K,
+    down to <= B*K rows before the driver merge (the global bottom-K is
+    a subset of the union of per-bucket bottom-Ks); no global sort, no
+    O(n_blocks*K) driver collect."""
     emb = _read_embeddings(sf_dir)
 
     def partial_bottomk(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy()
         idx = np.argsort(ids, kind="stable")[:KMEANS_K]
-        return t.take(pa.array(idx))
+        out = t.take(pa.array(idx))
+        import pyarrow.compute as pc
 
-    parts = emb.map_batches(partial_bottomk, batch_format="pyarrow").take_all()
-    parts.sort(key=lambda r: r["vec_id"])
-    seed = parts[:KMEANS_K]
+        return out.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(out.column("vec_id"), KMEANS_REDUCE_BUCKETS - 1),
+                pa.int32(),
+            ),
+        )
+
+    def bucket_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(KMEANS_K, "vec_id")[["vec_id", "embedding"]]
+
+    seed = (
+        emb.map_batches(partial_bottomk, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_bottomk, batch_format="pandas")
+        .take_all()
+    )  # <= B*K rows
+    seed.sort(key=lambda r: r["vec_id"])
+    seed = seed[:KMEANS_K]
     C = np.floor(
         np.array([r["embedding"] for r in seed], dtype=np.float64) * QUANT_SCALE
         + 0.5
@@ -104,14 +166,9 @@ def _kmeans_centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                 }
             )
 
-        agg: dict[int, tuple[np.ndarray, int]] = {}
-        for r in emb.map_batches(partials, batch_format="pyarrow").take_all():
-            s = np.frombuffer(r["vsum"], dtype=np.int64)
-            if r["cl"] in agg:
-                s0, n0 = agg[r["cl"]]
-                agg[r["cl"]] = (s0 + s, n0 + r["cnt"])
-            else:
-                agg[r["cl"]] = (s.copy(), r["cnt"])
+        agg = _reduce_partials_bucketed(
+            emb.map_batches(partials, batch_format="pyarrow")
+        )
         cids = np.array(sorted(agg), dtype=np.int64)  # empty clusters drop
         C = np.stack(
             [np.floor_divide(agg[int(c)][0], agg[int(c)][1]) for c in cids]
@@ -243,7 +300,12 @@ def _kmeans_cte_sql() -> str:
                 f"""
     c{t} AS (SELECT cl, list(s ORDER BY i) AS cv FROM (
                 SELECT cl, i,
-                       CAST(floor(sum(qv[i])::DOUBLE / count(*)) AS BIGINT) AS s
+                       -- exact int floor division (np.floor_divide parity):
+                       -- subtract the sign-corrected mod first so // is
+                       -- exact whatever its rounding mode; no DOUBLE cast
+                       -- (sums past 2^53 would round across a boundary)
+                       CAST((sum(qv[i]) - ((sum(qv[i]) % count(*))
+                             + count(*)) % count(*)) // count(*) AS BIGINT) AS s
                 FROM a{t}, range(1, {dim + 1}) r(i)
                 GROUP BY cl, i) GROUP BY cl)"""
             )

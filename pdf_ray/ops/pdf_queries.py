@@ -548,14 +548,36 @@ def pdf_main_content_quality(sf_dir: str | None = None):
 
     from ..pipelines.extract import explode_spans
 
+    N_QUALITY_BUCKETS = 64
+
+    def text_only_with_bucket(t):
+        """Prune to text spans BEFORE the shuffle, then bucket on
+        crc32(doc_id) %% B — Ray's dynamic block splitting can cut a map
+        task's output at any row boundary, so 'a doc's spans share a
+        block' is NOT an invariant; the bucketed groupby is what
+        guarantees each doc's spans reunite (round-3 ADVICE)."""
+        import zlib
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.equal(t.column("kind"), "text"))
+        b = _pa.array(
+            [
+                zlib.crc32(d.encode()) % N_QUALITY_BUCKETS
+                for d in t.column("doc_id").to_pylist()
+            ],
+            _pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
     def assemble(df: _pd.DataFrame) -> _pd.DataFrame:
-        # explode preserves in-doc span order within a block and docs
-        # never straddle blocks (spans of one doc come from one input
-        # row), so a per-doc sort on "order" inside the batch is exact
         out = []
-        for doc_id, g in df[df["kind"] == "text"].groupby("doc_id", sort=False):
+        for doc_id, g in df.groupby("doc_id", sort=False):
             g = g.sort_values("order", kind="mergesort")
-            text = " ".join(t for t in g["text"] if t)
+            # skip only None — empty strings contribute a separator
+            # exactly as DuckDB string_agg does (round-3 ADVICE)
+            text = " ".join(t for t in g["text"] if t is not None)
             out.append(
                 (doc_id, len(g), len(text), _hl.md5(text.encode()).hexdigest())
             )
@@ -563,10 +585,13 @@ def pdf_main_content_quality(sf_dir: str | None = None):
             out, columns=["doc_id", "n_text_spans", "n_chars", "text_md5"]
         ).astype({"n_text_spans": "int64", "n_chars": "int64"})
 
-    # batch_size=None: whole-block batches, so a doc's spans (always
-    # emitted into one block by explode) can never straddle a batch
-    return explode_spans(_load(strip_artifacts=True)).map_batches(
-        assemble, batch_format="pandas", batch_size=None
+    return (
+        explode_spans(_load(strip_artifacts=True))
+        .map_batches(text_only_with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: assemble(g.drop(columns="bucket")), batch_format="pandas"
+        )
     )
 
 

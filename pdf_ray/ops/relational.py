@@ -1011,7 +1011,7 @@ register(
       FROM events),
     w AS (
       SELECT tb - (k * INTERVAL {SLIDE_MIN} MINUTE) AS ws, event_type, v
-      FROM e, unnest([0, 1, 2, 3]) t(k))
+      FROM e, unnest([{', '.join(str(i) for i in range(WINDOW_MIN // SLIDE_MIN))}]) t(k))
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            count(*)::BIGINT AS n_events,
            CAST(SUM(v) AS DOUBLE) AS sum_value
@@ -1755,8 +1755,9 @@ def local_supplier_revenue(sf_dir: str):
 
     # BLOOM-FILTER PREFILTER (the classic distributed-join sideways
     # information pass): the build side is date-FILTERED orders (~1/7 of
-    # the table), so a KB-sized bloom of its keys — per-batch partial bit
-    # arrays OR-merged on the driver, broadcast once — drops most
+    # the table), so a bloom of its keys — per-batch TOUCHED chunks
+    # OR-reduced per chunk_id in a bucketed groupby, reassembled once on
+    # the driver, broadcast once — drops most
     # lineitem rows BEFORE they enter the shuffle. False positives only
     # admit rows the join then discards, so the result is exactly
     # unchanged (oracle identical). Measured at sf0.01: 60,000 lineitem
@@ -1770,7 +1771,16 @@ def local_supplier_revenue(sf_dir: str):
     n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     m_bits = 1 << max(14, (int(n_orders) * 10).bit_length())
 
-    def partial_bloom(t: pa.Table) -> pa.Table:
+    # CHUNKED bloom build (round-3 verdict #3): a full-width partial per
+    # block would ship O(n_blocks * m_bits) to the driver. Instead each
+    # batch emits only its TOUCHED fixed-size chunks keyed by chunk_id,
+    # a bucketed groupby OR-reduces per chunk in tasks, and the driver
+    # reassembles exactly O(m_bits) bytes once — merge topology is a
+    # tree, not a driver fan-in.
+    BLOOM_CHUNK = 2048  # bytes; m_bits//8 is a power of two >= 2048
+    BLOOM_RBUCKETS = 32
+
+    def partial_bloom_chunks(t: pa.Table) -> pa.Table:
         k = t.column("o_orderkey").to_numpy()
         h1 = _hash_ids(k)
         h2 = _hash_ids(k ^ np.int64(0x5DEECE66D))
@@ -1779,11 +1789,39 @@ def local_supplier_revenue(sf_dir: str):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
             np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
                              np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
-        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+        chunks = bits.reshape(-1, BLOOM_CHUNK)
+        touched = np.flatnonzero(chunks.any(axis=1))
+        return pa.table(
+            {
+                "chunk_id": pa.array(touched, pa.int64()),
+                "rbucket": pa.array(touched % BLOOM_RBUCKETS, pa.int32()),
+                "bits": pa.array(
+                    [chunks[c].tobytes() for c in touched], pa.binary()
+                ),
+            }
+        )
+
+    def or_reduce_chunks(g: pd.DataFrame) -> pd.DataFrame:
+        cids, outs = [], []
+        for cid, sub in g.groupby("chunk_id"):
+            acc = np.zeros(BLOOM_CHUNK, dtype=np.uint8)
+            for b in sub["bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            cids.append(int(cid))
+            outs.append(acc.tobytes())
+        return pd.DataFrame({"chunk_id": cids, "bits": outs})
 
     bloom = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in okeys.map_batches(partial_bloom, batch_format="pyarrow").take_all():
-        bloom |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    merged = (
+        okeys.map_batches(partial_bloom_chunks, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(or_reduce_chunks, batch_format="pandas")
+    )
+    for r in merged.take_all():  # each chunk exactly once: O(m_bits) total
+        c = r["chunk_id"]
+        bloom[c * BLOOM_CHUNK : (c + 1) * BLOOM_CHUNK] = np.frombuffer(
+            r["bits"], dtype=np.uint8
+        )
     import ray as _ray
 
     bloom_ref = _ray.put(bloom)
@@ -2054,7 +2092,7 @@ register(
       FROM events),
     w AS (
       SELECT tb - (k * INTERVAL {SLIDE_MIN} MINUTE) AS ws, user_id
-      FROM e, unnest([0, 1, 2, 3]) t(k))
+      FROM e, unnest([{', '.join(str(i) for i in range(WINDOW_MIN // SLIDE_MIN))}]) t(k))
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(DISTINCT user_id)::BIGINT AS n_users
     FROM w GROUP BY 1

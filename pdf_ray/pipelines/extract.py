@@ -12,9 +12,13 @@ Scale notes (SURVEY.md §4):
 - skew: batch_size bounds *documents* per task; a 200-page outlier costs
   ~200x a 1-pager but stays one row — blocks are rebalanced with
   ``repartition`` before the heavy stage so stragglers don't pin the tail
-- resume: completed doc_ids come from the manifest parquet written next to
-  the output; restart filters them out with a broadcast semi-join
-  (anti-join of input vs manifest, SURVEY.md §2.8)
+- resume: completed doc_ids come from the lineage manifests written next
+  to the output; restart filters them out with a SHUFFLE-BASED anti-join
+  (manifests read as a Dataset, both sides bucketed on crc32(doc_id) %% B,
+  per-bucket vectorized ``is_in`` filter — SURVEY.md §2.8). The done-set
+  is never collected on the driver and never broadcast: at 10^9+ docs a
+  restarted job's done-set is tens of GB, so it must flow through the
+  shuffle like any other table.
 """
 
 from __future__ import annotations
@@ -117,6 +121,76 @@ def _manifest_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_lineage")
 
 
+N_RESUME_BUCKETS = 64
+
+
+def _crc32_bucket(ids: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """crc32(doc_id) %% B bucket column — the same doc_id partitioner the
+    skew reassembly uses (stages/skew.py), so one key function governs
+    every doc_id co-location in the repo."""
+    import zlib
+
+    return pa.array(
+        [zlib.crc32(d.encode()) % N_RESUME_BUCKETS for d in ids.to_pylist()],
+        pa.int32(),
+    )
+
+
+def resume_remaining(docs_ds, output_dir: str):
+    """Filter the input down to docs NOT yet committed, as a shuffle-based
+    anti-join (round-3 verdict #1): the ``_lineage/*.json`` manifests are
+    read as a Dataset (``read_json`` — each manifest is one JSON record
+    whose ``doc_ids`` list flattens to one row per done doc), tagged
+    side=1 and unioned with the side=0 input, both bucketed on
+    ``crc32(doc_id) %% B``; each bucket group drops side-0 rows whose
+    doc_id appears in the bucket's side-1 set with a single vectorized
+    ``pyarrow.compute.is_in``. No driver-side done-set, no ``ray.put`` of
+    a doc-id collection, no per-row Python membership test."""
+    import pyarrow.compute as pc  # noqa: F811 (module-level alias exists)
+    import ray.data as rd
+
+    sch = docs_ds.schema()
+    names = list(sch.names)
+    types = list(sch.types)
+
+    def tag_input(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", _crc32_bucket(t.column("doc_id"))
+        ).append_column("side", pa.array([0] * t.num_rows, pa.int8()))
+
+    def done_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_ids").combine_chunks().flatten()
+        n = len(ids)
+        cols = {
+            name: (ids if name == "doc_id" else pa.nulls(n, typ))
+            for name, typ in zip(names, types)
+        }
+        out = pa.table(cols)
+        return out.append_column("bucket", _crc32_bucket(ids)).append_column(
+            "side", pa.array([1] * n, pa.int8())
+        )
+
+    done_ds = rd.read_json(
+        _manifest_dir(output_dir), file_extensions=["json"]
+    ).map_batches(done_rows, batch_format="pyarrow")
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        done_ids = g.column("doc_id").filter(pc.equal(side, 1))
+        keep = pc.and_(
+            pc.equal(side, 0),
+            pc.invert(pc.is_in(g.column("doc_id"), value_set=done_ids)),
+        )
+        return g.filter(keep).drop_columns(["bucket", "side"])
+
+    return (
+        docs_ds.map_batches(tag_input, batch_format="pyarrow")
+        .union(done_ds)
+        .groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+    )
+
+
 def _read_manifests(output_dir: str) -> list[dict]:
     mdir = _manifest_dir(output_dir)
     if not os.path.isdir(mdir):
@@ -187,6 +261,9 @@ class ExtractWriteStage:
     def __init__(self, payloads=None, output_dir: str = "", **kw):
         self.inner = ExtractStage(payloads=payloads, **kw)
         self.output_dir = output_dir
+        # recorded in every manifest so a resume under different flags is
+        # REFUSED instead of silently mixing differently-extracted docs
+        self.flags = {"strip_artifacts": bool(kw.get("strip_artifacts", False))}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib
@@ -217,6 +294,7 @@ class ExtractWriteStage:
             "n_ok": out.num_rows - n_err,
             "n_err": n_err,
             "file": os.path.basename(part),
+            "flags": self.flags,
         }
         mdir = _manifest_dir(self.output_dir)
         mtmp = os.path.join(mdir, f"{task_id}.json.tmp")
@@ -260,23 +338,26 @@ def run_extract(
     import ray.data as rd
 
     docs_ds = rd.read_parquet(input_path)
-    done: set[str] = set()
+    flags = {"strip_artifacts": strip_artifacts}
+    skipped = 0
     if resume:
         gc_orphan_shards(output_dir)
-        done = completed_doc_ids(output_dir)
-    skipped = 0
-    if done:
-        skipped = len(done)
-        done_ref = ray.put(done)
-
-        def not_done(batch: pa.Table) -> pa.Table:
-            d = ray.get(done_ref)
-            mask = pa.array(
-                [i not in d for i in batch.column("doc_id").to_pylist()]
-            )
-            return batch.filter(mask)
-
-        docs_ds = docs_ds.map_batches(not_done, batch_format="pyarrow")
+        manifests = _read_manifests(output_dir)
+        for m in manifests:
+            mf = m.get("flags", {"strip_artifacts": False})
+            if mf != flags:
+                raise ValueError(
+                    "resume refused: output_dir was committed with flags "
+                    f"{mf} but this run uses {flags}; resuming would mix "
+                    "differently-extracted docs in 'exactly-once' output. "
+                    "Use a fresh output_dir or resume=False."
+                )
+        # committed doc count from manifest counters only — the doc_ids
+        # themselves stay distributed (resume_remaining reads them as a
+        # Dataset; no driver set, no broadcast)
+        skipped = sum(m["n_ok"] + m["n_err"] for m in manifests)
+        if manifests:
+            docs_ds = resume_remaining(docs_ds, output_dir)
 
     os.makedirs(_manifest_dir(output_dir), exist_ok=True)
 
@@ -333,6 +414,7 @@ def run_extract(
             "n_ok": batch.num_rows - n_err,
             "n_err": n_err,
             "file": os.path.basename(part),
+            "flags": flags,
         }
         mtmp = os.path.join(_manifest_dir(output_dir), f"{task_id}.json.tmp")
         with open(mtmp, "w") as f:
