@@ -21,6 +21,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .registry import register
 
@@ -464,7 +465,18 @@ def dedup_minhash_lsh(
     query), making the result provably equal to the exact-Jaccard pair
     set for ANY corpus, which is what licenses the attached SQL oracle.
     At production scale set ``recall_guard=False`` for the classic
-    LSH cost/recall curve."""
+    LSH cost/recall curve.
+
+    Exchange budget (round-3 verdict #4 — was 6 exchanges): with the
+    guard ON, band rows AND capped shingle-posting rows flow through ONE
+    unified groupby (key namespaced 'B:'/'S:' so the two families never
+    collide), and verification is the count-based exact reduce (inter =
+    number of 'S' co-occurrence rows per pair — shingle LISTS never
+    enter a shuffle): **2 exchanges total**. Since every verified-LSH
+    pair is also an exact pair, the count verify subsumes the LSH-side
+    list verify; the 2-round shingle-list join (_verify_pairs_bucketed)
+    remains the recall_guard=False path, where LSH's candidate sparsity
+    is what pays for it (3 exchanges)."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -480,7 +492,7 @@ def dedup_minhash_lsh(
                     bytes([b]) + sig[b * r : (b + 1) * r].tobytes()
                 ).hexdigest()[:16]
                 doc_ids.append(doc_id)
-                keys.append(h)
+                keys.append("B:" + h)
                 buckets.append(int(h[:4], 16) % N_SHINGLE_BUCKETS)
                 n_sh_col.append(len(sh))
         return pa.table(
@@ -492,35 +504,111 @@ def dedup_minhash_lsh(
             }
         )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_from_posting_groups(g, "key")
-        return out[["doc_a", "doc_b"]].drop_duplicates()
+    if not recall_guard:
 
-    # no dedicated global pair-dedup shuffle: duplicates surviving across
-    # band-buckets (and across the recall-guard union) are removed inside
-    # the verify's first join (all copies of a pair share doc_a -> same
-    # join bucket; see join_r1)
-    candidates = (
-        docs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("bucket")
+        def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = _pairs_from_posting_groups(g, "key")
+            return out[["doc_a", "doc_b"]].drop_duplicates()
+
+        # no dedicated global pair-dedup shuffle: duplicates surviving
+        # across band-buckets are removed inside the verify's first join
+        # (all copies of a pair share doc_a -> same bucket; see join_r1)
+        candidates = (
+            docs.map_batches(band_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: pairs_of_bucket(g.drop(columns="bucket")),
+                batch_format="pandas",
+            )
+        )
+        return _verify_pairs_bucketed(candidates, docs, tau)
+
+    # Guarded path: one unified candidate shuffle + one count reduce.
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        t = _explode_shingles(batch)
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "key": pc.binary_join_element_wise(
+                    pa.array(["S:"] * t.num_rows), t.column("shingle"), ""
+                ),
+                "doc_id": t.column("doc_id"),
+                "n_sh": t.column("n_sh"),
+            }
+        )
+
+    def expand_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Per (namespaced) posting group emit pairs; 'S:' groups carry
+        s=1 (one shared shingle -> one intersection unit), 'B:' groups
+        s=0 (LSH candidacy only — dedup/diagnostic, never counted)."""
+        a_p, b_p, na_p, nb_p, s_p = [], [], [], [], []
+        for key, grp in g.groupby("key", sort=False):
+            m = len(grp)
+            if m < 2 or m > SHINGLE_DF_CAP:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            ns = grp["n_sh"].to_numpy()
+            ii, jj = np.triu_indices(m, 1)
+            a_p.append(ids[ii])
+            b_p.append(ids[jj])
+            na_p.append(ns[ii])
+            nb_p.append(ns[jj])
+            s_p.append(
+                np.full(len(ii), 1 if key.startswith("S:") else 0, dtype=np.int64)
+            )
+        if not a_p:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "n_a": pd.Series(dtype="int64"),
+                    "n_b": pd.Series(dtype="int64"),
+                    "s": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_p).astype("int64"),
+                "doc_b": np.concatenate(b_p).astype("int64"),
+                "n_a": np.concatenate(na_p).astype("int64"),
+                "n_b": np.concatenate(nb_p).astype("int64"),
+                "s": np.concatenate(s_p),
+            }
+        )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        pb = ((a * 1000003 + b) % N_SHINGLE_BUCKETS).astype("int32")
+        return batch.append_column("pbucket", pa.array(pb))
+
+    def count_verify(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(inter=("s", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first"))
+            .reset_index()
+        )
+        union = c["n_a"] + c["n_b"] - c["inter"]
+        keep = c["inter"] >= tau * union  # integer-only comparison
+        return c[keep][["doc_a", "doc_b"]].reset_index(drop=True)
+
+    unified = docs.map_batches(band_rows, batch_format="pyarrow").union(
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+    )
+    return (
+        unified.groupby("bucket")
         .map_groups(
-            lambda g: pairs_of_bucket(g.drop(columns="bucket")),
+            lambda g: expand_group(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: count_verify(g.drop(columns="pbucket")),
             batch_format="pandas",
         )
     )
-
-    verified = _verify_pairs_bucketed(candidates, docs, tau)
-    if not recall_guard:
-        return verified
-
-    # Recall guard: union with the inverted-index EXACT pairs (already
-    # integer-count-verified inside dedup_ngram_jaccard — re-verifying
-    # them against shingle lists would drag a full document's shingles
-    # per candidate pair through the join shuffles, measured 10x slower).
-    # verified ⊆ exact, so the union IS the exact pair set; the final
-    # bucketed drop_duplicates removes the overlap.
-    guard = dedup_ngram_jaccard(sf_dir, tau)
-    return _dedup_pairs(verified.union(guard))
 
 
 register("dedup_minhash_lsh", dedup_minhash_lsh, _JACCARD_PAIR_SQL)
