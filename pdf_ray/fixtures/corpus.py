@@ -1192,6 +1192,65 @@ def f35_type0_legacy_rksj():
     return b.build(1), _t("AB\x93\xfa\x96\x7b\x8c\xea")
 
 
+def _type0_legacy_fixture(cmap_name: bytes, ordering: bytes, hexcodes: bytes,
+                          raw_text: str):
+    """Shared builder for legacy predefined-CMap Type0 fixtures (f35
+    shape): raw span parity is lexer-level (one codepoint per byte), the
+    unicode golden comes from UNICODE_OVERRIDES."""
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td <" + hexcodes + b"> Tj ET")
+    b.add(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureLegacy "
+        b"/Encoding /" + cmap_name + b" /DescendantFonts [6 0 R] >>",
+    )
+    b.add(
+        6,
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureLegacy "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (" + ordering
+        + b") /Supplement 1 >> /FontDescriptor 7 0 R /DW 1000 "
+        b"/CIDToGIDMap /Identity >>",
+    )
+    b.add(
+        7,
+        b"<< /Type /FontDescriptor /FontName /FixtureLegacy /Flags 4 "
+        b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 700 "
+        b"/Descent -200 /CapHeight 660 /StemV 80 >>",
+    )
+    return b.build(1), _t(raw_text)
+
+
+def f41_type0_cns_euc():
+    """Type0 with the /CNS-EUC-H predefined CMap (EUC-TW code space,
+    traditional Chinese). Bytes: 41 42 = "AB", C4E3 C5C6 C7F3 = EUC-TW
+    plane-1 codes for U+4E2D U+6587 U+5B57 ("Zhong Wen Zi" — derived
+    independently by round-tripping through glibc iconv's public CNS
+    11643 table; the engine decodes via ctypes iconv,
+    fonts/cmap.py:_decode_euc_tw). The reference ships this CMap as a
+    name only (src/font/cjk.rs)."""
+    return _type0_legacy_fixture(
+        b"CNS-EUC-H", b"CNS1", b"4142C4E3C5C6C7F3",
+        "AB\xc4\xe3\xc5\xc6\xc7\xf3",
+    )
+
+
+def f42_type0_kscpc_euc():
+    """Type0 with the /KSCpc-EUC-H predefined CMap (Mac OS Korean). Its
+    A1A1-FEFE double-byte range is KS X 1001 in EUC form, byte-identical
+    to euc_kr: C7D1 B1B9 = U+D55C U+AD6D ("Han Guk"). Engine decode:
+    fonts/cmap.py:_decode_kscpc_euc (Mac extension codes -> U+FFFD)."""
+    return _type0_legacy_fixture(
+        b"KSCpc-EUC-H", b"Korea1", b"4142C7D1B1B9", "AB\xc7\xd1\xb1\xb9"
+    )
+
+
 # JBIG2 symbol/text fixture (f36): the dominant scanned-PDF coding mode
 # — glyphs decoded once into a symbol dictionary, then PLACED as text
 # instances. Golden = the literal glyph drawings composed at the literal
@@ -1546,6 +1605,8 @@ UNICODE_OVERRIDES: dict[str, list] = {
     "f12": [("text", "Hi", None, 0)],
     "f27": [("text", "Hi中", None, 0)],
     "f35": [("text", "AB日本語", None, 0)],
+    "f41": [("text", "AB中文字", None, 0)],
+    "f42": [("text", "AB한국", None, 0)],
 }
 
 FIXTURES = {
@@ -1589,4 +1650,6 @@ FIXTURES = {
     "f38": f38_jpx_image,
     "f39": f39_tagged_structure,
     "f40": f40_acroform_tree,
+    "f41": f41_type0_cns_euc,
+    "f42": f42_type0_kscpc_euc,
 }

@@ -101,8 +101,10 @@ class CidCMap:
 # codec: exact unicode text, while WIDTHS fall back to the CIDFont's /DW
 # (the CID is the only thing the Adobe table adds, and it only feeds
 # width lookup — position features, never span text; the same trade as
-# the Uni* families above, stated per SURVEY §2.4). Only CNS-EUC
-# (EUC-TW) and KSCpc-EUC (Mac KS) lack a Python codec -> row error.
+# the Uni* families above, stated per SURVEY §2.4). CNS-EUC (EUC-TW)
+# decodes through glibc iconv's public CNS 11643 table (ctypes, gated —
+# row error on a libc without EUC-TW); KSCpc-EUC decodes its KS X 1001
+# double-byte range via euc_kr, Mac-extension codes -> U+FFFD.
 
 _PREDEFINED_UCS2_UTF16 = frozenset(
     base + suffix
@@ -129,7 +131,106 @@ _LEGACY_CODECS = {
     "KSC-EUC": "euc_kr", "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
 }
 
-_PREDEFINED_UNSUPPORTED = frozenset({"CNS-EUC", "KSCpc-EUC"})
+# CNS-EUC (EUC-TW / CNS 11643) has no Python codec, but glibc's iconv
+# ships the full public table — decode through it via ctypes (stdlib
+# only). Gated: on a libc without EUC-TW the name stays a row error.
+_EUC_TW_STATE: list | None = None  # [libc, argtypes-configured] or [] if absent
+
+
+def _euc_tw_available() -> bool:
+    global _EUC_TW_STATE
+    if _EUC_TW_STATE is None:
+        import ctypes
+
+        try:
+            libc = ctypes.CDLL(None, use_errno=True)
+            libc.iconv_open.restype = ctypes.c_void_p
+            libc.iconv_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            libc.iconv.restype = ctypes.c_size_t
+            libc.iconv.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            libc.iconv_close.restype = ctypes.c_int
+            libc.iconv_close.argtypes = [ctypes.c_void_p]
+            cd = libc.iconv_open(b"UTF-8", b"EUC-TW")
+            if cd in (None, ctypes.c_void_p(-1).value):
+                _EUC_TW_STATE = []
+            else:
+                libc.iconv_close(cd)
+                _EUC_TW_STATE = [libc]
+        except Exception:
+            _EUC_TW_STATE = []
+    return bool(_EUC_TW_STATE)
+
+
+def _decode_euc_tw(raw: bytes) -> str:
+    """EUC-TW (CNS 11643 planes via SS2) -> unicode through glibc iconv;
+    invalid/truncated sequences emit U+FFFD and resync one byte later,
+    matching decode_legacy_bytes' errors='replace' semantics."""
+    import ctypes
+
+    libc = _EUC_TW_STATE[0]
+    cd = libc.iconv_open(b"UTF-8", b"EUC-TW")
+    try:
+        out_parts: list[bytes] = []
+        buf = raw
+        while buf:
+            inbuf = ctypes.c_char_p(buf)
+            inleft = ctypes.c_size_t(len(buf))
+            outsize = 4 * len(buf) + 16
+            outarr = ctypes.create_string_buffer(outsize)
+            outptr = ctypes.cast(outarr, ctypes.c_char_p)
+            outleft = ctypes.c_size_t(outsize)
+            r = libc.iconv(
+                cd,
+                ctypes.byref(inbuf),
+                ctypes.byref(inleft),
+                ctypes.byref(outptr),
+                ctypes.byref(outleft),
+            )
+            out_parts.append(outarr.raw[: outsize - outleft.value])
+            if r != ctypes.c_size_t(-1).value or inleft.value == 0:
+                break
+            # EILSEQ/EINVAL: replace the offending byte, resync
+            out_parts.append("�".encode())
+            buf = buf[len(buf) - inleft.value + 1 :]
+        return b"".join(out_parts).decode("utf-8", errors="replace")
+    finally:
+        libc.iconv_close(cd)
+
+
+def _decode_kscpc_euc(raw: bytes) -> str:
+    """KSCpc-EUC (Mac OS Korean): the double-byte A1A1-FEFE range IS
+    KS X 1001 in EUC form, i.e. byte-identical to euc_kr; singles < 0x80
+    are ASCII. Mac-specific extension codes (lead 0x81-0xA0 and the Mac
+    symbol singles) have no Python codec -> U+FFFD, the same honest
+    degradation as errors='replace' elsewhere."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        b0 = raw[i]
+        if b0 < 0x80:
+            out.append(chr(b0))
+            i += 1
+        elif 0x81 <= b0 <= 0xFE and i + 1 < n:
+            # two-byte code (KS X 1001 for A1+ leads; Mac additions for
+            # 81-A0 leads — the trail byte is consumed either way)
+            if b0 >= 0xA1:
+                try:
+                    out.append(raw[i : i + 2].decode("euc_kr"))
+                except UnicodeDecodeError:
+                    out.append("�")
+            else:
+                out.append("�")
+            i += 2
+        else:
+            out.append("�")
+            i += 1
+    return "".join(out)
 
 
 def predefined_cmap_info(name: str) -> tuple[str, str | None]:
@@ -153,10 +254,14 @@ def predefined_cmap_info(name: str) -> tuple[str, str | None]:
     codec = _LEGACY_CODECS.get(base)
     if codec is not None:
         return "legacy", codec
-    if base in _PREDEFINED_UNSUPPORTED:
+    if base == "CNS-EUC":
+        if _euc_tw_available():
+            return "legacy", "euc_tw"
         raise PdfParseError(
-            f"predefined CMap {name!r} requires external mapping data"
+            f"predefined CMap {name!r} requires an EUC-TW-capable libc"
         )
+    if base == "KSCpc-EUC":
+        return "legacy", "kscpc_euc"
     raise PdfParseError(f"unknown predefined CMap {name!r}")
 
 
@@ -182,6 +287,10 @@ def decode_legacy_bytes(codec: str, raw: bytes) -> str:
         return (b"\x1b$B" + raw + b"\x1b(B").decode(
             "iso2022_jp", errors="replace"
         )
+    if codec == "euc_tw":
+        return _decode_euc_tw(raw)
+    if codec == "kscpc_euc":
+        return _decode_kscpc_euc(raw)
     return raw.decode(codec, errors="replace")
 
 

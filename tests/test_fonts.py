@@ -342,10 +342,35 @@ def test_predefined_legacy_cmap_codecs():
     # undecodable bytes degrade to U+FFFD, never raise
     assert "�" in decode_legacy_bytes("cp932", b"\x85\x40\xff\xff")
 
-    # the two genuinely table-only names still fail the row
-    for name in ("CNS-EUC-H", "KSCpc-EUC-H"):
-        with pytest.raises(PdfParseError):
-            predefined_cmap_info(name)
+    # CNS-EUC decodes through glibc iconv's CNS 11643 table (gated on
+    # libc support — present on this platform); KSCpc-EUC via its
+    # KS X 1001 / euc_kr double-byte subset
+    from pdf_ray.pdfcore.fonts.cmap import _euc_tw_available
+
+    assert _euc_tw_available()
+    kind, codec = predefined_cmap_info("CNS-EUC-H")
+    assert (kind, codec) == ("legacy", "euc_tw")
+    assert decode_legacy_bytes(codec, b"AB\xc4\xe3\xc5\xc6") == "AB中文"
+    # plane 2 via SS2 (4-byte 8E A2 xx xx sequences) decodes too
+    import subprocess
+
+    p2 = subprocess.run(
+        ["iconv", "-t", "EUC-TW", "-f", "UTF-8"],
+        input="乂".encode(),
+        capture_output=True,
+    ).stdout
+    if p2.startswith(b"\x8e"):  # only assert when iconv picked plane 2+
+        assert decode_legacy_bytes("euc_tw", p2) == "乂"
+    # invalid sequences degrade to U+FFFD, never raise
+    assert "�" in decode_legacy_bytes("euc_tw", b"A\xc4\xffB")
+
+    kind, codec = predefined_cmap_info("KSCpc-EUC-V")
+    assert (kind, codec) == ("legacy", "kscpc_euc")
+    assert decode_legacy_bytes(codec, b"AB\xc7\xd1\xb1\xb9") == "AB한국"
+    # Mac-extension lead bytes (0x81-0xA0) consume their trail byte and
+    # degrade to one U+FFFD per 2-byte code
+    assert decode_legacy_bytes("kscpc_euc", b"\x85\x41A") == "�A"
+
     with pytest.raises(PdfParseError):
         predefined_cmap_info("NotACMap-H")
 
