@@ -22,6 +22,13 @@ STOPWORDS = {
 }
 
 
+LM_BIGRAM_BUCKETS = 65536
+LM_CTX_BUCKETS = 8192
+LM_TRAIN_MOD = 10  # docs with doc_id % MOD == 0 are the training split
+LM_REDUCE_BUCKETS = 64
+LM_KEEP_THRESH_Q = -10_100_000  # mean per-bigram logprob floor, 1e-6 units
+
+
 def _read_documents(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -882,18 +889,22 @@ def curate_corpus(sf_dir: str, n: int = DECON_N):
     """END-TO-END corpus curation — the composition a real pre-training
     pipeline runs, as ONE streaming job: every doc gets a keep/drop
     decision with its FIRST failing filter as the reason, priority
-    heldout > dup > contaminated > repetition > quality > keep.
+    heldout > dup > contaminated > repetition > quality > perplexity >
+    keep.
 
     - heldout: split pct >= 80 (the val/test docs are not train corpus)
     - dup: not the lowest doc_id of its exact md5(lower(text)) group
     - contaminated: shares a word n-gram with the test split (pct >= 90)
     - repetition: duplicate-bigram fraction > 1/5 (Gopher-style)
     - quality: stopword permille < 30
+    - perplexity: mean bigram-LM logprob below LM_KEEP_THRESH_Q (the
+      CCNet-style LM filter — see lm_perplexity)
 
-    Shape: one broadcast (the test split's distinct n-grams — tiny by
-    construction), one map pass computing every per-doc signal, ONE
-    bucketed shuffle keyed by text-hash for the global dup decision.
-    Nothing corpus-sized reaches the driver."""
+    Shape: two broadcasts (the test split's distinct n-grams and the
+    fixed-size bigram-LM count arrays — both corpus-size-independent),
+    one map pass computing every per-doc signal, ONE bucketed shuffle
+    keyed by text-hash for the global dup decision. Nothing corpus-sized
+    reaches the driver."""
     import ray
 
     def _split_pct(doc_ids) -> np.ndarray:
@@ -926,16 +937,40 @@ def curate_corpus(sf_dir: str, n: int = DECON_N):
         eval_ngrams, batch_format="pandas"
     )
     eval_ref = ray.put(frozenset(parts.to_pandas()["ng"]))
+    lm_ref = ray.put(_lm_train(sf_dir))
 
     N_B = 128
 
     def signals(df: pd.DataFrame) -> pd.DataFrame:
         ev = ray.get(eval_ref)
+        cbm, cum = ray.get(lm_ref)
         toks = df["text"].str.lower().str.split(" ")
         nt = toks.map(len).astype("int64")
         sw = set(STOPWORDS["en"])
         stop = toks.map(lambda t: sum(x in sw for x in t)).astype("int64")
         spm = np.floor(1000.0 * stop / nt).astype("int64")
+
+        tok_cache: dict[str, int] = {}
+
+        def lm_q(t: list) -> tuple[int, int]:
+            m = len(t) - 1
+            if m <= 0:
+                return 0, 0
+            bi = np.empty(m, np.int64)
+            ci = np.empty(m, np.int64)
+            for i in range(m):
+                bi[i] = _md5_bucket32(t[i] + " " + t[i + 1]) % LM_BIGRAM_BUCKETS
+                h = tok_cache.get(t[i])
+                if h is None:
+                    h = _md5_bucket32(t[i]) % LM_CTX_BUCKETS
+                    tok_cache[t[i]] = h
+                ci[i] = h
+            p = (cbm[bi] + 1.0) / (cum[ci] + float(LM_BIGRAM_BUCKETS))
+            return int(np.floor(np.log(p) * 1e6).astype(np.int64).sum()), m
+
+        lm_pairs = toks.map(lm_q)
+        lm_lp = lm_pairs.map(lambda x: x[0]).astype("int64")
+        lm_n = lm_pairs.map(lambda x: x[1]).astype("int64")
 
         def rep_keep(t: list) -> bool:
             if len(t) < 2:
@@ -959,6 +994,8 @@ def curate_corpus(sf_dir: str, n: int = DECON_N):
                 "spm": spm,
                 "rkeep": rkeep.astype(bool),
                 "contam": contam.astype(bool),
+                "lm_lp": lm_lp,
+                "lm_n": lm_n,
             }
         )
 
@@ -969,9 +1006,11 @@ def curate_corpus(sf_dir: str, n: int = DECON_N):
         contam = g["contam"].to_numpy()
         rep = ~g["rkeep"].to_numpy()
         qual = g["spm"].to_numpy() < CURATE_MIN_STOPWORD_PERMILLE
+        ppl = g["lm_lp"].to_numpy() < LM_KEEP_THRESH_Q * g["lm_n"].to_numpy()
         reason = np.select(
-            [heldout, dup, contam, rep, qual],
-            ["heldout", "dup", "contaminated", "repetition", "quality"],
+            [heldout, dup, contam, rep, qual, ppl],
+            ["heldout", "dup", "contaminated", "repetition", "quality",
+             "perplexity"],
             default="keep",
         )
         return pd.DataFrame(
@@ -1022,17 +1061,46 @@ register(
       FROM base WHERE len(tk) >= {DECON_N}),
     ev AS (SELECT DISTINCT ng FROM g WHERE pct >= {CURATE_EVAL_PCT}),
     contam AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)),
-    decided AS (
+    lmflat AS (
       SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bgr,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS ctx
+      FROM base WHERE len(tk) >= 2),
+    lmhb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(bgr), 1, 8))::BIGINT
+                 % {LM_BIGRAM_BUCKETS} AS bb,
+             ('0x' || substr(md5(ctx), 1, 8))::BIGINT
+                 % {LM_CTX_BUCKETS} AS cc
+      FROM lmflat),
+    lmb AS (SELECT bb, count(*) AS n FROM lmhb
+            WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    lmc AS (SELECT cc, count(*) AS n FROM lmhb
+            WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    lmagg AS (
+      SELECT h.doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(floor(ln((COALESCE(b.n, 0) + 1)::DOUBLE
+                          / (COALESCE(c.n, 0) + {LM_BIGRAM_BUCKETS})::DOUBLE)
+                       * 1e6)::BIGINT)::BIGINT AS logprob_q
+      FROM lmhb h
+      LEFT JOIN lmb b ON h.bb = b.bb
+      LEFT JOIN lmc c ON h.cc = c.cc
+      GROUP BY 1),
+    decided AS (
+      SELECT base.doc_id AS doc_id,
              CASE WHEN pct >= {CURATE_TRAIN_PCT} THEN 'heldout'
-                  WHEN doc_id <> canon THEN 'dup'
-                  WHEN doc_id IN (SELECT doc_id FROM contam)
+                  WHEN base.doc_id <> canon THEN 'dup'
+                  WHEN base.doc_id IN (SELECT doc_id FROM contam)
                        THEN 'contaminated'
                   WHEN (len(bg) - len(list_distinct(bg))) * 5 > len(bg)
                        THEN 'repetition'
                   WHEN spm < {CURATE_MIN_STOPWORD_PERMILLE} THEN 'quality'
+                  WHEN COALESCE(l.logprob_q, 0)
+                       < {LM_KEEP_THRESH_Q} * COALESCE(l.n_bigrams, 0)
+                       THEN 'perplexity'
                   ELSE 'keep' END AS reason
-      FROM base)
+      FROM base LEFT JOIN lmagg l ON base.doc_id = l.doc_id)
     SELECT doc_id,
            CASE WHEN reason = 'keep' THEN 1 ELSE 0 END::BIGINT AS keep,
            reason
@@ -1085,5 +1153,179 @@ register(
            lang AS lang_actual,
            count(*)::BIGINT AS n_docs
     FROM documents GROUP BY 1, 2
+    """,
+)
+
+
+# -- hash-bucketed bigram-LM perplexity filter (CCNet/Gopher-style) ---------
+
+
+
+def _md5_bucket32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _lm_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Train the hash-bucketed bigram LM on the ``doc_id %% MOD == 0``
+    split: one streaming pass emitting per-batch pre-aggregated
+    (kind, bucket, cnt) partials (np.unique), a fixed-B bucket-hash
+    reduce, then the driver materializes the model arrays — at most
+    65536 + 8192 rows whatever the corpus size. The model is the
+    broadcast-small-side of the scoring pass."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        bb: list[int] = []
+        cc: list[int] = []
+        tok_cache: dict[str, int] = {}
+        for d, tx in zip(df["doc_id"], df["text"]):
+            if d % LM_TRAIN_MOD:
+                continue
+            tk = tx.lower().split(" ")
+            for i in range(len(tk) - 1):
+                bb.append(
+                    _md5_bucket32(tk[i] + " " + tk[i + 1]) % LM_BIGRAM_BUCKETS
+                )
+                h = tok_cache.get(tk[i])
+                if h is None:
+                    h = _md5_bucket32(tk[i]) % LM_CTX_BUCKETS
+                    tok_cache[tk[i]] = h
+                cc.append(h)
+        kinds: list[str] = []
+        buckets: list[int] = []
+        cnts: list[int] = []
+        for kind, arr in (("B", bb), ("C", cc)):
+            if arr:
+                u, c = np.unique(np.asarray(arr, np.int64), return_counts=True)
+                kinds.extend([kind] * len(u))
+                buckets.extend(int(x) for x in u)
+                cnts.extend(int(x) for x in c)
+        out = pd.DataFrame(
+            {
+                "kind": pd.Series(kinds, dtype=object),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+            }
+        )
+        out["rb"] = (out["bucket"] % LM_REDUCE_BUCKETS).astype("int32")
+        return out
+
+    rows = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(
+            lambda g: g.drop(columns="rb")
+            .groupby(["kind", "bucket"], as_index=False)
+            .agg(cnt=("cnt", "sum")),
+            batch_format="pandas",
+        )
+        .take_all()
+    )
+    cb = np.zeros(LM_BIGRAM_BUCKETS, np.int64)
+    cu = np.zeros(LM_CTX_BUCKETS, np.int64)
+    for r in rows:
+        (cb if r["kind"] == "B" else cu)[r["bucket"]] = r["cnt"]
+    return cb, cu
+
+
+def lm_perplexity(sf_dir: str):
+    """Per-doc bigram-LM quality signal (the CCNet/Gopher perplexity
+    filter shape): P(w_i | w_{i-1}) from hash-bucketed training counts
+    with add-one smoothing over the bigram bucket space; each bigram's
+    logprob is floor-quantized to 1e-6 units BEFORE summation so the
+    per-doc total is an order-independent integer the SQL oracle
+    reproduces bit-for-bit (same md5 bucket hash, same float64 ln chain).
+    ``keep`` = mean per-bigram logprob above LM_KEEP_THRESH_Q."""
+    import ray
+
+    cb, cu = _lm_train(sf_dir)
+    model_ref = ray.put((cb, cu))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cbm, cum = ray.get(model_ref)
+        tok_cache: dict[str, int] = {}
+        ids: list[int] = []
+        ns: list[int] = []
+        lps: list[int] = []
+        for d, tx in zip(df["doc_id"], df["text"]):
+            tk = tx.lower().split(" ")
+            n = len(tk) - 1
+            if n <= 0:
+                ids.append(d)
+                ns.append(0)
+                lps.append(0)
+                continue
+            bi = np.empty(n, np.int64)
+            ci = np.empty(n, np.int64)
+            for i in range(n):
+                bi[i] = (
+                    _md5_bucket32(tk[i] + " " + tk[i + 1]) % LM_BIGRAM_BUCKETS
+                )
+                h = tok_cache.get(tk[i])
+                if h is None:
+                    h = _md5_bucket32(tk[i]) % LM_CTX_BUCKETS
+                    tok_cache[tk[i]] = h
+                ci[i] = h
+            p = (cbm[bi] + 1.0) / (cum[ci] + float(LM_BIGRAM_BUCKETS))
+            q = np.floor(np.log(p) * 1e6).astype(np.int64)
+            ids.append(d)
+            ns.append(n)
+            lps.append(int(q.sum()))
+        n_arr = np.asarray(ns, np.int64)
+        lp_arr = np.asarray(lps, np.int64)
+        keep = (lp_arr >= LM_KEEP_THRESH_Q * n_arr).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bigrams": n_arr,
+                "logprob_q": lp_arr,
+                "keep": keep,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+register(
+    "lm_perplexity",
+    lm_perplexity,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS g,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS c
+      FROM tok WHERE len(tk) >= 2),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {LM_BIGRAM_BUCKETS} AS bb,
+             ('0x' || substr(md5(c), 1, 8))::BIGINT % {LM_CTX_BUCKETS} AS cc
+      FROM flat),
+    bcnt AS (SELECT bb, count(*) AS n FROM hb
+             WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    ccnt AS (SELECT cc, count(*) AS n FROM hb
+             WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    q AS (
+      SELECT h.doc_id,
+             floor(ln((COALESCE(b.n, 0) + 1)::DOUBLE
+                      / (COALESCE(c.n, 0) + {LM_BIGRAM_BUCKETS})::DOUBLE)
+                   * 1e6)::BIGINT AS lp
+      FROM hb h
+      LEFT JOIN bcnt b ON h.bb = b.bb
+      LEFT JOIN ccnt c ON h.cc = c.cc),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(lp)::BIGINT AS logprob_q
+            FROM q GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+           COALESCE(a.logprob_q, 0)::BIGINT AS logprob_q,
+           (CASE WHEN COALESCE(a.logprob_q, 0)
+                      >= {LM_KEEP_THRESH_Q} * COALESCE(a.n_bigrams, 0)
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
