@@ -460,6 +460,14 @@ def test_curate_corpus_reason_priority(ray_session, tmp_path):
     train_ids = [d for d in range(1000) if pct(d) < 80]
     eval_ids = [d for d in range(1000) if pct(d) >= 90]
     good = "the quick brown fox and the lazy dog of the town in a field"
+    # LM-training docs (doc_id % 10 == 0) covering the good doc's bigram
+    # vocabulary so the perplexity filter has a trained model; suffixed
+    # so they are not exact dups of the good doc
+    lm_ids = [
+        d
+        for d in range(1000)
+        if d % 10 == 0 and pct(d) < 80 and d not in train_ids[:6]
+    ][:3]
     docs = {
         train_ids[0]: good,                         # keep
         train_ids[1]: good,                         # dup of the lower id
@@ -467,7 +475,12 @@ def test_curate_corpus_reason_priority(ray_session, tmp_path):
         train_ids[3]: "a b a b a b a b a b a b",    # repetition + no stopword
         eval_ids[0]: "held out eval text one two three four",
         train_ids[4]: "padding held out eval text one stuff the and of in a to",
+        # stopwords ok, no repetition/dup/contam — but every bigram is
+        # unseen by the LM -> perplexity
+        train_ids[5]: "the xqj zzk the wvu rrt the aab ccd the eef ggh",
     }
+    for k, d in enumerate(lm_ids):
+        docs[d] = good + f" pad{k}"
     pd.DataFrame(
         {"doc_id": list(docs), "text": list(docs.values())}
     ).to_parquet(tmp_path / "documents.parquet")
@@ -481,4 +494,6 @@ def test_curate_corpus_reason_priority(ray_session, tmp_path):
     assert got.loc[eval_ids[0], "reason"] == "heldout"
     # shares the 4-gram "held out eval text" with the eval doc
     assert got.loc[train_ids[4], "reason"] == "contaminated"
+    # passes every other filter but its bigrams are unseen by the LM
+    assert got.loc[train_ids[5], "reason"] == "perplexity"
     assert (got["keep"] == (got["reason"] == "keep").astype(int)).all()
