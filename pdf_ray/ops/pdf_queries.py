@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURES_DIR = os.path.join(
@@ -641,3 +642,230 @@ def _form_fields_oracle() -> str:
 
 
 PDF_ORACLE_SQL["pdf_form_fields"] = _form_fields_oracle()
+
+
+# -- image perceptual-hash dedup ---------------------------------------------
+
+PHASH_MAX_HAMMING = 6
+N_PHASH_BUCKETS = 32
+
+
+def image_phash_dedup(sf_dir: str | None = None):
+    """Image near-dup pairs via 63-bit dHash + hamming-LSH: the corpus's
+    deduped image blobs UNIONED with their 32x32 nearest-neighbor
+    resized re-encodes (media_ref + '#r32'), hashed by the actor-pool
+    ImagePHashStage, then paired with the SimHash block machinery — each
+    hash emits 8 rows (block_id, 8-bit block_val), identical blocks
+    colocate in a bucketed groupby, pairwise hamming is verified
+    vectorized in-group, pair dedup in a second bucketed groupby. By
+    pigeonhole a pair within hamming <= 7 shares >= 1 of the 8 blocks,
+    so for k=6 the LSH is EXACT. Oracle: an independent pure-Python
+    dHash recomputation from the fixtures' literal pixel constants,
+    enumerated exhaustively over all hash pairs."""
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.extract import extract_image_blobs
+    from ..stages.multimodal import dhash63
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    blobs = extract_image_blobs(docs, ray.put(payloads), concurrency=2)
+
+    import numpy as np
+    import pandas as pd
+
+    def phash_rows(t: pa.Table) -> pa.Table:
+        """One decode per blob -> TWO hash rows: the original and its
+        32x32 nearest-neighbor resize (ref + '#r32'). Emitting both from
+        one stage avoids consuming the blob pipeline twice (a union of
+        two branches re-executes the upstream actor pool per consumer)."""
+        from ..pdfcore.images import decode_png
+
+        refs_out, hashes = [], []
+        for ref, blob in zip(
+            t.column("media_ref").to_pylist(), t.column("png").to_pylist()
+        ):
+            w, h, pixels = decode_png(blob)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+            refs_out.append(ref)
+            hashes.append(dhash63(w, h, arr))
+            yi = (np.arange(32) * h // 32).clip(0, h - 1)
+            xi = (np.arange(32) * w // 32).clip(0, w - 1)
+            refs_out.append(ref + "#r32")
+            hashes.append(dhash63(32, 32, arr[yi][:, xi]))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs_out, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    hashed = blobs.map_batches(phash_rows, batch_format="pyarrow")
+
+    def block_rows(t: pa.Table) -> pa.Table:
+        refs = t.column("media_ref").to_pylist()
+        ph = t.column("phash").to_numpy().astype(np.uint64)
+        n = len(refs)
+        ref_col = [r for r in refs for _ in range(8)]
+        phash = np.repeat(ph.astype(np.int64), 8)
+        block_id = np.tile(np.arange(8, dtype=np.int64), n)
+        block_val = (phash.astype(np.uint64) >> (8 * block_id.astype(np.uint64))
+                     ).astype(np.int64) & 0xFF
+        bucket = ((block_id * 257 + block_val) % N_PHASH_BUCKETS).astype("int32")
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "block_id": pa.array(block_id),
+                "block_val": pa.array(block_val),
+                "media_ref": pa.array(ref_col, pa.string()),
+                "phash": pa.array(phash),
+            }
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(["block_id", "block_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("media_ref")
+            refs = grp["media_ref"].to_numpy()
+            sh = grp["phash"].to_numpy().astype(np.uint64)
+            bits = np.unpackbits(
+                sh.view(np.uint8).reshape(len(sh), 8), axis=1
+            ).astype(np.float32)
+            ones = bits @ bits.T
+            zeros = (1 - bits) @ (1 - bits).T
+            hamming = 64 - ones - zeros
+            hit = np.triu(hamming <= PHASH_MAX_HAMMING, k=1)
+            ii, jj = np.where(hit)
+            for a, b in zip(ii, jj):
+                out.append((refs[a], refs[b], int(hamming[a, b])))
+        return pd.DataFrame(
+            out, columns=["ref_a", "ref_b", "hamming"]
+        ).astype({"hamming": "int64"}) if out else pd.DataFrame(
+            {
+                "ref_a": pd.Series(dtype=object),
+                "ref_b": pd.Series(dtype=object),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        pb = pa.array(
+            [
+                int.from_bytes(
+                    _hl.md5((a + "|" + b).encode()).digest()[:4], "little"
+                )
+                % N_PHASH_BUCKETS
+                for a, b in zip(
+                    t.column("ref_a").to_pylist(), t.column("ref_b").to_pylist()
+                )
+            ],
+            pa.int32(),
+        )
+        return t.append_column("pbucket", pb)
+
+    return (
+        hashed.map_batches(block_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pairs_of_bucket(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.drop(columns="pbucket").drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
+
+
+def _phash_oracle() -> str:
+    """Ground truth recomputed INDEPENDENTLY from the fixtures' literal
+    pixel constants with plain-Python loops (no numpy, no engine code):
+    luma -> 9x8 center-sampled grid -> dHash bits -> exhaustive pairwise
+    hamming over originals + replicated 32x32 nearest-neighbor resizes."""
+    from ..fixtures.corpus import (
+        CCITT_H, CCITT_PIXELS, CCITT_REF, CCITT_W,
+        DCT_H, DCT_PIXELS, DCT_REF, DCT_W,
+        IDX_H, IDX_PIXELS, IDX_REF, IDX_W,
+        IMG_H, IMG_PIXELS, IMG_REF, IMG_W,
+        JB2_H, JB2_PIXELS, JB2_REF, JB2_W,
+        JB2T_H, JB2T_PIXELS, JB2T_REF, JB2T_W,
+        JPX_H, JPX_PIXELS, JPX_REF, JPX_W,
+        JPXC_H, JPXC_PIXELS, JPXC_REF, JPXC_W,
+        PROG_H, PROG_PIXELS, PROG_REF, PROG_W,
+    )
+
+    def luma_grid(w, h, flat):
+        # flat = [r,g,b, r,g,b, ...] row-major
+        def lum(x, y):
+            i = 3 * (y * w + x)
+            return (flat[i] * 299 + flat[i + 1] * 587 + flat[i + 2] * 114) // 1000
+
+        rows = [min((2 * j + 1) * h // 16, h - 1) for j in range(8)]
+        cols = [min((2 * i + 1) * w // 18, w - 1) for i in range(9)]
+        return [[lum(x, y) for x in cols] for y in rows]
+
+    def dhash(w, h, flat):
+        grid = luma_grid(w, h, flat)
+        v = 0
+        for j in range(8):
+            for i in range(8):
+                if grid[j][i] < grid[j][i + 1]:
+                    v |= 1 << (j * 8 + i)
+        return v & ((1 << 63) - 1)
+
+    def resize32(w, h, flat):
+        out = []
+        for ty in range(32):
+            sy = min(ty * h // 32, h - 1)
+            for tx in range(32):
+                sx = min(tx * w // 32, w - 1)
+                i = 3 * (sy * w + sx)
+                out.extend(flat[i : i + 3])
+        return out
+
+    hashes = {}
+    for ref, w, h, px in (
+        (IMG_REF, IMG_W, IMG_H, IMG_PIXELS),
+        (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
+        (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
+        (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
+        (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
+        (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
+        (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
+        (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
+        (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
+    ):
+        px = list(px)
+        hashes[ref] = dhash(w, h, px)
+        hashes[ref + "#r32"] = dhash(32, 32, resize32(w, h, px))
+
+    rows = []
+    refs = sorted(hashes)
+    for x in range(len(refs)):
+        for y in range(x + 1, len(refs)):
+            hx, hy = hashes[refs[x]], hashes[refs[y]]
+            d = bin(hx ^ hy).count("1")
+            if d <= PHASH_MAX_HAMMING:
+                rows.append(
+                    f"SELECT '{refs[x]}' AS ref_a, '{refs[y]}' AS ref_b, "
+                    f"{d}::BIGINT AS hamming"
+                )
+    if not rows:  # degenerate guard: never expected for this corpus
+        rows.append(
+            "SELECT ''::VARCHAR AS ref_a, ''::VARCHAR AS ref_b, "
+            "0::BIGINT AS hamming WHERE 1=0"
+        )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["image_phash_dedup"] = _phash_oracle()

@@ -84,6 +84,54 @@ class ImageResizeStage:
         )
 
 
+PHASH_GRID_W = 9  # dHash samples per row (8 horizontal-gradient bits)
+PHASH_GRID_H = 8
+
+
+def dhash63(w: int, h: int, rgb: np.ndarray) -> int:
+    """63-bit dHash (difference hash) of an RGB image: integer luma
+    (299r+587g+114b)//1000, center-sampled onto a 9x8 grid
+    (row_j = (2j+1)h//16, col_i = (2i+1)w//18, clamped), bit j*8+i set
+    when grid[j][i] < grid[j][i+1]. Top bit masked off so the value fits
+    int64 (same convention as the text SimHash). Deterministic for any
+    image size >= 1x1."""
+    g = (
+        rgb[:, :, 0].astype(np.int64) * 299
+        + rgb[:, :, 1].astype(np.int64) * 587
+        + rgb[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    rows = np.minimum((2 * np.arange(PHASH_GRID_H) + 1) * h // 16, h - 1)
+    cols = np.minimum((2 * np.arange(PHASH_GRID_W) + 1) * w // 18, w - 1)
+    grid = g[rows][:, cols]
+    bits = (grid[:, :-1] < grid[:, 1:]).astype(np.uint64)  # (8, 8)
+    shifts = (
+        np.arange(PHASH_GRID_H, dtype=np.uint64)[:, None] * np.uint64(8)
+        + np.arange(8, dtype=np.uint64)[None, :]
+    )
+    return int((bits << shifts).sum()) & ((1 << 63) - 1)
+
+
+class ImagePHashStage:
+    """(media_ref, png: binary) -> (media_ref, phash:int64) — the
+    perceptual-hash step of image near-dup detection. Decode happens
+    with the engine's own PNG codec; the hash is dhash63 (resize- and
+    re-encode-invariant by construction of the sampling grid)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        hashes = []
+        for blob in batch.column("png").to_pylist():
+            w, h, pixels = decode_png(blob)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+            hashes.append(dhash63(w, h, arr))
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
 class AudioFeatureStage:
     """(media_ref, audio: binary) -> per-clip audio features.
 

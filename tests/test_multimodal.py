@@ -50,6 +50,39 @@ def test_image_resize_stage():
     assert len(pixels) == 4 * 4 * 3
 
 
+def test_image_phash_stage():
+    """dHash invariants: stage matches dhash63 on the decoded pixels;
+    resize-invariant for a smooth gradient; a hand-checkable 2x1 image
+    (left brighter) sets no gradient bits, the reverse sets all of them."""
+    from pdf_ray.stages.multimodal import ImagePHashStage, dhash63
+
+    pixels, png = _png(16, 8)
+    batch = pa.table(
+        {"media_ref": ["img:x"], "png": pa.array([png], pa.large_binary())}
+    )
+    out = ImagePHashStage()(batch)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(8, 16, 3)
+    assert out.column("phash").to_pylist() == [dhash63(16, 8, arr)]
+
+    grad = np.tile(
+        np.linspace(0, 255, 36, dtype=np.uint8)[None, :, None], (18, 1, 3)
+    )
+    yi = (np.arange(32) * 18 // 32).clip(0, 17)
+    xi = (np.arange(32) * 36 // 32).clip(0, 35)
+    h_orig = dhash63(36, 18, grad)
+    h_small = dhash63(32, 32, grad[yi][:, xi])
+    assert bin(h_orig ^ h_small).count("1") <= 6
+
+    # 2x1 image: the 9 grid columns sample [L,L,L,L,R,R,R,R,R], so the
+    # only increasing adjacency is i=3 -> bit j*8+3 per row
+    dark_right = np.zeros((1, 2, 3), np.uint8)
+    dark_right[0, 0] = 200
+    assert dhash63(2, 1, dark_right) == 0  # decreasing: no bits
+    assert dhash63(2, 1, dark_right[:, ::-1]) == sum(
+        1 << (j * 8 + 3) for j in range(8)
+    )
+
+
 def test_audio_stage_real_wav_features():
     import numpy as np
 
