@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_main_content_quality": p.pdf_main_content_quality,
         "pdf_form_fields": p.pdf_form_fields,
         "image_phash_dedup": p.image_phash_dedup,
+        "pdf_ocg_content": p.pdf_ocg_content,
     }
     from pdf_ray.ops import html_queries as h
 

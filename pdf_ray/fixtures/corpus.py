@@ -1241,6 +1241,71 @@ def f41_type0_cns_euc():
     )
 
 
+OCG_IMG_W, OCG_IMG_H = 2, 1
+OCG_IMG_PIXELS = [10, 20, 30, 200, 210, 220]  # flat RGB
+OCG_IMG_REF = media_ref_for_pixels(
+    OCG_IMG_W, OCG_IMG_H, bytes(OCG_IMG_PIXELS)
+)
+
+
+def f43_optional_content(base_state_off: bool = False):
+    """Optional-content groups (PDF 32000-1 §8.11): /OCProperties declares
+    OCG 8 (ON by default) and OCG 9 (listed /OFF in the default config);
+    OCMD 10 wraps the hidden group. Content paints visible text, text in
+    the hidden /OC scope, text in the visible /OC scope, text under the
+    OCMD, an /OC-tagged image XObject in the hidden group, and trailing
+    text. Raw golden keeps EVERYTHING (default extraction ignores OCG
+    state, matching the reference, src/optional_content.rs); the
+    strip_hidden_ocg golden (OCG_OVERRIDES) drops Secret/AllOff/image."""
+    b = PdfBuilder()
+    d = (
+        b"<< /BaseState /OFF /ON [8 0 R] >>"
+        if base_state_off
+        else b"<< /OFF [9 0 R] >>"
+    )
+    b.add(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+        b"<< /OCGs [8 0 R 9 0 R] /D " + d + b" >> >>",
+    )
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> "
+        b"/Properties << /L1 8 0 R /L2 9 0 R /M1 10 0 R >> "
+        b"/XObject << /Im1 11 0 R >> >> /Contents 4 0 R >>",
+    )
+    b.add_stream(
+        4,
+        b"",
+        b"BT /F1 12 Tf 72 720 Td (Shown) Tj ET "
+        b"/OC /L2 BDC BT /F1 12 Tf 72 700 Td (Secret) Tj ET EMC "
+        b"/OC /L1 BDC BT /F1 12 Tf 72 680 Td (Layer) Tj ET EMC "
+        b"/OC /M1 BDC BT /F1 12 Tf 72 660 Td (AllOff) Tj ET EMC "
+        b"/Im1 Do "
+        b"BT /F1 12 Tf 72 640 Td (Tail) Tj ET",
+    )
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(8, b"<< /Type /OCG /Name (LayerA) >>")
+    b.add(9, b"<< /Type /OCG /Name (LayerB) >>")
+    b.add(10, b"<< /Type /OCMD /OCGs [9 0 R] >>")
+    b.add(
+        11,
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 1 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /OC 9 0 R /Length 6 "
+        b">>\nstream\n" + bytes(OCG_IMG_PIXELS) + b"\nendstream",
+    )
+    return b.build(1), [
+        ("text", "Shown", None, 0),
+        ("text", "Secret", None, 1),
+        ("text", "Layer", None, 2),
+        ("text", "AllOff", None, 3),
+        ("image", None, OCG_IMG_REF, 4),
+        ("text", "Tail", None, 5),
+    ]
+
+
 def f42_type0_kscpc_euc():
     """Type0 with the /KSCpc-EUC-H predefined CMap (Mac OS Korean). Its
     A1A1-FEFE double-byte range is KS X 1001 in EUC form, byte-identical
@@ -1596,6 +1661,14 @@ MAIN_OVERRIDES: dict[str, list] = {
 }
 
 
+# hand-written HIDDEN-OCG-STRIPPED expectations (pdf_ocg_content):
+# fixtures not listed are identical to their raw golden; only f43
+# declares /OCProperties with a default-OFF group.
+OCG_OVERRIDES: dict[str, list] = {
+    "f43": _t("Shown", "Layer", "Tail"),
+}
+
+
 # hand-derived expected spans for the ToUnicode-enrichment variant
 # (pdf_extract_unicode); fixtures not listed are identical to their raw
 # golden. f12: 2-byte codes 0048/0069 -> "Hi" via its bfranges.
@@ -1652,4 +1725,5 @@ FIXTURES = {
     "f40": f40_acroform_tree,
     "f41": f41_type0_cns_euc,
     "f42": f42_type0_kscpc_euc,
+    "f43": f43_optional_content,
 }

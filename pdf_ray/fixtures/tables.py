@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..schema import DOCS, EXTRACTED, PAYLOADS
-from .corpus import FIXTURES, MAIN_OVERRIDES, UNICODE_OVERRIDES
+from .corpus import FIXTURES, MAIN_OVERRIDES, OCG_OVERRIDES, UNICODE_OVERRIDES
 
 # replica count of the COMMITTED fixtures_data/ corpus (build.py);
 # oracles that enumerate per-replica rows key off this
@@ -32,13 +32,14 @@ def _fixture_cache():
 
 
 def build_corpus(replicas: int = 3, include_mixed: bool = True):
-    """Returns ``(docs, payloads, golden, golden_unicode, golden_main)``
-    pyarrow Tables."""
+    """Returns ``(docs, payloads, golden, golden_unicode, golden_main,
+    golden_ocg)`` pyarrow Tables."""
     fixtures = _fixture_cache()
     doc_rows: list[dict] = []
     golden_rows: list[dict] = []
     golden_uni_rows: list[dict] = []
     golden_main_rows: list[dict] = []
+    golden_ocg_rows: list[dict] = []
     payloads = {
         f"pdf://{name}": pdf for name, (pdf, _) in fixtures.items()
     }
@@ -92,6 +93,13 @@ def build_corpus(replicas: int = 3, include_mixed: bool = True):
                 lambda n: MAIN_OVERRIDES.get(n, fixtures[n][1]),
             )
         )
+        golden_ocg_rows.append(
+            _golden_row(
+                doc_id,
+                in_spans,
+                lambda n: OCG_OVERRIDES.get(n, fixtures[n][1]),
+            )
+        )
 
     for name in sorted(fixtures):
         for r in range(replicas):
@@ -128,7 +136,8 @@ def build_corpus(replicas: int = 3, include_mixed: bool = True):
     golden = pa.Table.from_pylist(golden_rows, schema=EXTRACTED)
     golden_uni = pa.Table.from_pylist(golden_uni_rows, schema=EXTRACTED)
     golden_main = pa.Table.from_pylist(golden_main_rows, schema=EXTRACTED)
-    return docs, pay, golden, golden_uni, golden_main
+    golden_ocg = pa.Table.from_pylist(golden_ocg_rows, schema=EXTRACTED)
+    return docs, pay, golden, golden_uni, golden_main, golden_ocg
 
 
 def build_bench_corpus(n_docs: int = 3000, seed: int = 42):
@@ -181,10 +190,13 @@ def write_corpus(out_dir: str, replicas: int = 3):
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, pay, golden, golden_uni, golden_main = build_corpus(replicas)
+    docs, pay, golden, golden_uni, golden_main, golden_ocg = build_corpus(
+        replicas
+    )
     pq.write_table(docs, f"{out_dir}/docs.parquet")
     pq.write_table(pay, f"{out_dir}/payloads.parquet")
     pq.write_table(golden, f"{out_dir}/golden.parquet")
     pq.write_table(golden_uni, f"{out_dir}/golden_unicode.parquet")
     pq.write_table(golden_main, f"{out_dir}/golden_main.parquet")
+    pq.write_table(golden_ocg, f"{out_dir}/golden_ocg.parquet")
     return docs.num_rows

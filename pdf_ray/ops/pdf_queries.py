@@ -21,7 +21,7 @@ FIXTURES_DIR = os.path.join(
 
 
 def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False,
-          recover=False, strip_artifacts=False):
+          recover=False, strip_artifacts=False, strip_hidden_ocg=False):
     import ray
     import ray.data as rd
 
@@ -40,6 +40,7 @@ def _load(concurrency=4, apply_tounicode=False, apply_actual_text=False,
         apply_actual_text=apply_actual_text,
         recover=recover,
         strip_artifacts=strip_artifacts,
+        strip_hidden_ocg=strip_hidden_ocg,
     )
 
 
@@ -143,6 +144,10 @@ def _image_features_oracle() -> str:
         JPXC_PIXELS,
         JPXC_REF,
         JPXC_W,
+        OCG_IMG_H,
+        OCG_IMG_PIXELS,
+        OCG_IMG_REF,
+        OCG_IMG_W,
         PROG_H,
         PROG_PIXELS,
         PROG_REF,
@@ -160,6 +165,7 @@ def _image_features_oracle() -> str:
         (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
         (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
         (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
+        (OCG_IMG_REF, OCG_IMG_W, OCG_IMG_H, OCG_IMG_PIXELS),
     ):
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]
@@ -644,6 +650,31 @@ def _form_fields_oracle() -> str:
 PDF_ORACLE_SQL["pdf_form_fields"] = _form_fields_oracle()
 
 
+GOLDEN_OCG = os.path.join(FIXTURES_DIR, "golden_ocg.parquet")
+
+
+def pdf_ocg_content(sf_dir: str | None = None):
+    """Extraction with hidden optional-content stripped (strip_hidden_ocg):
+    /OC marked scopes and /OC-tagged XObjects whose group is OFF in the
+    /OCProperties default configuration are suppressed (pdfcore/ocg.py) —
+    completing the main-content story alongside /Artifact stripping. The
+    reference parses /OCProperties but never consults memberships
+    (src/optional_content.rs:1-197). Oracle: the hand-written golden_ocg
+    parquet (f43 keeps Shown/Layer/Tail; Secret, the OCMD'd AllOff and
+    the hidden-group image are dropped)."""
+    from ..pipelines.extract import explode_spans
+
+    return explode_spans(_load(strip_hidden_ocg=True))
+
+
+PDF_ORACLE_SQL["pdf_ocg_content"] = f"""
+    SELECT doc_id, s.kind AS kind, s.text AS text,
+           s.media_ref AS media_ref, s."order" AS "order"
+    FROM (SELECT doc_id, unnest(spans) AS s
+          FROM read_parquet('{GOLDEN_OCG}'))
+"""
+
+
 # -- image perceptual-hash dedup ---------------------------------------------
 
 PHASH_MAX_HAMMING = 6
@@ -801,6 +832,7 @@ def _phash_oracle() -> str:
         JB2T_H, JB2T_PIXELS, JB2T_REF, JB2T_W,
         JPX_H, JPX_PIXELS, JPX_REF, JPX_W,
         JPXC_H, JPXC_PIXELS, JPXC_REF, JPXC_W,
+        OCG_IMG_H, OCG_IMG_PIXELS, OCG_IMG_REF, OCG_IMG_W,
         PROG_H, PROG_PIXELS, PROG_REF, PROG_W,
     )
 
@@ -844,6 +876,7 @@ def _phash_oracle() -> str:
         (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
         (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
         (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
+        (OCG_IMG_REF, OCG_IMG_W, OCG_IMG_H, OCG_IMG_PIXELS),
     ):
         px = list(px)
         hashes[ref] = dhash(w, h, px)

@@ -81,6 +81,10 @@ class TextState:
         self.tlm = IDENTITY
 
 
+# marked-content stack sentinel for a hidden optional-content scope
+_OC_HIDDEN = ("__oc_hidden__", None)
+
+
 class Interpreter:
     """One instance per document row; transient state only.
 
@@ -99,6 +103,7 @@ class Interpreter:
         apply_tounicode: bool = False,
         apply_actual_text: bool = False,
         collect_mcids: bool = False,
+        hidden_ocgs: frozenset | None = None,
     ):
         self.doc = doc
         self.collect_images = collect_images
@@ -116,6 +121,13 @@ class Interpreter:
         # for tagged-PDF logical structure + artifact stripping. The
         # reference captures none of this (tag stack only).
         self.collect_mcids = collect_mcids
+        # optional (OFF for parity): set of hidden OCG Refs (pdfcore/ocg.py,
+        # default config). When not None, content inside /OC marked scopes
+        # and /OC-tagged XObjects whose group is hidden is SUPPRESSED — the
+        # reference parses /OCProperties but never consults memberships
+        # (src/optional_content.rs:1-197), so it leaks hidden layers.
+        self.hidden_ocgs = hidden_ocgs
+        self._oc_hidden = 0  # depth of enclosing hidden /OC scopes
         self.spans: list[tuple[str, str | None, str | None]] = []
         # parallels self.spans one-to-one while collect_mcids is on (only
         # valid if self.spans isn't mutated externally)
@@ -126,6 +138,8 @@ class Interpreter:
         self._font_info = None  # FontInfo for unicode enrichment
 
     def _append_span(self, kind, text, ref) -> None:
+        if self._oc_hidden:
+            return  # inside a hidden optional-content scope
         self.spans.append((kind, text, ref))
         if self.collect_mcids:
             mcid, artifact = -1, False
@@ -292,6 +306,11 @@ class Interpreter:
         if not isinstance(xobjects, dict) or name not in xobjects:
             raise PdfParseError(f"xobject {name!r} not in resources")
         xo = self.doc.resolve_stream(xobjects[name])
+        if self.hidden_ocgs is not None and "OC" in xo.dict:
+            from .ocg import oc_is_hidden
+
+            if oc_is_hidden(self.doc, xo.dict["OC"], self.hidden_ocgs):
+                return  # XObject belongs to a hidden optional-content group
         subtype = self.doc.resolve(xo.dict.get("Subtype", NULL))
         if subtype == Name("Image"):
             self._emit_image(xo)
@@ -429,6 +448,23 @@ class Interpreter:
             elif op == "BDC":
                 props = self._pop()
                 tag = self._pop_name()
+                if self.hidden_ocgs is not None and str(tag) == "OC":
+                    from .ocg import oc_is_hidden
+
+                    raw = props
+                    if isinstance(props, Name):  # /Properties resource name
+                        props_res = self.doc.resolve(
+                            resources.get("Properties", NULL)
+                        )
+                        raw = (
+                            props_res.get(str(props), NULL)
+                            if isinstance(props_res, dict)
+                            else NULL
+                        )
+                    if oc_is_hidden(self.doc, raw, self.hidden_ocgs):
+                        self.marked.append(_OC_HIDDEN)
+                        self._oc_hidden += 1
+                        continue
                 if self.apply_actual_text or self.collect_mcids:
                     if isinstance(props, Name):  # /Properties resource ref
                         props_res = self.doc.resolve(
@@ -462,6 +498,9 @@ class Interpreter:
             elif op == "EMC":
                 if self.marked:
                     entry = self.marked.pop()
+                    if entry is _OC_HIDDEN:
+                        self._oc_hidden -= 1
+                        continue
                     # scope closed without any show inside: the
                     # replacement text still IS the scope's content —
                     # unless an OUTER ActualText scope encloses it, in

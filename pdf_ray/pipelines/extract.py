@@ -42,6 +42,7 @@ def extract_dataset(
     apply_actual_text: bool = False,
     recover: bool = False,
     strip_artifacts: bool = False,
+    strip_hidden_ocg: bool = False,
 ):
     """docs_ds: ray Dataset with (doc_id, spans); payloads: dict or
     ObjectRef of media_ref->bytes. Returns Dataset with EXTRACTED schema."""
@@ -57,6 +58,7 @@ def extract_dataset(
             "apply_actual_text": apply_actual_text,
             "recover": recover,
             "strip_artifacts": strip_artifacts,
+            "strip_hidden_ocg": strip_hidden_ocg,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -40,6 +40,7 @@ class ExtractStage:
         apply_actual_text=False,
         recover=False,
         strip_artifacts=False,
+        strip_hidden_ocg=False,
     ):
         if payloads is not None:
             import ray
@@ -59,6 +60,12 @@ class ExtractStage:
         # analogue of the HTML boilerplate strip); span order is
         # re-enumerated over the kept sequence
         self.strip_artifacts = strip_artifacts
+        # OCG mode: drop content inside /OC marked scopes and /OC-tagged
+        # XObjects whose optional-content group is OFF in the default
+        # configuration (pdfcore/ocg.py) — the other half of main-content
+        # extraction (the reference parses /OCProperties but never
+        # consults it, src/optional_content.rs)
+        self.strip_hidden_ocg = strip_hidden_ocg
         # font-program cache shared across all rows this actor processes
         # (reference reloads fonts per draw_text call — SURVEY §2.5);
         # LRU-bounded so adversarial corpora can't grow the actor heap
@@ -141,6 +148,11 @@ class ExtractStage:
                         refs.append(hsp["media_ref"])
                     continue
                 doc = Document(pdf_bytes, recover=self.recover)
+                hidden = None
+                if self.strip_hidden_ocg:
+                    from ..pdfcore.ocg import hidden_ocg_refs
+
+                    hidden = hidden_ocg_refs(doc)
                 interp = Interpreter(
                     doc,
                     collect_images=self.collect_images,
@@ -148,6 +160,7 @@ class ExtractStage:
                     apply_tounicode=self.apply_tounicode,
                     apply_actual_text=self.apply_actual_text,
                     collect_mcids=self.strip_artifacts,
+                    hidden_ocgs=hidden,
                 )
                 for page in doc.pages:
                     interp._run_page(page)

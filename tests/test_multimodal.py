@@ -190,7 +190,7 @@ def test_image_blob_pipeline(ray_session):
     from pdf_ray.fixtures.tables import build_corpus
     from pdf_ray.pipelines.extract import extract_image_blobs
 
-    docs, ptbl, golden, _, _ = build_corpus(replicas=2)
+    docs, ptbl, golden, _, _, _ = build_corpus(replicas=2)
     payloads = dict(
         zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
     )
@@ -200,7 +200,7 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # nine distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # ten distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
     # f29 CCITT, f33 progressive DCT, f34 JBIG2 generic, f36 JBIG2 text
     # (f37 shares its pixels/ref), f38 JPX gray + RGB
     from pdf_ray.fixtures.corpus import (
@@ -212,6 +212,7 @@ def test_image_blob_pipeline(ray_session):
         JB2T_REF,
         JPX_REF,
         JPXC_REF,
+        OCG_IMG_REF,
         PROG_REF,
     )
 
@@ -226,6 +227,7 @@ def test_image_blob_pipeline(ray_session):
             JB2T_REF,
             JPX_REF,
             JPXC_REF,
+            OCG_IMG_REF,
         ]
     )
     sizes = {

@@ -9,7 +9,9 @@ import pytest
 def corpus():
     from pdf_ray.fixtures.tables import build_corpus
 
-    docs, pay, golden, _golden_uni, _golden_main = build_corpus(replicas=2)
+    docs, pay, golden, _golden_uni, _golden_main, _golden_ocg = build_corpus(
+        replicas=2
+    )
     return docs, pay, golden
 
 

@@ -181,3 +181,41 @@ def test_acroform_no_form_and_cycle():
     b.add(11, b"<< /T (b) /Parent 10 0 R /Kids [10 0 R] >>")
     rows = form_fields(Document(b.build(1)))
     assert [r["name"] for r in rows] == []
+
+
+def test_ocg_hidden_layer_strip():
+    """f43: default extraction keeps hidden-layer content (reference
+    parity — it parses /OCProperties but never consults it); with
+    hidden_ocgs the /OC scope, the all-off OCMD scope and the /OC-tagged
+    image are suppressed. BaseState /OFF inverts the default."""
+    from pdf_ray.fixtures.corpus import f43_optional_content
+    from pdf_ray.pdfcore.ocg import hidden_ocg_refs, oc_is_hidden
+    from pdf_ray.pdfcore.objects import Ref
+
+    pdf, golden = f43_optional_content()
+    doc = Document(pdf)
+
+    # raw parity: everything extracted
+    assert Interpreter(doc).run() == golden
+
+    hidden = hidden_ocg_refs(doc)
+    assert hidden == frozenset({Ref(9, 0)})
+    # OCMD with all members hidden is hidden; visible OCG is not
+    assert oc_is_hidden(doc, Ref(10, 0), hidden)
+    assert not oc_is_hidden(doc, Ref(8, 0), hidden)
+
+    got = Interpreter(doc, hidden_ocgs=hidden).run()
+    assert [(k, t) for k, t, _, _ in got] == [
+        ("text", "Shown"), ("text", "Layer"), ("text", "Tail")
+    ]
+    # spans re-enumerate densely over the kept sequence
+    assert [o for _, _, _, o in got] == [0, 1, 2]
+
+    # BaseState /OFF: everything not listed /ON is hidden
+    pdf_off, _ = f43_optional_content(base_state_off=True)
+    assert hidden_ocg_refs(Document(pdf_off)) == frozenset({Ref(9, 0)})
+
+    # no /OCProperties at all -> nothing hidden
+    from pdf_ray.fixtures.corpus import f01_minimal_tj
+
+    assert hidden_ocg_refs(Document(f01_minimal_tj()[0])) == frozenset()
