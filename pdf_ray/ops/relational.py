@@ -1877,7 +1877,8 @@ def local_supplier_revenue(sf_dir: str):
                 {
                     "key": pa.array(key, pa.int64()),
                     "bucket": pa.array(
-                        [int(k) & (n_buckets - 1) for k in key], pa.int32()
+                        (np.asarray(key, dtype="int64") & (n_buckets - 1)
+                         ).astype("int32")
                     ),
                     "side": pa.array(["L"] * len(j), pa.string()),
                     "rev": pa.array(
@@ -1924,7 +1925,8 @@ def local_supplier_revenue(sf_dir: str):
             {
                 "key": pa.array(key, pa.int64()),
                 "bucket": pa.array(
-                    [int(k) & (n_buckets - 1) for k in key], pa.int32()
+                    (np.asarray(key, dtype="int64") & (n_buckets - 1)
+                     ).astype("int32")
                 ),
                 "side": pa.array(["L"] * len(j), pa.string()),
                 "rev": pa.array(

@@ -28,13 +28,18 @@ def salted_groupby(ds, key: str, combiner, salt_buckets: int = 16):
     reducers; ``combiner`` (pandas group -> 1-row pandas frame, and
     associative: combiner(combiner(A)+combiner(B)) == combiner(A+B)) runs
     per (key, salt) sub-group and once more per key to merge."""
+    import numpy as np
     import pandas as pd
 
     def add_salt(batch: pa.Table) -> pa.Table:
+        # vectorized deterministic mix (Fibonacci hashing): same batch ->
+        # same salts on a Ray task retry, no per-row Python hash() loop
         n = batch.num_rows
-        salts = pa.array(
-            [hash((i, n)) % salt_buckets for i in range(n)], pa.int32()
+        idx = np.arange(n, dtype=np.uint64)
+        mixed = (idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(n)) >> np.uint64(
+            32
         )
+        salts = pa.array((mixed % np.uint64(salt_buckets)).astype("int32"))
         return batch.append_column("__salt", salts)
 
     partial = (
