@@ -2293,3 +2293,221 @@ register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+
+# -- ordered per-user window ops (lag/diff family) ---------------------------
+
+
+def _ordered_user_events(sf_dir: str, columns: list[str]):
+    """events bucketed on user_id %% B — every event of a user colocates,
+    so per-user ORDER BY windows are exact inside one bucket group (the
+    same key-colocation argument as user_sessions/user_running_totals)."""
+
+    def tag(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(t.column("user_id"), N_JOIN_BUCKETS - 1),
+                pa.int32(),
+            ),
+        )
+
+    return _read(sf_dir, "events", columns).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+
+def user_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics — the LEAD/LAG window family:
+    events sorted (ts, event_id) within the user, consecutive deltas in
+    integer microseconds, fully vectorized inside the bucket group via
+    shift+mask (no per-user Python loop). Output: n_events, span_us
+    (last-first), max_gap_us (-1 for single-event users, exactly as SQL
+    max(NULL) -> NULL -> COALESCE -1)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        d = np.empty(len(g), dtype=np.int64)
+        d[0] = 0
+        d[1:] = ts[1:] - ts[:-1]
+        df = pd.DataFrame(
+            {"user_id": uid, "ts_us": ts, "gap": np.where(same, d, -1)}
+        )
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("ts_us", "size"),
+            first_us=("ts_us", "min"),
+            last_us=("ts_us", "max"),
+            max_gap_us=("gap", "max"),
+        )
+        out["span_us"] = out["last_us"] - out["first_us"]
+        return out[["user_id", "n_events", "span_us", "max_gap_us"]].astype(
+            {"n_events": "int64", "span_us": "int64", "max_gap_us": "int64"}
+        )
+
+    return (
+        _ordered_user_events(sf_dir, ["user_id", "ts", "event_id"])
+        .groupby("bucket")
+        .map_groups(
+            lambda g: gaps(g.drop(columns="bucket")), batch_format="pandas"
+        )
+    )
+
+
+register(
+    "user_event_gaps",
+    user_event_gaps,
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           (max(ts_us) - min(ts_us))::BIGINT AS span_us,
+           COALESCE(max(gap), -1)::BIGINT AS max_gap_us
+    FROM o GROUP BY 1
+    """,
+)
+
+
+def event_type_transitions(sf_dir: str):
+    """Markov transition counts over each user's time-ordered event
+    stream: (prev_type, next_type) -> n, the behavioral-sequence shape.
+    Per-bucket shift gives the lag pairs vectorized; per-bucket partial
+    counts then a tiny global (prev, next) reduce (|types|^2 rows)."""
+    from ray.data.aggregate import Sum
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+        )
+        return df.groupby(
+            ["prev_type", "next_type"], as_index=False
+        ).agg(p_n=("prev_type", "size"))
+
+    return (
+        _ordered_user_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pairs(g.drop(columns="bucket")), batch_format="pandas"
+        )
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("p_n", alias_name="n_transitions"))
+    )
+
+
+register(
+    "event_type_transitions",
+    event_type_transitions,
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           count(*)::BIGINT AS n_transitions
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+
+
+# -- two-pass z-score outliers (broadcast-stats family) ----------------------
+
+OUTLIER_K = 3  # |v - mean| > K * stddev
+
+
+def event_value_outliers(sf_dir: str):
+    """Events whose value deviates from their type's mean by more than
+    K standard deviations — the classic two-pass score-with-broadcast-
+    stats shape, in EXACT integer arithmetic: pass 1 pre-aggregates
+    (n, sum, sumsq) per type map-side (|types| rows reach the driver),
+    pass 2 flags rows via |n*v - s| > isqrt(K^2 * (n*q - s^2)) — the
+    integer square root makes the comparison pure int64 per row (d^2
+    would overflow; |d| vs a precomputed per-type Python-int threshold
+    does not). The SQL oracle replays the algebra in HUGEINT."""
+    import math
+
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = _cents(df["value"])
+        g = pd.DataFrame({"event_type": df["event_type"], "v": v, "v2": v * v})
+        out = g.groupby("event_type", as_index=False).agg(
+            p_n=("v", "size"), p_s=("v", "sum"), p_q=("v2", "sum")
+        )
+        return out
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_s", alias_name="s"),
+            Sum("p_q", alias_name="q"),
+        )
+        .take_all()  # one row per event_type: bounded, broadcast side
+    )
+    thresholds = {}
+    for r in stats:
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        t = OUTLIER_K * OUTLIER_K * (n * q - s * s)  # Python int: no overflow
+        thresholds[r["event_type"]] = (n, s, math.isqrt(max(0, t)))
+    thr_ref = ray.put(thresholds)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        v = _cents(df["value"])
+        n = df["event_type"].map(lambda e: thr[e][0]).to_numpy(np.int64)
+        s = df["event_type"].map(lambda e: thr[e][1]).to_numpy(np.int64)
+        r = df["event_type"].map(lambda e: thr[e][2]).to_numpy(np.int64)
+        d = np.abs(n * v - s)  # |d| <= n*max_cents: fits int64
+        keep = d > r  # d^2 > K^2*(nq - s^2)  <=>  |d| > isqrt(...)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"][keep].astype("int64"),
+                "event_type": df["event_type"][keep],
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        flag, batch_format="pandas"
+    )
+
+
+register(
+    "event_value_outliers",
+    event_value_outliers,
+    f"""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    st AS (
+      SELECT event_type, count(*)::HUGEINT AS n,
+             sum(v)::HUGEINT AS s,
+             sum(v::HUGEINT * v::HUGEINT)::HUGEINT AS q
+      FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type
+    FROM c JOIN st USING (event_type)
+    WHERE (n * v - s) * (n * v - s)
+          > {OUTLIER_K * OUTLIER_K} * (n * q - s * s)
+    """,
+)
