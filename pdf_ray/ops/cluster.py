@@ -340,3 +340,108 @@ register(
       AND dot * dot * {SEMDEDUP_TAU2_DEN} >= {SEMDEDUP_TAU2_NUM} * na2 * nb2
     """,
 )
+
+
+def lang_centroids(sf_dir: str):
+    """Cross-table vector aggregation: per-language integer centroid of
+    the document embeddings — documents(doc_id, lang) ⋈
+    embeddings(vec_id, embedding) as a bucketed tagged-union partitioned
+    join (both sides corpus-sized; id %% B colocates each pair), per-
+    bucket per-lang (vsum, cnt) partials, tiny per-lang merge (|langs|
+    rows reach the driver), exact int64 floor-divide centroid. Output:
+    (lang, dim, c) rows the SQL oracle replays with the same quantize +
+    integer floor-division chain."""
+    import ray.data as rd
+
+    B = 64
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(ids, B - 1), pa.int32()),
+                "id": ids,
+                "lang": t.column("lang"),
+                "embedding": pa.nulls(t.num_rows, pa.list_(pa.float64())),
+            }
+        )
+
+    def tag_emb(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        import pyarrow.compute as pc
+
+        emb = t.column("embedding").combine_chunks()
+        if emb.type != pa.list_(pa.float64()):
+            emb = emb.cast(pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(ids, B - 1), pa.int32()),
+                "id": ids,
+                "lang": pa.nulls(t.num_rows, pa.string()),
+                "embedding": emb,
+            }
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(tag_docs, batch_format="pyarrow")
+    emb = _read_embeddings(sf_dir).map_batches(tag_emb, batch_format="pyarrow")
+
+    def join_partials(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["lang"].notna()][["id", "lang"]]
+        right = g[g["lang"].isna()][["id", "embedding"]]
+        j = left.merge(right, on="id", how="inner")
+        langs, sums, cnts = [], [], []
+        for lang, sub in j.groupby("lang"):
+            M = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * QUANT_SCALE + 0.5).astype(np.int64)
+            langs.append(lang)
+            sums.append(Q.sum(axis=0).tobytes())
+            cnts.append(len(sub))
+        return pd.DataFrame({"lang": langs, "vsum": sums, "cnt": cnts})
+
+    def merge_lang(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.zeros(EMB_DIM, dtype=np.int64)
+        for b in g["vsum"]:
+            s += np.frombuffer(b, dtype=np.int64)
+        n = int(g["cnt"].sum())
+        c = np.floor_divide(s, n)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]] * EMB_DIM,
+                "dim": np.arange(EMB_DIM, dtype=np.int64),
+                "c": c,
+            }
+        )
+
+    return (
+        docs.union(emb)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: join_partials(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .groupby("lang")
+        .map_groups(merge_lang, batch_format="pandas")
+    )
+
+
+register(
+    "lang_centroids",
+    lang_centroids,
+    f"""
+    WITH q AS (
+      SELECT d.lang,
+             list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+    SELECT lang, (i - 1)::BIGINT AS dim,
+           CAST((sum(qv[i]) - ((sum(qv[i]) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS c
+    FROM q, range(1, {EMB_DIM + 1}) r(i)
+    GROUP BY 1, 2
+    """,
+)

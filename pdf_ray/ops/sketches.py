@@ -10,6 +10,8 @@ serialized sketch per batch, merge in a tiny second stage).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -381,3 +383,94 @@ def top_tokens_mg(sf_dir: str):
 
 
 register("top_tokens_mg", top_tokens_mg)  # rows-only: approximate sketch
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+CMS_W = 4096  # counters per row (eps = e / W)
+CMS_D = 4  # hash rows (delta = e^-D)
+# probe tokens for the registered query: deterministic, present in the
+# synthetic documents vocabulary plus one guaranteed-absent token
+CMS_PROBES = [
+    "the", "merge", "join", "data", "spark", "window",
+    "batch", "vector", "zz-absent-token",
+]
+
+
+class Cms:
+    """Count-min sketch (Cormode-Muthukrishnan): CMS_D x CMS_W int64
+    counters; point estimate = min over rows (always >= the true count;
+    over-estimate bounded by eps*N w.h.p.). Mergeable by element-wise
+    addition — the same partial-sketch shape as the HLL/t-digest ops."""
+
+    def __init__(self, counts: np.ndarray | None = None):
+        self.counts = (
+            counts
+            if counts is not None
+            else np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        )
+
+    @staticmethod
+    def _cols(tokens: np.ndarray) -> np.ndarray:
+        """(n, CMS_D) column indices: md5(row_id || token) per row —
+        independent-enough hash rows, identical everywhere."""
+        out = np.empty((len(tokens), CMS_D), dtype=np.int64)
+        for i, tok in enumerate(tokens):
+            dig = hashlib.md5(tok.encode()).digest()
+            for d in range(CMS_D):
+                out[i, d] = (
+                    int.from_bytes(dig[4 * d : 4 * d + 4], "little") % CMS_W
+                )
+        return out
+
+    def add(self, tokens: np.ndarray, counts: np.ndarray) -> None:
+        cols = self._cols(tokens)
+        for d in range(CMS_D):
+            np.add.at(self.counts[d], cols[:, d], counts)
+
+    def merge(self, other: "Cms") -> None:
+        self.counts += other.counts
+
+    def estimate(self, token: str) -> int:
+        cols = self._cols(np.array([token], dtype=object))[0]
+        return int(min(self.counts[d, cols[d]] for d in range(CMS_D)))
+
+
+def token_freq_cms(sf_dir: str):
+    """Approximate corpus token frequencies via mergeable count-min
+    partials: one 128KB sketch per batch (pre-aggregated with np.unique),
+    element-wise-add merged, then point queries for CMS_PROBES. Rows-only
+    driver check (approximate by construction); the one-sided >= true /
+    <= true + eps*N guarantees are pytest-verified against exact counts."""
+    import ray.data as rd
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(t.lower().split(" "))
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        s = Cms()
+        s.add(u, c.astype(np.int64))
+        return pa.table(
+            {"sketch": pa.array([s.counts.tobytes()], pa.large_binary())}
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(sketch_batch, batch_format="pyarrow")
+        .take_all()
+    )  # one fixed-size sketch per batch
+    total = Cms()
+    for r in parts:
+        total.merge(
+            Cms(np.frombuffer(r["sketch"], dtype=np.int64).reshape(CMS_D, CMS_W))
+        )
+    return pd.DataFrame(
+        {
+            "token": CMS_PROBES,
+            "approx_count": [total.estimate(t) for t in CMS_PROBES],
+        }
+    )
+
+
+register("token_freq_cms", token_freq_cms, None)  # approximate

@@ -497,3 +497,43 @@ def test_curate_corpus_reason_priority(ray_session, tmp_path):
     # passes every other filter but its bigrams are unseen by the LM
     assert got.loc[train_ids[5], "reason"] == "perplexity"
     assert (got["keep"] == (got["reason"] == "keep").astype(int)).all()
+
+
+def test_cms_guarantees(ray_session):
+    """Count-min invariants vs exact counts at sf0.001: estimate is never
+    below the true count, and the overshoot is bounded by N/W per row
+    (min over D rows makes larger overshoot vanishingly unlikely; assert
+    the deterministic one-sided bound and a loose practical ceiling)."""
+    import duckdb
+
+    import __ray_entry__ as m
+    from check_oracles import to_pandas
+    from pdf_ray.ops.sketches import CMS_W
+
+    SF = "/root/testdata/sf0.001"
+    got = to_pandas(m.queries()["token_freq_cms"](SF)).set_index("token")
+
+    con = duckdb.connect()
+    truth = dict(
+        con.sql(
+            f"""
+        SELECT tok, count(*) FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM read_parquet('{SF}/documents.parquet')) GROUP BY 1
+        """
+        ).fetchall()
+    )
+    n_total = int(
+        con.sql(
+            f"""SELECT sum(len(string_split(lower(text), ' ')))
+            FROM read_parquet('{SF}/documents.parquet')"""
+        ).fetchone()[0]
+    )
+    for token, row in got.iterrows():
+        true = truth.get(token, 0)
+        est = int(row["approx_count"])
+        assert est >= true, token  # one-sided: never undercounts
+        assert est <= true + 4 * n_total // CMS_W + 1, token
+    assert int(got.loc["zz-absent-token", "approx_count"]) <= (
+        4 * n_total // CMS_W + 1
+    )
