@@ -1329,3 +1329,175 @@ register(
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
+
+
+# -- BM25 top-k retrieval (inverted-index search shape) ----------------------
+
+# Fixed query set (terms drawn from the corpus vocabulary). At 100 TB the
+# query side is always the broadcast-small side of retrieval: corpus stats
+# (N, total length, per-term document frequencies) are gathered in ONE
+# streaming pass with a tiny keyed reduce, and scoring is a pure map pass
+# with map-side top-k pre-trim — no shuffle ever carries corpus text.
+BM25_QUERIES = {
+    "q_hash_join": ["hash", "join"],
+    "q_window_sort": ["window", "sort", "merge"],
+    "q_customer_scan": ["customer", "table", "scan"],
+}
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Driver-computed float constants are inlined into the SQL oracle via
+# repr() so both engines evaluate the identical IEEE-754 expression.
+_BM25_K1P1 = BM25_K1 + 1.0
+_BM25_OMB = 1.0 - BM25_B
+
+
+def bm25_search(sf_dir: str):
+    """BM25 (Lucene idf form) top-k document retrieval for a fixed query
+    set. Per-term contributions are floor-quantized to 1e-6 units BEFORE
+    the per-doc sum, so each doc's score is an order-independent integer
+    the SQL oracle reproduces bit-for-bit (same float64 expression shape
+    on both sides; see the parity note on ``lm_perplexity``).
+
+    Two passes: (1) corpus stats — one map pass emitting per-batch
+    (key, val) partials for doc count / total token count / per-query-term
+    df, reduced by a tiny keyed groupby (#keys = 2 + #distinct terms);
+    (2) scoring — stats broadcast in the UDF closure (O(#terms) bytes),
+    map-side per-query top-k pre-trim, final per-query top-k in a
+    #queries-group reduce. Reference has no retrieval ops (SURVEY §2.8);
+    this is a north-rule training-data operator."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        keys = ["N", "L"]
+        vals = [len(df), int(toks.str.len().sum())]
+        for t in terms:
+            keys.append("df:" + t)
+            vals.append(int(sum(t in tk for tk in toks)))
+        return pd.DataFrame({"k": keys, "v": pd.Series(vals, dtype="int64")})
+
+    rows = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    stats = {r["k"]: int(r["v"]) for r in rows}
+    n_docs, total_len = stats["N"], stats["L"]
+    avgdl = total_len / n_docs
+    idf = {
+        t: math.log(
+            (n_docs - stats.get("df:" + t, 0) + 0.5)
+            / (stats.get("df:" + t, 0) + 0.5)
+            + 1.0
+        )
+        for t in terms
+    }
+
+    def score_trim(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        n = len(df)
+        out = []
+        tf_cache: dict[str, np.ndarray] = {}
+        for t in terms:
+            tf_cache[t] = np.fromiter(
+                (tk.count(t) for tk in toks), np.int64, n
+            )
+        for qname, qterms in BM25_QUERIES.items():
+            score = np.zeros(n, np.int64)
+            for t in qterms:
+                tf = tf_cache[t]
+                score += np.floor(
+                    idf[t]
+                    * (
+                        (tf * _BM25_K1P1)
+                        / (tf + BM25_K1 * (_BM25_OMB + BM25_B * dl / avgdl))
+                    )
+                    * 1e6
+                ).astype(np.int64)
+            pos = score > 0
+            if not pos.any():
+                continue
+            part = pd.DataFrame(
+                {"query": qname, "doc_id": ids[pos], "score_q": score[pos]}
+            ).sort_values(
+                ["score_q", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(BM25_TOP_K)
+            out.append(part)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score_q": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score_q", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(BM25_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query", "rank", "doc_id", "score_q"]]
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score_trim, batch_format="pandas")
+        .groupby("query")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    s AS (SELECT count(*)::BIGINT AS n, sum(len(tk))::BIGINT AS l FROM tok),
+    q(query, term) AS (VALUES {qvals}),
+    dfv AS (
+      SELECT t.term, count(*)::BIGINT AS df
+      FROM (SELECT DISTINCT term FROM q) t JOIN tok
+        ON list_contains(tok.tk, t.term)
+      GROUP BY 1),
+    contrib AS (
+      SELECT q.query, tok.doc_id,
+             len(list_filter(tok.tk, x -> x = q.term))::BIGINT AS tf,
+             len(tok.tk)::BIGINT AS dl,
+             COALESCE(d.df, 0) AS df
+      FROM q LEFT JOIN dfv d ON q.term = d.term CROSS JOIN tok),
+    scored AS (
+      SELECT c.query, c.doc_id,
+             sum(floor(ln((s.n - c.df + 0.5) / (c.df + 0.5) + 1.0)
+                       * ((c.tf * {_BM25_K1P1!r})
+                          / (c.tf + {BM25_K1!r}
+                             * ({_BM25_OMB!r}
+                                + {BM25_B!r} * c.dl / (s.l::DOUBLE / s.n))))
+                       * 1000000.0)::BIGINT)::BIGINT AS score_q
+      FROM contrib c CROSS JOIN s
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query, doc_id, score_q,
+             row_number() OVER (
+               PARTITION BY query ORDER BY score_q DESC, doc_id
+             )::BIGINT AS rank
+      FROM scored WHERE score_q > 0)
+    SELECT query, rank, doc_id, score_q
+    FROM ranked WHERE rank <= {BM25_TOP_K}
+    """
+
+
+register("bm25_search", bm25_search, _bm25_oracle())

@@ -60,6 +60,7 @@ SUBSET = [
     "curate_corpus",
     "event_value_histogram",
     "lang_confusion_matrix",
+    "bm25_search",
 ]
 
 
