@@ -1501,3 +1501,173 @@ def _bm25_oracle() -> str:
 
 
 register("bm25_search", bm25_search, _bm25_oracle())
+
+
+# -- distributed BPE merge learning ------------------------------------------
+
+BPE_LEARN_ROUNDS = 6
+BPE_LEARN_BUCKETS = 32
+_BPE_SEP = "\x1f"  # unit separator: cannot occur inside a word
+
+
+def bpe_learn(sf_dir: str):
+    """Learn BPE merge rules distributively (the tokenizer-training shape).
+
+    Vocabulary compression first: ONE streaming pass over the corpus
+    emits per-batch (word, cnt) partials reduced on ``hash(word) %% B``
+    buckets — every later round runs over the (word, cnt) table, whose
+    size is bounded by the vocabulary, not the corpus. Each merge round
+    is: per-batch weighted pair-count partials -> fixed-B pair-hash
+    bucket reduce taking each bucket's best pair -> driver argmax over B
+    rows (the global best is one bucket's best) -> merge rule broadcast
+    in the map closure and applied vectorized. The vocab table is
+    re-materialized per round (it is vocab-sized; re-executing lineage
+    would instead replay r passes over the corpus by round r).
+
+    Merge semantics (identical on both engines, bit-for-bit): a word is
+    the U+001F-joined symbol string; applying merge (l, r) is a single
+    left-to-right non-overlapping ``str.replace`` of SEP+l+SEP+r+SEP with
+    SEP+lr+SEP — Python ``str.replace`` and DuckDB ``replace`` share
+    these semantics exactly (a self-adjacent run 'a a a' merges only its
+    first pair per round, unlike pass-wise BPE variants; documented,
+    deterministic, and replayed by the chained-CTE oracle). Ties on pair
+    count break lexicographically (lhs, rhs). Output: one row per round
+    (round, lhs, rhs, pair_count)."""
+    import hashlib as _hl
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.lower().str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = ex.value_counts().rename_axis("word").reset_index(name="cnt")
+        g["bucket"] = (
+            g["word"]
+            .map(lambda w: int.from_bytes(_hl.md5(w.encode()).digest()[:4], "little"))
+            % BPE_LEARN_BUCKETS
+        ).astype("int32")
+        return g
+
+    def word_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", as_index=False).agg(cnt=("cnt", "sum"))
+        out["sym"] = out["word"].map(
+            lambda w: _BPE_SEP + _BPE_SEP.join(w) + _BPE_SEP
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    vocab = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(word_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: word_reduce(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ls: list[str] = []
+        rs: list[str] = []
+        cs: list[int] = []
+        for sym, cnt in zip(df["sym"], df["cnt"]):
+            sy = sym.split(_BPE_SEP)[1:-1]
+            for i in range(len(sy) - 1):
+                ls.append(sy[i])
+                rs.append(sy[i + 1])
+                cs.append(cnt)
+        p = pd.DataFrame(
+            {"l": ls, "r": rs, "c": pd.Series(cs, dtype="int64")}
+        )
+        p = p.groupby(["l", "r"], as_index=False).agg(c=("c", "sum"))
+        p["bucket"] = (
+            (p["l"] + " " + p["r"])
+            .map(lambda s: int.from_bytes(_hl.md5(s.encode()).digest()[:4], "little"))
+            % BPE_LEARN_BUCKETS
+        ).astype("int32")
+        return p
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["l", "r"], as_index=False).agg(c=("c", "sum"))
+        agg = agg.sort_values(
+            ["c", "l", "r"], ascending=[False, True, True], kind="mergesort"
+        )
+        return agg.head(1)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+        cand = (
+            vocab.map_batches(pair_partials, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: bucket_best(g.drop(columns="bucket")),
+                batch_format="pandas",
+            )
+            .take_all()
+        )  # <= B rows
+        if not cand:
+            break
+        cand.sort(key=lambda x: (-x["c"], x["l"], x["r"]))
+        best = cand[0]
+        l, r, c = best["l"], best["r"], int(best["c"])
+        merges.append((rnd, l, r, c))
+        pat = _BPE_SEP + l + _BPE_SEP + r + _BPE_SEP
+        rep = _BPE_SEP + l + r + _BPE_SEP
+
+        def apply_merge(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            df = df.copy()
+            df["sym"] = df["sym"].str.replace(pat, rep, regex=False)
+            return df
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pandas"
+        ).materialize()
+
+    return pd.DataFrame(
+        merges, columns=["round", "lhs", "rhs", "pair_count"]
+    ).astype({"round": "int64", "pair_count": "int64"})
+
+
+def _bpe_learn_oracle() -> str:
+    parts = [
+        """
+    wrd AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1),
+    v0 AS (SELECT word, cnt,
+                  chr(31) || array_to_string(string_split(word, ''), chr(31))
+                          || chr(31) AS sym
+           FROM wrd)"""
+    ]
+    for t in range(1, BPE_LEARN_ROUNDS + 1):
+        parts.append(
+            f"""
+    p{t} AS (
+      SELECT l, r, sum(cnt)::BIGINT AS pcnt FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(sy)), i -> sy[i])) AS l,
+               unnest(list_transform(range(1, len(sy)), i -> sy[i+1])) AS r
+        FROM (SELECT cnt,
+                     list_filter(string_split(sym, chr(31)),
+                                 x -> x <> '') AS sy
+              FROM v{t - 1}))
+      GROUP BY 1, 2),
+    b{t} AS (SELECT l, r, pcnt FROM p{t} ORDER BY pcnt DESC, l, r LIMIT 1)"""
+        )
+        if t < BPE_LEARN_ROUNDS:
+            parts.append(
+                f"""
+    v{t} AS (SELECT word, cnt,
+                    replace(sym, chr(31) || b.l || chr(31) || b.r || chr(31),
+                                 chr(31) || b.l || b.r || chr(31)) AS sym
+             FROM v{t - 1}, b{t} b)"""
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS round, l AS lhs, r AS rhs, pcnt AS pair_count FROM b{t}"
+        for t in range(1, BPE_LEARN_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + sel
+
+
+register("bpe_learn", bpe_learn, _bpe_learn_oracle())

@@ -61,6 +61,7 @@ SUBSET = [
     "event_value_histogram",
     "lang_confusion_matrix",
     "bm25_search",
+    "bpe_learn",
 ]
 
 
