@@ -1129,3 +1129,220 @@ register(
     GROUP BY new_doc_id
     """,
 )
+
+
+# -- PageRank over the near-dup graph (BSP power iteration) ------------------
+
+PAGERANK_ROUNDS = 3
+PR_INIT_NUM = 1_000_000_000  # rank quantum: 1e-9 units of total mass 1
+PR_BASE_NUM = 150_000_000  # (1 - d) * 1e9 with d = 0.85
+
+
+def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
+    """PageRank over the exact near-dup pair graph — representative
+    scoring for cluster canonicalization (high-rank docs sit in dense
+    near-dup neighborhoods). The node set is the corpus, so iterations
+    are BSP supersteps like ``dedup_clusters``, never driver-side.
+
+    Exact-integer semantics (SQL-replayable): ranks live in 1e-9 units;
+    rank0 = PR_INIT_NUM // N for every doc; each round every node v gets
+    base = PR_BASE_NUM // N plus, per in-edge (u -> v),
+    (85 * rank[u]) // (100 * deg[u]) — the per-edge floor makes the sum
+    order-independent, so both engines agree bit-for-bit. Dangling mass
+    is dropped (documented; the redistribution variant adds one tiny
+    scalar reduce per round).
+
+    Per round: ONE bucketed tagged-union join (rank ⋈ edges on src %% B)
+    emitting per-group pre-aggregated (dst, contrib) partials, then ONE
+    bucketed reduce joining contribs back onto the doc list (dst %% B).
+    Edge degrees are attached once at build time in the same bucketed
+    shape. Label table materializes per superstep (the BSP barrier)."""
+    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
+    docs = _read_documents(sf_dir, ["doc_id"])
+    n_docs = docs.count()
+    init_q = PR_INIT_NUM // n_docs
+    base_q = PR_BASE_NUM // n_docs
+    B = N_SHINGLE_BUCKETS
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "bucket": pa.array((src % B).astype("int32")),
+                "s": pa.array(src),
+                "d": pa.array(dst),
+            }
+        )
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["deg"] = g.groupby("s")["s"].transform("size").astype("int64")
+        return g[["s", "d", "deg"]]
+
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: attach_deg(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((s % B).astype("int32")),
+                "side": pa.array(["E"] * len(s), pa.string()),
+                "key": pa.array(s),
+                "d": t.column("d"),
+                "deg": t.column("deg"),
+                "rq": pa.array(np.zeros(len(s), np.int64)),
+            }
+        )
+
+    edges_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow"
+    ).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(ids.astype(np.int64)),
+                "rq": pa.array(np.full(len(ids), init_q, np.int64)),
+            }
+        )
+
+    rank = docs.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((n % B).astype("int32")),
+                "side": pa.array(["R"] * len(n), pa.string()),
+                "key": pa.array(n),
+                "d": pa.array(np.zeros(len(n), np.int64)),
+                "deg": pa.array(np.zeros(len(n), np.int64)),
+                "rq": t.column("rq"),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["side"] == "R"][["key", "rq"]]
+        e = g[g["side"] == "E"][["key", "d", "deg"]]
+        j = e.merge(r, on="key", how="inner")
+        j["c"] = (85 * j["rq"].to_numpy()) // (100 * j["deg"].to_numpy())
+        # pre-aggregate per destination inside the group (combiner)
+        out = j.groupby("d", as_index=False).agg(c=("c", "sum"))
+        return out.astype({"d": "int64", "c": "int64"})
+
+    def tag_contrib(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((d % B).astype("int32")),
+                "side": pa.array(["C"] * len(d), pa.string()),
+                "node": pa.array(d.astype(np.int64)),
+                "c": t.column("c"),
+            }
+        )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((ids % B).astype("int32")),
+                "side": pa.array(["D"] * len(ids), pa.string()),
+                "node": pa.array(ids.astype(np.int64)),
+                "c": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    docs_tagged = docs.map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).materialize()
+
+    def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["side"] == "D"][["node"]].copy()
+        cs = (
+            g[g["side"] == "C"]
+            .groupby("node", as_index=False)
+            .agg(c=("c", "sum"))
+        )
+        out = base.merge(cs, on="node", how="left")
+        out["rq"] = base_q + out["c"].fillna(0).astype("int64")
+        return out[["node", "rq"]].astype({"node": "int64", "rq": "int64"})
+
+    for _ in range(PAGERANK_ROUNDS):
+        contribs = (
+            edges_tagged.union(
+                rank.map_batches(tag_rank, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(
+                lambda g: contrib(g.drop(columns="bucket")),
+                batch_format="pandas",
+            )
+            .map_batches(tag_contrib, batch_format="pyarrow")
+        )
+        rank = (
+            docs_tagged.union(contribs)
+            .groupby("bucket")
+            .map_groups(
+                lambda g: new_rank(g.drop(columns="bucket")),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("node"), "rank_q": t.column("rq")}
+        )
+
+    return rank.map_batches(rename, batch_format="pyarrow")
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""
+    pairs AS ({_JACCARD_PAIR_SQL}),
+    edges AS (
+      SELECT doc_a s, doc_b d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT s, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    r0 AS (SELECT doc_id AS node,
+                  ({PR_INIT_NUM} // (SELECT n FROM nn))::BIGINT AS rq
+           FROM documents)"""
+    ]
+    for t in range(1, PAGERANK_ROUNDS + 1):
+        parts.append(
+            f"""
+    r{t} AS (
+      SELECT dd.doc_id AS node,
+             (({PR_BASE_NUM} // (SELECT n FROM nn))
+              + COALESCE(sum((85 * x.rq) // (100 * x.deg)), 0))::BIGINT AS rq
+      FROM documents dd
+      LEFT JOIN (SELECT e.d, r.rq, g.deg
+                 FROM edges e
+                 JOIN r{t - 1} r ON e.s = r.node
+                 JOIN deg g ON e.s = g.s) x
+        ON x.d = dd.doc_id
+      GROUP BY dd.doc_id)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT node AS doc_id, rq AS rank_q FROM r{PAGERANK_ROUNDS}"
+    )
+
+
+register("neardup_pagerank", neardup_pagerank, _pagerank_oracle())

@@ -62,6 +62,7 @@ SUBSET = [
     "lang_confusion_matrix",
     "bm25_search",
     "bpe_learn",
+    "neardup_pagerank",
 ]
 
 
