@@ -1671,3 +1671,269 @@ def _bpe_learn_oracle() -> str:
 
 
 register("bpe_learn", bpe_learn, _bpe_learn_oracle())
+
+
+# -- CCNet-style perplexity terciles (head / middle / tail) ------------------
+
+PPLX_BIN_W = 4096  # histogram bin width over mean_q (1e-6 logprob units)
+PPLX_REDUCE_B = 32
+
+
+def _lm_scored_with_lang(sf_dir: str):
+    """lm_perplexity's scoring pass, carrying the lang column through
+    (same model, same arithmetic; see lm_perplexity for the parity
+    notes)."""
+    import ray
+
+    cb, cu = _lm_train(sf_dir)
+    model_ref = ray.put((cb, cu))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cbm, cum = ray.get(model_ref)
+        tok_cache: dict[str, int] = {}
+        ns: list[int] = []
+        lps: list[int] = []
+        for tx in df["text"]:
+            tk = tx.lower().split(" ")
+            n = len(tk) - 1
+            if n <= 0:
+                ns.append(0)
+                lps.append(0)
+                continue
+            bi = np.empty(n, np.int64)
+            ci = np.empty(n, np.int64)
+            for i in range(n):
+                bi[i] = (
+                    _md5_bucket32(tk[i] + " " + tk[i + 1]) % LM_BIGRAM_BUCKETS
+                )
+                h = tok_cache.get(tk[i])
+                if h is None:
+                    h = _md5_bucket32(tk[i]) % LM_CTX_BUCKETS
+                    tok_cache[tk[i]] = h
+                ci[i] = h
+            p = (cbm[bi] + 1.0) / (cum[ci] + float(LM_BIGRAM_BUCKETS))
+            q = np.floor(np.log(p) * 1e6).astype(np.int64)
+            ns.append(n)
+            lps.append(int(q.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "n_bigrams": pd.Series(ns, dtype="int64", index=df.index),
+                "logprob_q": pd.Series(lps, dtype="int64", index=df.index),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def _kth_largest_from_counts(
+    vals: np.ndarray, cnts: np.ndarray, k: int
+) -> int:
+    """Value at 1-indexed rank k, descending, counting duplicates."""
+    order = np.argsort(-vals, kind="mergesort")
+    cum = np.cumsum(cnts[order])
+    idx = int(np.searchsorted(cum, k, side="left"))
+    return int(vals[order[min(idx, len(order) - 1)]])
+
+
+def perplexity_buckets(sf_dir: str):
+    """CCNet-shape quality bucketing: per-language head/middle/tail
+    terciles of the bigram-LM mean logprob (mean_q = exact int floor of
+    logprob_q / n_bigrams; 0 for empty docs). head = mean_q >= t1 where
+    t1 is the ceil(n/3)-th largest mean_q in the language (counting
+    duplicates), middle >= t2 = ceil(2n/3)-th largest; ties share a
+    bucket.
+
+    Scale shape — exact distributed order statistics, NO per-lang global
+    sort: (A) one pass builds per-lang fixed-width histograms over
+    mean_q (bin = floor(mean_q / W); KBs per lang however big the
+    corpus), reduced on ``bin %% B``; the driver walks each lang's bins
+    to locate the tercile ranks' boundary BINS; (B) one filtered pass
+    collects value counts inside boundary bins only (<= W distinct
+    values per lang per bin), reduced the same way; the driver reads off
+    the exact rank-k values. Thresholds broadcast; final pass assigns
+    buckets. The SQL oracle does the same selection the easy way
+    (row_number window) — identical semantics."""
+    scored = _lm_scored_with_lang(sf_dir)
+
+    def add_mean(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_bigrams"].to_numpy(np.int64)
+        lp = df["logprob_q"].to_numpy(np.int64)
+        mean = np.where(
+            n > 0, np.floor_divide(lp, np.maximum(n, 1)), 0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "mean_q": mean}
+        )
+
+    m = scored.map_batches(add_mean, batch_format="pandas").materialize()
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor_divide(df["mean_q"].to_numpy(np.int64), PPLX_BIN_W)
+        g = (
+            pd.DataFrame({"lang": df["lang"], "bin": b})
+            .groupby(["lang", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["rb"] = (g["bin"] % PPLX_REDUCE_B).astype("int32")
+        return g
+
+    hist_rows = (
+        m.map_batches(hist_part, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(
+            lambda g: g.drop(columns="rb")
+            .groupby(["lang", "bin"], as_index=False)
+            .agg(cnt=("cnt", "sum")),
+            batch_format="pandas",
+        )
+        .take_all()
+    )  # <= langs * (range(mean_q)/W) rows: KBs
+    hist = pd.DataFrame(hist_rows)
+
+    # driver: locate each tercile rank's boundary bin per lang
+    targets: dict[str, list[tuple[int, int, int]]] = {}  # lang -> [(which, bin, rank_in_bin)]
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("bin", ascending=False, kind="mergesort")
+        cnts = g["cnt"].to_numpy(np.int64)
+        bins = g["bin"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for which, k in ((0, (n + 2) // 3), (1, (2 * n + 2) // 3)):
+            i = int(np.searchsorted(cum, k, side="left"))
+            rank_in_bin = k - (int(cum[i - 1]) if i else 0)
+            targets.setdefault(str(lang), []).append(
+                (which, int(bins[i]), rank_in_bin)
+            )
+
+    boundary = {
+        (lang, b) for lang, ts in targets.items() for _, b, _ in ts
+    }
+
+    def boundary_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor_divide(df["mean_q"].to_numpy(np.int64), PPLX_BIN_W)
+        keep = np.fromiter(
+            (
+                (lang, bb) in boundary
+                for lang, bb in zip(df["lang"], b)
+            ),
+            bool,
+            len(df),
+        )
+        sub = df[keep]
+        g = (
+            pd.DataFrame({"lang": sub["lang"], "mean_q": sub["mean_q"]})
+            .groupby(["lang", "mean_q"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["rb"] = (g["mean_q"] % PPLX_REDUCE_B).astype("int32")
+        return g
+
+    val_rows = (
+        m.map_batches(boundary_counts, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(
+            lambda g: g.drop(columns="rb")
+            .groupby(["lang", "mean_q"], as_index=False)
+            .agg(cnt=("cnt", "sum")),
+            batch_format="pandas",
+        )
+        .take_all()
+    )  # <= langs * 2 * W rows
+    vals = pd.DataFrame(val_rows)
+
+    thresholds: dict[str, list[int]] = {}
+    for lang, ts in targets.items():
+        th = [0, 0]
+        for which, b, rank_in_bin in ts:
+            sub = vals[
+                (vals["lang"] == lang)
+                & (
+                    np.floor_divide(
+                        vals["mean_q"].to_numpy(np.int64), PPLX_BIN_W
+                    )
+                    == b
+                )
+            ]
+            th[which] = _kth_largest_from_counts(
+                sub["mean_q"].to_numpy(np.int64),
+                sub["cnt"].to_numpy(np.int64),
+                rank_in_bin,
+            )
+        thresholds[lang] = th
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = df["lang"].map(lambda x: thresholds[x][0]).to_numpy(np.int64)
+        t2 = df["lang"].map(lambda x: thresholds[x][1]).to_numpy(np.int64)
+        mq = df["mean_q"].to_numpy(np.int64)
+        bucket = np.where(mq >= t1, "head", np.where(mq >= t2, "middle", "tail"))
+        out = df[["doc_id", "lang", "mean_q"]].copy()
+        out["bucket"] = bucket
+        return out
+
+    return m.map_batches(assign, batch_format="pandas")
+
+
+def _pplx_buckets_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+    flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS g,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS c
+      FROM tok WHERE len(tk) >= 2),
+    hb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {LM_BIGRAM_BUCKETS} AS bb,
+             ('0x' || substr(md5(c), 1, 8))::BIGINT % {LM_CTX_BUCKETS} AS cc
+      FROM flat),
+    bcnt AS (SELECT bb, count(*) AS n FROM hb
+             WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    ccnt AS (SELECT cc, count(*) AS n FROM hb
+             WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+    q AS (
+      SELECT h.doc_id,
+             floor(ln((COALESCE(b.n, 0) + 1)::DOUBLE
+                      / (COALESCE(c.n, 0) + {LM_BIGRAM_BUCKETS})::DOUBLE)
+                   * 1e6)::BIGINT AS lp
+      FROM hb h
+      LEFT JOIN bcnt b ON h.bb = b.bb
+      LEFT JOIN ccnt c ON h.cc = c.cc),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(lp)::BIGINT AS logprob_q
+            FROM q GROUP BY 1),
+    m AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+                  ELSE CAST((a.logprob_q
+                             - ((a.logprob_q % a.n_bigrams) + a.n_bigrams)
+                               % a.n_bigrams) // a.n_bigrams AS BIGINT)
+             END AS mean_q
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+    r AS (
+      SELECT m.*,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY mean_q DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM m),
+    th AS (
+      SELECT lang,
+             max(CASE WHEN rn = (n + 2) // 3 THEN mean_q END) AS t1,
+             max(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_q END) AS t2
+      FROM r GROUP BY lang)
+    SELECT r.doc_id, r.lang, r.mean_q,
+           CASE WHEN r.mean_q >= t.t1 THEN 'head'
+                WHEN r.mean_q >= t.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r JOIN th t ON r.lang = t.lang
+    """
+
+
+register("perplexity_buckets", perplexity_buckets, _pplx_buckets_oracle())

@@ -63,6 +63,7 @@ SUBSET = [
     "bm25_search",
     "bpe_learn",
     "neardup_pagerank",
+    "perplexity_buckets",
 ]
 
 
