@@ -1316,6 +1316,185 @@ def f42_type0_kscpc_euc():
     )
 
 
+# Tint-transform fixtures (f44): Separation / DeviceN images driven by
+# PDF functions of all four types (§7.10; reference models them in
+# src/function/mod.rs:19-37 but its canvas todo!()s non-device spaces).
+# Expected pixels are hand-derived below by mirroring the SPEC formulas
+# (interpolation / exponent / stitching / calculator arithmetic written
+# out explicitly), independent of the engine.
+
+
+def _q255(c: float) -> int:
+    v = int(c * 255 + 0.5)
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+TINT_W, TINT_H = 4, 2
+# image A — Separation, type-2 exponential fn: t -> (1, 1-t, 1-t)
+TINT_A_SAMPLES = bytes([0, 85, 170, 255, 255, 170, 85, 0])
+TINT_A_PIXELS = b"".join(
+    bytes((255, 255 - s, 255 - s)) for s in TINT_A_SAMPLES
+)
+TINT_A_REF = media_ref_for_pixels(TINT_W, TINT_H, TINT_A_PIXELS)
+
+# image B — Separation, type-3 stitching (Bounds [0.5]) of two type-2
+# subfunctions: t<0.5 -> (0, 0, 2t); t>=0.5 -> (e^2, 1, 0), e=(t-.5)/.5
+TINT_B_SAMPLES = bytes([0, 64, 127, 128, 191, 255, 0, 255])
+
+
+def _tint_b_rgb(s: int) -> bytes:
+    t = s / 255.0
+    if t < 0.5:
+        e = 0.0 + (t - 0.0) * (1.0 - 0.0) / (0.5 - 0.0)
+        return bytes((0, 0, _q255(0.0 + e * (1.0 - 0.0))))
+    e = 0.0 + (t - 0.5) * (1.0 - 0.0) / (1.0 - 0.5)
+    return bytes((_q255(0.0 + e**2.0 * (1.0 - 0.0)), 255, 0))
+
+
+TINT_B_PIXELS = b"".join(_tint_b_rgb(s) for s in TINT_B_SAMPLES)
+TINT_B_REF = media_ref_for_pixels(TINT_W, TINT_H, TINT_B_PIXELS)
+
+# image C — DeviceN 2-ink over DeviceCMYK, type-4 calculator
+# { 2 copy add 2 div 0 }: (a, b) -> cmyk (a, b, (a+b)/2, 0); 2x2 px
+TINT_C_W, TINT_C_H = 2, 2
+TINT_C_SAMPLES = bytes([0, 255, 255, 0, 128, 64, 255, 255])
+
+
+def _tint_c_rgb(sa: int, sb: int) -> bytes:
+    a, b = sa / 255.0, sb / 255.0
+    c, m, y, k = _q255(a), _q255(b), _q255((a + b) / 2), 0
+    return bytes(
+        (
+            (255 - c) * (255 - k) // 255,
+            (255 - m) * (255 - k) // 255,
+            (255 - y) * (255 - k) // 255,
+        )
+    )
+
+
+TINT_C_PIXELS = b"".join(
+    _tint_c_rgb(TINT_C_SAMPLES[2 * i], TINT_C_SAMPLES[2 * i + 1])
+    for i in range(TINT_C_W * TINT_C_H)
+)
+TINT_C_REF = media_ref_for_pixels(TINT_C_W, TINT_C_H, TINT_C_PIXELS)
+
+# image D — Separation over DeviceGray, type-0 sampled fn: Size [4],
+# BitsPerSample 8, samples [255,128,64,0], default Encode [0 3]: linear
+# interpolation between grid points (spec §7.10.2 formulas mirrored)
+TINT_D_FN_SAMPLES = bytes([255, 128, 64, 0])
+TINT_D_SAMPLES = bytes([0, 85, 170, 255, 128, 192, 32, 255])
+
+
+def _tint_d_rgb(s: int) -> bytes:
+    t = s / 255.0
+    e = 0.0 + (t - 0.0) * (3.0 - 0.0) / (1.0 - 0.0)
+    e = 0.0 if e < 0.0 else 3.0 if e > 3.0 else e
+    import math as _m
+
+    lo = min(int(_m.floor(e)), 3)
+    frac = e - lo
+    hi = min(lo + 1, 3)
+    v_lo = 0.0 + (TINT_D_FN_SAMPLES[lo] - 0.0) * (1.0 - 0.0) / (255.0 - 0.0)
+    v_hi = 0.0 + (TINT_D_FN_SAMPLES[hi] - 0.0) * (1.0 - 0.0) / (255.0 - 0.0)
+    out = 0.0
+    out += (1.0 - frac) * v_lo
+    if frac != 0.0:
+        out += frac * v_hi
+    g = _q255(out)
+    return bytes((g, g, g))
+
+
+TINT_D_PIXELS = b"".join(_tint_d_rgb(s) for s in TINT_D_SAMPLES)
+TINT_D_REF = media_ref_for_pixels(TINT_W, TINT_H, TINT_D_PIXELS)
+
+
+def f44_tint_transforms():
+    """Separation/DeviceN images exercising every PDF function type:
+    2 (exponential, inline dict), 3 (stitching of type-2s), 4
+    (PostScript calculator stream), 0 (sampled stream)."""
+
+    def img(num, w, h, cs, data):
+        return (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace ".encode()
+            + cs
+            + f" /BitsPerComponent 8 /Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )
+
+    fn2 = b"<< /FunctionType 2 /Domain [0 1] /C0 [1 1 1] /C1 [1 0 0] /N 1 >>"
+    fn3 = (
+        b"<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] /Encode [0 1 0 1] "
+        b"/Functions ["
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] /C1 [0 0 1] /N 1 >> "
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 1 0] /C1 [1 1 0] /N 2 >>"
+        b"] >>"
+    )
+    ps_prog = b"{ 2 copy add 2 div 0 }"
+    fn0_data = TINT_D_FN_SAMPLES
+    pdf = simple_page_pdf(
+        b"q /ImA Do Q q /ImB Do Q q /ImC Do Q q /ImD Do Q "
+        b"BT /F1 12 Tf 72 700 Td (Tints done) Tj ET",
+        extra_resources=(
+            b"/XObject << /ImA 9 0 R /ImB 10 0 R /ImC 11 0 R /ImD 12 0 R >>"
+        ),
+        extra_objects={
+            9: img(
+                9,
+                TINT_W,
+                TINT_H,
+                b"[/Separation /SpotRed /DeviceRGB " + fn2 + b"]",
+                TINT_A_SAMPLES,
+            ),
+            10: img(
+                10,
+                TINT_W,
+                TINT_H,
+                b"[/Separation /Stitch /DeviceRGB " + fn3 + b"]",
+                TINT_B_SAMPLES,
+            ),
+            11: img(
+                11,
+                TINT_C_W,
+                TINT_C_H,
+                b"[/DeviceN [/Ink1 /Ink2] /DeviceCMYK 13 0 R]",
+                TINT_C_SAMPLES,
+            ),
+            12: img(
+                12,
+                TINT_W,
+                TINT_H,
+                b"[/Separation /Sampled /DeviceGray 14 0 R]",
+                TINT_D_SAMPLES,
+            ),
+            13: (
+                b"<< /FunctionType 4 /Domain [0 1 0 1] "
+                b"/Range [0 1 0 1 0 1 0 1] /Length "
+                + str(len(ps_prog)).encode()
+                + b" >>\nstream\n"
+                + ps_prog
+                + b"\nendstream"
+            ),
+            14: (
+                b"<< /FunctionType 0 /Domain [0 1] /Range [0 1] /Size [4] "
+                b"/BitsPerSample 8 /Length "
+                + str(len(fn0_data)).encode()
+                + b" >>\nstream\n"
+                + fn0_data
+                + b"\nendstream"
+            ),
+        },
+    )
+    return pdf, [
+        ("image", None, TINT_A_REF, 0),
+        ("image", None, TINT_B_REF, 1),
+        ("image", None, TINT_C_REF, 2),
+        ("image", None, TINT_D_REF, 3),
+        ("text", "Tints done", None, 4),
+    ]
+
+
 # JBIG2 symbol/text fixture (f36): the dominant scanned-PDF coding mode
 # — glyphs decoded once into a symbol dictionary, then PLACED as text
 # instances. Golden = the literal glyph drawings composed at the literal
@@ -1726,4 +1905,5 @@ FIXTURES = {
     "f41": f41_type0_cns_euc,
     "f42": f42_type0_kscpc_euc,
     "f43": f43_optional_content,
+    "f44": f44_tint_transforms,
 }

@@ -109,64 +109,34 @@ def pdf_image_features(sf_dir: str | None = None):
     )
 
 
+def _fixture_image_list() -> list:
+    """Every distinct fixture image as (ref, w, h, literal_pixels) — the
+    ONE hand-maintained inventory both image oracles enumerate (add new
+    image fixtures here)."""
+    from ..fixtures import corpus as fc
+
+    return [
+        (fc.IMG_REF, fc.IMG_W, fc.IMG_H, fc.IMG_PIXELS),
+        (fc.IDX_REF, fc.IDX_W, fc.IDX_H, fc.IDX_PIXELS),
+        (fc.DCT_REF, fc.DCT_W, fc.DCT_H, fc.DCT_PIXELS),
+        (fc.CCITT_REF, fc.CCITT_W, fc.CCITT_H, fc.CCITT_PIXELS),
+        (fc.PROG_REF, fc.PROG_W, fc.PROG_H, fc.PROG_PIXELS),
+        (fc.JB2_REF, fc.JB2_W, fc.JB2_H, fc.JB2_PIXELS),
+        (fc.JB2T_REF, fc.JB2T_W, fc.JB2T_H, fc.JB2T_PIXELS),
+        (fc.JPX_REF, fc.JPX_W, fc.JPX_H, fc.JPX_PIXELS),
+        (fc.JPXC_REF, fc.JPXC_W, fc.JPXC_H, fc.JPXC_PIXELS),
+        (fc.OCG_IMG_REF, fc.OCG_IMG_W, fc.OCG_IMG_H, fc.OCG_IMG_PIXELS),
+        (fc.TINT_A_REF, fc.TINT_W, fc.TINT_H, fc.TINT_A_PIXELS),
+        (fc.TINT_B_REF, fc.TINT_W, fc.TINT_H, fc.TINT_B_PIXELS),
+        (fc.TINT_C_REF, fc.TINT_C_W, fc.TINT_C_H, fc.TINT_C_PIXELS),
+        (fc.TINT_D_REF, fc.TINT_W, fc.TINT_H, fc.TINT_D_PIXELS),
+    ]
+
+
 def _image_features_oracle() -> str:
     # derived from the literal fixture pixels, not from engine code
-    from ..fixtures.corpus import (
-        CCITT_H,
-        CCITT_PIXELS,
-        CCITT_REF,
-        CCITT_W,
-        DCT_H,
-        DCT_PIXELS,
-        DCT_REF,
-        DCT_W,
-        IDX_H,
-        IDX_PIXELS,
-        IDX_REF,
-        IDX_W,
-        IMG_H,
-        IMG_PIXELS,
-        IMG_REF,
-        IMG_W,
-        JB2_H,
-        JB2_PIXELS,
-        JB2_REF,
-        JB2_W,
-        JB2T_H,
-        JB2T_PIXELS,
-        JB2T_REF,
-        JB2T_W,
-        JPX_H,
-        JPX_PIXELS,
-        JPX_REF,
-        JPX_W,
-        JPXC_H,
-        JPXC_PIXELS,
-        JPXC_REF,
-        JPXC_W,
-        OCG_IMG_H,
-        OCG_IMG_PIXELS,
-        OCG_IMG_REF,
-        OCG_IMG_W,
-        PROG_H,
-        PROG_PIXELS,
-        PROG_REF,
-        PROG_W,
-    )
-
     rows = []
-    for ref, w, h, pixels in (
-        (IMG_REF, IMG_W, IMG_H, IMG_PIXELS),
-        (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
-        (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
-        (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
-        (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
-        (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
-        (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
-        (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
-        (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
-        (OCG_IMG_REF, OCG_IMG_W, OCG_IMG_H, OCG_IMG_PIXELS),
-    ):
+    for ref, w, h, pixels in _fixture_image_list():
         n = w * h
         mean = [int(sum(pixels[c::3]) / n) for c in range(3)]
         rows.append(
@@ -823,19 +793,6 @@ def _phash_oracle() -> str:
     pixel constants with plain-Python loops (no numpy, no engine code):
     luma -> 9x8 center-sampled grid -> dHash bits -> exhaustive pairwise
     hamming over originals + replicated 32x32 nearest-neighbor resizes."""
-    from ..fixtures.corpus import (
-        CCITT_H, CCITT_PIXELS, CCITT_REF, CCITT_W,
-        DCT_H, DCT_PIXELS, DCT_REF, DCT_W,
-        IDX_H, IDX_PIXELS, IDX_REF, IDX_W,
-        IMG_H, IMG_PIXELS, IMG_REF, IMG_W,
-        JB2_H, JB2_PIXELS, JB2_REF, JB2_W,
-        JB2T_H, JB2T_PIXELS, JB2T_REF, JB2T_W,
-        JPX_H, JPX_PIXELS, JPX_REF, JPX_W,
-        JPXC_H, JPXC_PIXELS, JPXC_REF, JPXC_W,
-        OCG_IMG_H, OCG_IMG_PIXELS, OCG_IMG_REF, OCG_IMG_W,
-        PROG_H, PROG_PIXELS, PROG_REF, PROG_W,
-    )
-
     def luma_grid(w, h, flat):
         # flat = [r,g,b, r,g,b, ...] row-major
         def lum(x, y):
@@ -866,18 +823,7 @@ def _phash_oracle() -> str:
         return out
 
     hashes = {}
-    for ref, w, h, px in (
-        (IMG_REF, IMG_W, IMG_H, IMG_PIXELS),
-        (IDX_REF, IDX_W, IDX_H, IDX_PIXELS),
-        (DCT_REF, DCT_W, DCT_H, DCT_PIXELS),
-        (CCITT_REF, CCITT_W, CCITT_H, CCITT_PIXELS),
-        (PROG_REF, PROG_W, PROG_H, PROG_PIXELS),
-        (JB2_REF, JB2_W, JB2_H, JB2_PIXELS),
-        (JB2T_REF, JB2T_W, JB2T_H, JB2T_PIXELS),
-        (JPX_REF, JPX_W, JPX_H, JPX_PIXELS),
-        (JPXC_REF, JPXC_W, JPXC_H, JPXC_PIXELS),
-        (OCG_IMG_REF, OCG_IMG_W, OCG_IMG_H, OCG_IMG_PIXELS),
-    ):
+    for ref, w, h, px in _fixture_image_list():
         px = list(px)
         hashes[ref] = dhash(w, h, px)
         hashes[ref + "#r32"] = dhash(32, 32, resize32(w, h, px))

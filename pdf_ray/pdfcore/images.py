@@ -131,6 +131,59 @@ def decode_image_pixels(stream: Stream, resolve) -> tuple[int, int, bytes]:
                 out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
         return w, h, bytes(out)
 
+    # Separation / DeviceN color spaces (PDF 32000-1 §8.6.6.4-5): per-pixel
+    # tint components run through the tint-transform FUNCTION (§7.10, all 4
+    # types — the reference models these in src/function/mod.rs:19-37) into
+    # the alternate device space. The function is evaluated once per
+    # DISTINCT tuple (<= 256^n, tiny in practice), never per pixel.
+    if isinstance(cs, list) and cs and str(resolve(cs[0])) in (
+        "Separation",
+        "DeviceN",
+    ):
+        from .functions import PdfFunction
+
+        n_in = 1 if str(resolve(cs[0])) == "Separation" else len(resolve(cs[1]))
+        alt = _abbrev(str(resolve(cs[2])))
+        fn = PdfFunction(resolve(cs[3]), resolve)
+        if bpc != 8:
+            raise PdfParseError(f"unsupported Separation/DeviceN bpc {bpc}")
+        n_alt = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}.get(alt)
+        if n_alt is None:
+            raise PdfParseError(f"unsupported alternate space {alt}")
+        need = w * h * n_in
+        if len(data) < need:
+            raise PdfParseError("short image data")
+
+        def _q(c: float) -> int:
+            v = int(c * 255 + 0.5)
+            return 0 if v < 0 else 255 if v > 255 else v
+
+        def _alt_rgb(comps: list[float]) -> bytes:
+            if n_alt == 1:
+                v = _q(comps[0])
+                return bytes((v, v, v))
+            if n_alt == 3:
+                return bytes((_q(comps[0]), _q(comps[1]), _q(comps[2])))
+            c, m, y_, k = (_q(x) for x in comps)
+            return bytes(
+                (
+                    (255 - c) * (255 - k) // 255,
+                    (255 - m) * (255 - k) // 255,
+                    (255 - y_) * (255 - k) // 255,
+                )
+            )
+
+        out = bytearray(w * h * 3)
+        cache: dict[bytes, bytes] = {}
+        for i in range(w * h):
+            key = bytes(data[n_in * i : n_in * i + n_in])
+            rgb = cache.get(key)
+            if rgb is None:
+                rgb = _alt_rgb(fn([b / 255.0 for b in key]))
+                cache[key] = rgb
+            out[3 * i : 3 * i + 3] = rgb
+        return w, h, bytes(out)
+
     # stencil masks: /ImageMask true implies 1-bit, no color space
     # (painted with the current fill color; we emit it as 1-bit gray)
     if resolve(d.get("ImageMask", d.get("IM", False))) is True:

@@ -214,6 +214,10 @@ def test_image_blob_pipeline(ray_session):
         JPXC_REF,
         OCG_IMG_REF,
         PROG_REF,
+        TINT_A_REF,
+        TINT_B_REF,
+        TINT_C_REF,
+        TINT_D_REF,
     )
 
     assert sorted(blobs["media_ref"]) == sorted(
@@ -228,6 +232,10 @@ def test_image_blob_pipeline(ray_session):
             JPX_REF,
             JPXC_REF,
             OCG_IMG_REF,
+            TINT_A_REF,
+            TINT_B_REF,
+            TINT_C_REF,
+            TINT_D_REF,
         ]
     )
     sizes = {
