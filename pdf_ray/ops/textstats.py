@@ -1937,3 +1937,209 @@ def _pplx_buckets_oracle() -> str:
 
 
 register("perplexity_buckets", perplexity_buckets, _pplx_buckets_oracle())
+
+
+# -- sequence packing (concat-and-chunk training batches) --------------------
+#
+# The GPT-style pretraining data layout: concatenate every document's
+# tokens into ONE global stream (doc_id order) and cut it into fixed
+# context windows of PACK_W tokens; a document that straddles a cut is
+# split across the two windows. The hard part at scale is the exclusive
+# prefix sum over 10^12 docs — done here as the textbook two-phase
+# distributed scan (per-range-bucket partials -> tiny driver offsets ->
+# per-bucket local cumsum), never a global sort and never a driver pass
+# over the rows.
+
+PACK_W = 128  # context-window length in whitespace tokens
+PACK_BUCKETS = 32  # prefix-scan ranges (scale knob; driver sees B ints)
+
+
+def pack_sequences(sf_dir: str):
+    """One row per (window, doc) fragment: window_id, doc_id, start_tok
+    (offset of the fragment inside its window), n_tok.
+
+    Phase 0: Max(doc_id) (column-pruned scan) to fix the range buckets.
+    Phase 1: map-side per-bucket token partial sums -> B rows to the
+    driver -> exclusive bucket offsets (B ints, broadcast by closure).
+    Phase 2: shuffle only (doc_id, n, bucket) int rows (never text) on
+    bucket; each group sorts locally by doc_id, local-cumsums, adds its
+    bucket offset, and emits fragments with vectorized numpy repeats."""
+    from ray.data.aggregate import Max
+
+    n_docs_hint = _read_documents(sf_dir, ["doc_id"]).aggregate(
+        Max("doc_id", alias_name="m")
+    )["m"] + 1
+    B = PACK_BUCKETS
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        n = (df["text"].str.count(" ") + 1).to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n": n,
+                "bucket": (ids * B // n_docs_hint).astype("int64"),
+            }
+        )
+
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False)["n"].sum()
+        return g.rename(columns={"n": "part"})
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    parts = (
+        docs.map_batches(tok_counts, batch_format="pandas")
+        .map_batches(bucket_partials, batch_format="pandas")
+        .to_pandas()  # <= B rows per block — KBs
+        .groupby("bucket")["part"]
+        .sum()
+    )
+    sums = np.zeros(B, dtype="int64")
+    sums[parts.index.to_numpy()] = parts.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))  # exclusive
+
+    W = PACK_W
+
+    def explode_fragments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        n = g["n"].to_numpy()
+        off = offsets[int(g["bucket"].iat[0])] + np.cumsum(n) - n
+        first_w = off // W
+        last_w = (off + n - 1) // W
+        reps = (last_w - first_w + 1).astype("int64")
+        tot = int(reps.sum())
+        within = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps)
+        win = np.repeat(first_w, reps) + within
+        off_r = np.repeat(off, reps)
+        end_r = np.repeat(off + n, reps)
+        start_g = np.maximum(off_r, win * W)
+        end_g = np.minimum(end_r, (win + 1) * W)
+        return pd.DataFrame(
+            {
+                "window_id": win,
+                "doc_id": np.repeat(ids, reps),
+                "start_tok": start_g - win * W,
+                "n_tok": end_g - start_g,
+            }
+        )
+
+    return (
+        docs.map_batches(tok_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(explode_fragments, batch_format="pandas")
+    )
+
+
+register(
+    "pack_sequences",
+    pack_sequences,
+    f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n
+               FROM documents),
+    p AS (SELECT doc_id, n,
+                 coalesce(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT o0
+          FROM t),
+    f AS (SELECT doc_id, n, o0,
+                 unnest(range(o0 // {PACK_W}, (o0 + n - 1) // {PACK_W} + 1)) w
+          FROM p)
+    SELECT w::BIGINT AS window_id, doc_id,
+           (greatest(o0, w * {PACK_W}) - w * {PACK_W})::BIGINT AS start_tok,
+           (least(o0 + n, (w + 1) * {PACK_W})
+            - greatest(o0, w * {PACK_W}))::BIGINT AS n_tok
+    FROM f
+    """,
+)
+
+
+# -- temperature-based source mixing (training-mix rebalancing) --------------
+#
+# The multilingual/multi-source rebalancing step (alpha-temperature
+# sampling, mT5/CC-100 style): sources are re-weighted proportional to
+# c_s^alpha with alpha = 0.5, flattening the head. Everything is EXACT
+# integer arithmetic — w_s = isqrt(c_s), keep decisions are rational
+# comparisons against a 32-bit md5 key — so the DuckDB oracle replays
+# the selection bit-for-bit (no float pow/sum anywhere).
+
+MIX_ALPHA_DESC = "alpha = 0.5 via exact integer sqrt"
+MIX_BUDGET_DEN = 2  # token budget = total_tokens // 2
+
+
+def mix_sources_temperature(sf_dir: str):
+    """Keep each doc with probability p_s = min(1, T*w_s / (SW*c_s))
+    where c_s = source token mass, w_s = isqrt(c_s), SW = sum w_s, and
+    T = total tokens // MIX_BUDGET_DEN. The decision is the exact
+    integer comparison  md5_32(doc_id) * SW * c_s < T * w_s * 2^32.
+
+    Scale shape: one map pass of per-source token partials (tiny rows:
+    source cardinality, not corpus), a driver dict of per-source
+    thresholds (exact ints), one broadcast-filter map pass. No shuffle
+    of document rows at all."""
+    import hashlib as _hl
+    import math
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.count(" ") + 1).astype("int64")
+        g = (
+            pd.DataFrame({"source": df["source"], "n": n})
+            .groupby("source", as_index=False)["n"]
+            .sum()
+        )
+        return g
+
+    c_by_src = (
+        _read_documents(sf_dir, ["source", "text"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()  # <= n_sources rows per block
+        .groupby("source")["n"]
+        .sum()
+        .to_dict()
+    )
+    w = {s: math.isqrt(int(c)) for s, c in c_by_src.items()}
+    sw = sum(w.values())
+    tgt = sum(int(c) for c in c_by_src.values()) // MIX_BUDGET_DEN
+    # per-source exact rational threshold as (lhs_mult, rhs) int pair
+    lhs = {s: sw * int(c) for s, c in c_by_src.items()}
+    rhs = {s: tgt * w[s] * (1 << 32) for s in c_by_src}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            int(_hl.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+            for d in df["doc_id"]
+        ]
+        mask = [
+            h * lhs[s] < rhs[s] for h, s in zip(hs, df["source"])
+        ]
+        return df.loc[mask, ["doc_id", "source"]]
+
+    return _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
+register(
+    "mix_sources_temperature",
+    mix_sources_temperature,
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split(text, ' '))::BIGINT n
+               FROM documents),
+    c AS (SELECT source, sum(n)::BIGINT AS cs FROM t GROUP BY source),
+    w AS (SELECT source, cs,
+                 CASE WHEN (cand + 1) * (cand + 1) <= cs THEN cand + 1
+                      WHEN cand * cand > cs THEN cand - 1
+                      ELSE cand END AS ws
+          FROM (SELECT source, cs,
+                       CAST(floor(sqrt(cs::DOUBLE)) AS BIGINT) AS cand
+                FROM c)),
+    g AS (SELECT (SELECT sum(ws) FROM w)::BIGINT AS sw,
+                 (SELECT sum(n) FROM t)::BIGINT // {MIX_BUDGET_DEN} AS tgt)
+    SELECT t.doc_id, t.source
+    FROM t JOIN w USING (source), g
+    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT::HUGEINT * (g.sw * w.cs)::HUGEINT
+          < (g.tgt * w.ws)::HUGEINT * 4294967296::HUGEINT
+    """,
+)

@@ -64,6 +64,8 @@ SUBSET = [
     "bpe_learn",
     "neardup_pagerank",
     "perplexity_buckets",
+    "pack_sequences",
+    "mix_sources_temperature",
 ]
 
 
@@ -541,3 +543,63 @@ def test_cms_guarantees(ray_session):
     assert int(got.loc["zz-absent-token", "approx_count"]) <= (
         4 * n_total // CMS_W + 1
     )
+
+
+def test_pack_sequences_tiles_the_stream(ray_session):
+    """Structural invariants of concat-and-chunk packing: fragments
+    exactly tile the global token stream — every window except the last
+    holds exactly PACK_W tokens, fragments inside a window are contiguous
+    from 0, and the grand total equals the corpus token count."""
+    import __ray_entry__ as m
+    from pdf_ray.ops.textstats import PACK_W
+
+    df = m.queries()["pack_sequences"](SF).to_pandas()
+    total = int(df["n_tok"].sum())
+    per_win = df.groupby("window_id")["n_tok"].sum()
+    last = per_win.index.max()
+    assert (per_win.drop(index=last) == PACK_W).all()
+    assert 0 < per_win[last] <= PACK_W
+    # contiguity: within a window, sorted fragments start where the
+    # previous one ended
+    for _, g in df.groupby("window_id"):
+        g = g.sort_values("start_tok")
+        ends = (g["start_tok"] + g["n_tok"]).to_numpy()
+        assert g["start_tok"].iloc[0] == 0
+        assert (g["start_tok"].to_numpy()[1:] == ends[:-1]).all()
+    # grand total == independent token count
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT sum(len(string_split(text,' '))) FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert total == int(want)
+
+
+def test_mix_sources_flattens_skew(ray_session, tmp_path):
+    """On a corpus where source 'big' has ~64x the token mass of 'small',
+    alpha=0.5 mixing must (a) keep essentially all of 'small' (its keep
+    probability saturates at 1 — the min(1,.) branch) and (b) cut 'big'
+    to roughly sqrt-proportional share, flattening the head."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_ray.ops.textstats import mix_sources_temperature
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(1024):
+        rows.append((i, "w " * 63 + "w", "big"))  # 64 tokens each
+    for i in range(1024, 1088):
+        rows.append((i, "w", "small"))  # 1 token each
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    kept = mix_sources_temperature(str(tmp_path)).to_pandas()
+    n_big = (kept["source"] == "big").sum()
+    n_small = (kept["source"] == "small").sum()
+    # small: c=64, w=8; big: c=65536, w=256. T=32800, SW=264.
+    # p_small = min(1, 32800*8/(264*64)) = 1 -> all 64 kept
+    assert n_small == 64
+    # p_big = 32800*256/(264*65536) ~ 0.485 -> binomial(1024, .485)
+    assert 400 <= n_big <= 590
