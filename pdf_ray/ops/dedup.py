@@ -861,30 +861,32 @@ register(
 
 # -- dedup clusters (connected components over near-dup pairs) ---------------
 
-CC_MAX_ITERS = 12
+CC_MAX_ITERS = 24
+CC_JUMP_AFTER = 3  # plain hook rounds before pointer-jumping kicks in
 
 
-def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
-    """Connected components over the exact near-dup pair graph: every
-    document gets a ``cluster_id`` = the smallest doc_id reachable
-    through Jaccard >= tau pairs (singletons cluster with themselves) —
-    pairs are what the dedup queries emit; CLUSTERS are what a corpus
-    pipeline actually consumes (keep one doc per cluster).
+def _cc_min_labels(pairs, nodes):
+    """Min-label-propagation core over an arbitrary undirected pair graph
+    (``pairs``: Dataset[doc_a, doc_b], ``nodes``: Dataset[doc_id]).
+    Returns ``(labels, rounds)`` where labels is a Dataset[node, label]
+    with label = min node id reachable from node.
 
-    Algorithm: iterative min-label propagation (the BSP / Pregel shape
-    on Ray Data): labels start at doc_id; each round propagates labels
-    across edges with a bucketed hash join keyed on the source node,
-    then a fixed-fan-in groupby-min re-labels; convergence is detected
-    with a one-row Sum aggregate (labels only ever decrease, so an
-    unchanged sum == fixpoint). Each round materializes the label table
-    — one row per doc, the standard per-superstep barrier; everything
-    wide stays a B-bucket shuffle. Diameter of near-dup clusters is
-    tiny, so rounds ~ 2-3 in practice (CC_MAX_ITERS caps adversarial
-    chains; a doubling/pointer-jumping variant is the fix if real
-    corpora ever exceed it)."""
+    BSP / Pregel shape on Ray Data: labels start at the node id; each
+    round "hooks" — propagates labels across edges with a bucketed hash
+    join keyed on the source node, then a fixed-fan-in groupby-min
+    re-labels. Convergence is detected with a one-row Sum aggregate
+    (labels only ever decrease, so an unchanged sum == fixpoint). Each
+    round materializes the label table — one row per node, the standard
+    per-superstep barrier; everything wide stays a B-bucket shuffle.
+
+    Near-dup graphs have tiny diameter, so the common case converges in
+    ~2-3 hook rounds. From round CC_JUMP_AFTER on, each round appends a
+    POINTER JUMP — label <- label[label], a bucketed self-join of the
+    label table keyed on the label value (every label IS a node id, so
+    the lookup always hits). Jumping halves chain depth per round,
+    turning O(diameter) convergence into O(log diameter) on adversarial
+    path graphs while costing the shallow common case nothing."""
     from ray.data.aggregate import Sum
-
-    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy()
@@ -911,11 +913,7 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
             {"node": pa.array(d), "label": pa.array(d.astype(np.int64))}
         )
 
-    labels = (
-        _read_documents(sf_dir, ["doc_id"])
-        .map_batches(init_labels, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
     def tag_labels(t: pa.Table) -> pa.Table:
@@ -927,6 +925,21 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
                 "key": pa.array(n),
                 "dst": pa.array(np.zeros(len(n), np.int64)),
                 "label": t.column("label"),
+            }
+        )
+
+    def tag_jump_queries(t: pa.Table) -> pa.Table:
+        # query side of the label self-join: key on the LABEL value,
+        # carry the node; answered by the L rows (key = node id).
+        n = t.column("node").to_numpy()
+        lb = t.column("label").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((lb % N_SHINGLE_BUCKETS).astype("int32")),
+                "side": pa.array(["Q"] * len(n), pa.string()),
+                "key": pa.array(lb),
+                "dst": pa.array(n),
+                "label": pa.array(np.zeros(len(n), np.int64)),
             }
         )
 
@@ -946,6 +959,17 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
             }
         )
 
+    def jump(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == "L"][["key", "label"]]
+        q = g[g["side"] == "Q"][["key", "dst"]]
+        j = q.merge(lab, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "node": j["dst"].to_numpy().astype("int64"),
+                "label": j["label"].to_numpy().astype("int64"),
+            }
+        )
+
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False)["label"].min()
 
@@ -955,7 +979,9 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
             "nbucket", pa.array((n % N_SHINGLE_BUCKETS).astype("int32"))
         )
 
-    for _ in range(CC_MAX_ITERS):
+    rounds = 0
+    for it in range(CC_MAX_ITERS):
+        rounds = it + 1
         labels = (
             edges.union(
                 labels.map_batches(tag_labels, batch_format="pyarrow")
@@ -973,10 +999,38 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
             )
             .materialize()
         )
+        if it + 1 >= CC_JUMP_AFTER:  # escalation: shortcut label chains
+            labels = (
+                labels.map_batches(tag_labels, batch_format="pyarrow")
+                .union(
+                    labels.map_batches(
+                        tag_jump_queries, batch_format="pyarrow"
+                    )
+                )
+                .groupby("bucket")
+                .map_groups(
+                    lambda g: jump(g.drop(columns="bucket")),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
         prev_sum = cur_sum
+    return labels, rounds
+
+
+def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
+    """Connected components over the exact near-dup pair graph: every
+    document gets a ``cluster_id`` = the smallest doc_id reachable
+    through Jaccard >= tau pairs (singletons cluster with themselves) —
+    pairs are what the dedup queries emit; CLUSTERS are what a corpus
+    pipeline actually consumes (keep one doc per cluster). The label
+    propagation (and its pointer-jumping escalation for adversarial
+    diameters) lives in ``_cc_min_labels``."""
+    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
+    labels, _ = _cc_min_labels(pairs, _read_documents(sf_dir, ["doc_id"]))
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1346,3 +1400,132 @@ def _pagerank_oracle() -> str:
 
 
 register("neardup_pagerank", neardup_pagerank, _pagerank_oracle())
+
+
+# -- triangle enumeration over the near-dup graph -----------------------------
+#
+# Triangles are the densest near-dup motif (three mutually-similar docs
+# — usually a template family); enumerating them is the classic
+# wedge-join: the minimum vertex of each triangle emits its
+# higher-neighbor pairs as WEDGES, which are verified against the edge
+# set with one bucketed hash join on the (y, z) key. Wedge generation is
+# degree-bounded per group; nothing all-pairs, nothing driver-side.
+
+
+def neardup_triangles(sf_dir: str, tau: float = JACCARD_TAU):
+    """All triangles doc_x < doc_y < doc_z in the Jaccard >= tau pair
+    graph. Stage 1 groups edges by their lower endpoint (bucketed) and
+    emits (y, z) wedge candidates via a vectorized upper-triangle
+    expansion; stage 2 tag-unions wedges with the oriented edge list and
+    joins inside each (y, z)-hash bucket."""
+    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau)).materialize()
+
+    B = N_SHINGLE_BUCKETS
+
+    def tag_edges_by_a(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array((a % B).astype("int32")),
+                "a": t.column("doc_a"),
+                "b": t.column("doc_b"),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_x, out_y, out_z = [], [], []
+        for a, grp in g.groupby("a"):
+            nb = np.sort(grp["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            ii, jj = np.triu_indices(len(nb), k=1)
+            out_x.append(np.full(len(ii), a, dtype=np.int64))
+            out_y.append(nb[ii])
+            out_z.append(nb[jj])
+        if not out_x:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype="int64"),
+                    "y": pd.Series(dtype="int64"),
+                    "z": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "x": np.concatenate(out_x),
+                "y": np.concatenate(out_y),
+                "z": np.concatenate(out_z),
+            }
+        )
+
+    wedge_ds = (
+        pairs.map_batches(tag_edges_by_a, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: wedges(g.drop(columns="bucket")), batch_format="pandas"
+        )
+    )
+
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        y = t.column("y").to_numpy()
+        z = t.column("z").to_numpy()
+        key = y * 1_000_003 + z
+        return pa.table(
+            {
+                "bucket": pa.array((key % B).astype("int32")),
+                "side": pa.array(["W"] * len(y), pa.string()),
+                "y": pa.array(y),
+                "z": pa.array(z),
+                "x": t.column("x"),
+            }
+        )
+
+    def tag_edges_yz(t: pa.Table) -> pa.Table:
+        y = t.column("doc_a").to_numpy()
+        z = t.column("doc_b").to_numpy()
+        key = y * 1_000_003 + z
+        return pa.table(
+            {
+                "bucket": pa.array((key % B).astype("int32")),
+                "side": pa.array(["E"] * len(y), pa.string()),
+                "y": pa.array(y),
+                "z": pa.array(z),
+                "x": pa.array(np.zeros(len(y), np.int64)),
+            }
+        )
+
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == "W"][["x", "y", "z"]]
+        e = g[g["side"] == "E"][["y", "z"]]
+        j = w.merge(e, on=["y", "z"], how="inner")
+        return pd.DataFrame(
+            {
+                "doc_x": j["x"].to_numpy().astype("int64"),
+                "doc_y": j["y"].to_numpy().astype("int64"),
+                "doc_z": j["z"].to_numpy().astype("int64"),
+            }
+        )
+
+    return (
+        wedge_ds.map_batches(tag_wedges, batch_format="pyarrow")
+        .union(pairs.map_batches(tag_edges_yz, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(
+            lambda g: close_wedges(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "neardup_triangles",
+    neardup_triangles,
+    f"""
+    WITH p AS ({_JACCARD_PAIR_SQL}),
+    e AS (SELECT doc_a a, doc_b b FROM p)
+    SELECT e1.a AS doc_x, e1.b AS doc_y, e2.b AS doc_z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)

@@ -2511,3 +2511,318 @@ register(
           > {OUTLIER_K * OUTLIER_K} * (n * q - s * s)
     """,
 )
+
+
+# -- TPC-H Q3 shape: top unshipped orders by revenue --------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-03-15"
+Q3_TOP_N = 10
+
+
+def top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems
+    (l_shipdate > cutoff) for orders placed before the cutoff by
+    customers in one market segment; top 10 orders by revenue.
+
+    Scale shape: both date filters ride the parquet scan; customer keys
+    for the segment join via a partitioned hash join on custkey; the
+    surviving orders join lineitem partitioned on orderkey; each order's
+    revenue lives wholly inside one bucket, so per-bucket top-10 pre-trim
+    makes the driver merge O(B * 10)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+    bc = _join_buckets(sf_dir, "orders")
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, bc - 1), pa.int32()
+                ),
+                "side": pa.array(["C"] * t.num_rows, pa.string()),
+                "okey": pa.array([0] * t.num_rows, pa.int64()),
+                "odate": pa.array([None] * t.num_rows, pa.timestamp("us")),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t.column("o_custkey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, bc - 1), pa.int32()
+                ),
+                "side": pa.array(["O"] * t.num_rows, pa.string()),
+                "okey": t.column("o_orderkey"),
+                "odate": t.column("o_orderdate"),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+    ).map_batches(tag_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cutoff,
+    ).map_batches(tag_orders, batch_format="pyarrow")
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == "C"][["key"]]
+        o = g[g["side"] == "O"][["key", "okey", "odate"]]
+        j = o.merge(c, on="key", how="inner")
+        return j[["okey", "odate"]]
+
+    seg_orders = (
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: join_cust(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+    bl = _join_buckets(sf_dir, "lineitem")
+
+    def tag_seg_orders(t: pa.Table) -> pa.Table:
+        k = t.column("okey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(pc.bit_wise_and(k, bl - 1), pa.int32()),
+                "side": pa.array(["O"] * t.num_rows, pa.string()),
+                "rev": pa.array([0] * t.num_rows, pa.int64()),
+                "odate": t.column("odate"),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+            pa.int64(),
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        )
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+        )
+        k = t.column("l_orderkey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(pc.bit_wise_and(k, bl - 1), pa.int32()),
+                "side": pa.array(["L"] * t.num_rows, pa.string()),
+                "rev": rev,
+                "odate": pa.array([None] * t.num_rows, pa.timestamp("us")),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+
+    def join_rev_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "O"][["key", "odate"]]
+        l = g[g["side"] == "L"][["key", "rev"]]
+        j = l.merge(o, on="key", how="inner")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "rev": pd.Series(dtype="int64"),
+                }
+            )
+        out = j.groupby(["key", "odate"], as_index=False)["rev"].sum()
+        out = out.rename(columns={"key": "o_orderkey", "odate": "o_orderdate"})
+        # pre-trim: an order is whole inside its bucket
+        return out.sort_values(
+            ["rev", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(Q3_TOP_N)
+
+    top = (
+        seg_orders.map_batches(tag_seg_orders, batch_format="pyarrow")
+        .union(li)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: join_rev_topk(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= B * TOP_N rows
+        .sort_values(
+            ["rev", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(Q3_TOP_N)
+        .reset_index(drop=True)
+    )
+    top["revenue"] = _e4_round2_to_f64(top["rev"])
+    top["o_orderdate"] = pd.to_datetime(top["o_orderdate"]).dt.strftime(
+        "%Y-%m-%d"
+    )
+    return top[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+register(
+    "top_unshipped_orders",
+    top_unshipped_orders,
+    f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < DATE '{Q3_CUTOFF}'
+      AND l_shipdate > DATE '{Q3_CUTOFF}'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC,
+             o_orderkey
+    LIMIT {Q3_TOP_N}
+    """,
+)
+
+
+# -- pivot: per-user event-type counts (wide crosstab) ------------------------
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(sf_dir: str):
+    """Long->wide pivot: one row per user with a count column per event
+    type (the feature-matrix shape model trainers consume). Map-side
+    crosstab partials (already wide, one row per user per batch) ->
+    bucket-hash reduce on user %% B sums them — the shuffle carries
+    pre-aggregated wide rows, never the raw event stream."""
+
+    cols = PIVOT_EVENT_TYPES
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for c in cols:
+            if c not in ct.columns:
+                ct[c] = 0
+        ct = ct[cols].reset_index().rename_axis(None, axis=1)
+        ct["bucket"] = (ct["user_id"] % N_STREAM_BUCKETS).astype("int32")
+        return ct
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[cols].sum()
+        return out.rename(columns={c: f"n_{c}" for c in cols}).astype("int64")
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: combine(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+    )
+
+
+register(
+    "pivot_event_counts",
+    pivot_event_counts,
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+# -- trending: per-day top event types by count --------------------------------
+
+TREND_TOP_N = 3
+
+
+def trending_event_types(sf_dir: str):
+    """Per calendar day, the top-3 event types by count with their rank
+    (the trending-topics shape). Partials collapse each batch to (day,
+    type) counts; a bucket-hash reduce on the day finishes counts and
+    ranks inside the group — a day's rows never straddle buckets, so the
+    rank is global. Integer-only output."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        g = (
+            pd.DataFrame({"day": day, "event_type": df["event_type"]})
+            .groupby(["day", "event_type"], as_index=False)
+            .size()
+        )
+        g["bucket"] = (
+            g["day"].astype("int64") // 86_400_000_000_000 % N_STREAM_BUCKETS
+        ).astype("int32")
+        return g
+
+    def rank_day(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["day", "event_type"], as_index=False)["size"].sum()
+        agg = agg.sort_values(
+            ["day", "size", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        agg["rank"] = agg.groupby("day").cumcount() + 1
+        agg = agg[agg["rank"] <= TREND_TOP_N]
+        return pd.DataFrame(
+            {
+                "day": agg["day"],
+                "event_type": agg["event_type"],
+                "n_events": agg["size"].astype("int64"),
+                "rank": agg["rank"].astype("int64"),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: rank_day(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["day"] = pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d")
+    return out
+
+
+register(
+    "trending_event_types",
+    trending_event_types,
+    f"""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS d, event_type,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT d, event_type, n_events,
+             row_number() OVER (
+               PARTITION BY d ORDER BY n_events DESC, event_type) AS rank
+      FROM c)
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n_events,
+           rank::BIGINT AS rank
+    FROM r WHERE rank <= {TREND_TOP_N}
+    """,
+)
