@@ -1529,3 +1529,142 @@ register(
     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
     """,
 )
+
+
+# -- edit-distance (fuzzy) dedup ----------------------------------------------
+#
+# The sixth dedup family: exact Levenshtein near-dup pairs (dist <=
+# EDIT_MAX). Candidate generation is length-banding with GUARANTEED
+# coverage — every doc is emitted into every band its +-EDIT_MAX length
+# window touches (<= 2 bands for W > 2k), so any pair with |len_a -
+# len_b| <= EDIT_MAX (implied by dist <= EDIT_MAX) co-occurs in at
+# least one band and the SQL oracle needs no banding caveat. Inside a
+# band: a vectorized char-histogram L1 prune (L1 <= 2k is necessary —
+# an insert/delete moves one count, a substitution two), then an exact
+# Ukkonen banded DP on the survivors. Band duplicates collapse through
+# the global pair-bucket dedup.
+
+EDIT_MAX = 8
+EDIT_BAND_W = 64
+EDIT_BAND_CAP = 20_000  # per-band skew guard (same contract as DF caps)
+
+
+def _lev_le_k(a: str, b: str, k: int) -> int:
+    """Exact Levenshtein if <= k else -1; Ukkonen band, O(len(a) * k)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return -1
+    big = k + 1
+    prev = list(range(min(lb, k) + 1)) + [big] * max(0, lb - k)
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        if lo == 1:
+            cur[0] = i if i <= k else big
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            c = prev[j - 1] if ai == b[j - 1] else prev[j - 1] + 1
+            if prev[j] + 1 < c:
+                c = prev[j] + 1
+            if cur[j - 1] + 1 < c:
+                c = cur[j - 1] + 1
+            cur[j] = c if c <= k else big
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return -1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else -1
+
+
+def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
+    """All (doc_a < doc_b, dist) with levenshtein(text_a, text_b) <= k."""
+    W = EDIT_BAND_W
+
+    def tag_bands(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].str.len().to_numpy()
+        lo = (ln - k) // W
+        hi = (ln + k) // W
+        parts = []
+        for shift in range(int((hi - lo).max()) + 1):
+            band = lo + shift
+            m = band <= hi
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "band": band[m],
+                        "doc_id": df["doc_id"].to_numpy()[m],
+                        "text": df["text"].to_numpy()[m],
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+        g = g.sort_values("doc_id").head(EDIT_BAND_CAP)
+        m = len(g)
+        if m < 2:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].tolist()
+        ln = g["text"].str.len().to_numpy()
+        # char histograms (codepoints folded to 256 bins keeps the L1
+        # bound valid: folding only ever DECREASES the distance)
+        H = np.zeros((m, 256), dtype=np.int32)
+        for i, t in enumerate(texts):
+            H[i] = np.bincount(
+                np.frombuffer(t.encode("utf-8"), dtype=np.uint8),
+                minlength=256,
+            )
+        ii, jj = np.triu_indices(m, 1)
+        cand = np.abs(ln[ii] - ln[jj]) <= k
+        ii, jj = ii[cand], jj[cand]
+        l1 = np.abs(H[ii] - H[jj]).sum(axis=1)
+        keep = l1 <= 2 * k
+        out_a, out_b, out_d = [], [], []
+        for i, j in zip(ii[keep], jj[keep]):
+            d = _lev_le_k(texts[i], texts[j], k)
+            if d >= 0:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_d.append(d)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    pairs = (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(tag_bands, batch_format="pandas")
+        .groupby("band")
+        .map_groups(
+            lambda g: band_pairs(g.drop(columns="band")),
+            batch_format="pandas",
+        )
+    )
+    return _dedup_pairs(pairs)
+
+
+register(
+    "dedup_edit_distance",
+    dedup_edit_distance,
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text)::BIGINT AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(len(a.text) - len(b.text)) <= {EDIT_MAX}
+    WHERE levenshtein(a.text, b.text) <= {EDIT_MAX}
+    """,
+)

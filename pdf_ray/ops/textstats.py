@@ -2143,3 +2143,84 @@ register(
           < (g.tgt * w.ws)::HUGEINT * 4294967296::HUGEINT
     """,
 )
+
+
+# -- skyline / Pareto front over document metrics -----------------------------
+#
+# Distributed skyline: the Pareto front of (maximize vocabulary richness,
+# minimize length) — the "most information per byte" docs a curation
+# pass would inspect. Skylines are associative (skyline(A u B) ==
+# skyline(skyline(A) u skyline(B))), so each batch reduces to its own
+# tiny partial front and the driver merges fronts, never rows.
+
+
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows not strictly dominated under (u max, c min): b dominates a
+    iff b.u >= a.u and b.c <= a.c with one strict. Vectorized: per
+    u-level min-c, then a running cummin over levels in descending u."""
+    if df.empty:
+        return df
+    lv = df.groupby("u")["c"].min().sort_index(ascending=False)
+    prev = lv.cummin().shift(1)  # best c among strictly higher u
+    keep_u = lv.index[prev.isna() | (lv < prev)]
+    lvmin = df.groupby("u")["c"].transform("min")
+    return df[df["u"].isin(set(keep_u)) & (df["c"] == lvmin)]
+
+
+def pareto_docs(sf_dir: str):
+    """Skyline docs: no other doc has >= distinct tokens AND <= chars
+    (one strict). Duplicate metric points all survive (none dominates
+    its twin). One map pass emits per-batch partial fronts; the driver
+    merges fronts only — front size is O(distinct u-levels), not corpus
+    size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df["text"]
+            .str.lower()
+            .str.split(" ")
+            .map(lambda t: len(set(t)))
+            .astype("int64")
+        )
+        return _skyline2d(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "u": u,
+                    "c": df["n_chars"].astype("int64"),
+                }
+            )
+        )
+
+    parts = (
+        _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # partial fronts only
+    )
+    out = _skyline2d(parts).sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "n_uniq_tokens": out["u"],
+            "n_chars": out["c"],
+        }
+    )
+
+
+register(
+    "pareto_docs",
+    pareto_docs,
+    """
+    WITH t AS (SELECT doc_id,
+                      len(list_distinct(string_split(lower(text), ' ')))
+                        ::BIGINT AS u,
+                      n_chars
+               FROM documents)
+    SELECT a.doc_id, a.u AS n_uniq_tokens, a.n_chars
+    FROM t a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t b
+      WHERE b.u >= a.u AND b.n_chars <= a.n_chars
+        AND (b.u > a.u OR b.n_chars < a.n_chars))
+    """,
+)

@@ -70,6 +70,8 @@ SUBSET = [
     "top_unshipped_orders",
     "pivot_event_counts",
     "trending_event_types",
+    "pareto_docs",
+    "dedup_edit_distance",
 ]
 
 
@@ -670,3 +672,57 @@ def test_triangles_on_synthetic_clique(ray_session, tmp_path):
         }
     )
     assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_lev_le_k_matches_naive_dp():
+    """Banded DP == full DP wherever the full distance <= k; -1 beyond."""
+    import itertools
+    import random
+
+    from pdf_ray.ops.dedup import _lev_le_k
+
+    def naive(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = min(
+                    prev + (a[i - 1] != b[j - 1]), dp[j] + 1, dp[j - 1] + 1
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[-1]
+
+    rng = random.Random(11)
+    words = ["ab", "cd", "x", "yz", "qq"]
+    for _ in range(300):
+        a = "".join(rng.choices(words, k=rng.randint(0, 8)))
+        b = "".join(rng.choices(words, k=rng.randint(0, 8)))
+        for k in (0, 1, 2, 4):
+            d = naive(a, b)
+            got = _lev_le_k(a, b, k)
+            assert got == (d if d <= k else -1), (a, b, k)
+
+
+def test_edit_dedup_finds_band_straddling_pair(ray_session, tmp_path):
+    """Two docs whose lengths sit on opposite sides of a band boundary
+    (len W-2 and W+2) MUST still pair up — the overlapping-band emission
+    guarantees coverage for every |len diff| <= EDIT_MAX pair."""
+    import pandas as pd
+
+    from pdf_ray.ops.dedup import EDIT_BAND_W, dedup_edit_distance
+
+    base = "a" * (EDIT_BAND_W - 2)
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, base + "bbbb", "z" * (EDIT_BAND_W * 3)],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = dedup_edit_distance(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert (
+        int(got["doc_a"].iloc[0]),
+        int(got["doc_b"].iloc[0]),
+        int(got["dist"].iloc[0]),
+    ) == (0, 1, 4)
