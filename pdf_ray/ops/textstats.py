@@ -1575,6 +1575,15 @@ def bpe_learn(sf_dir: str):
                 ls.append(sy[i])
                 rs.append(sy[i + 1])
                 cs.append(cnt)
+        if not ls:  # a batch of all-single-symbol words emits no pairs
+            return pd.DataFrame(
+                {
+                    "l": pd.Series(dtype=object),
+                    "r": pd.Series(dtype=object),
+                    "c": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int32"),
+                }
+            )
         p = pd.DataFrame(
             {"l": ls, "r": rs, "c": pd.Series(cs, dtype="int64")}
         )
