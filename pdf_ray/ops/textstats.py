@@ -2233,3 +2233,175 @@ register(
         AND (b.u > a.u OR b.n_chars < a.n_chars))
     """,
 )
+
+
+# -- phrase search (exact corpus grep) ----------------------------------------
+#
+# The decontamination-audit primitive: exact phrase-occurrence counts
+# per document (token-anchored, non-overlapping left-to-right — the
+# common str.count/replace semantic both engines share).
+
+PHRASE_QUERIES = ["hash join", "table scan", "sort merge batch"]
+
+
+def phrase_search(sf_dir: str):
+    """One row per (phrase, doc) with n_hits > 0. One vectorized map
+    pass (pandas str.count over padded text per phrase); no shuffle at
+    all — the canonical embarrassingly-parallel scan."""
+    import re
+
+    pats = {
+        p: re.compile(re.escape(" " + p + " ")) for p in PHRASE_QUERIES
+    }
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        padded = " " + df["text"].str.lower() + " "
+        frames = []
+        for p, rx in pats.items():
+            n = padded.str.count(rx).astype("int64")
+            m = n > 0
+            if m.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "phrase": p,
+                            "doc_id": df["doc_id"][m],
+                            "n_hits": n[m],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "phrase": pd.Series(dtype=object),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+def _phrase_oracle() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT '{p}' AS phrase, doc_id, "
+        f"((len(pt) - len(replace(pt, ' {p} ', ''))) "
+        f"// len(' {p} '))::BIGINT AS n_hits "
+        f"FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pt "
+        f"FROM documents)"
+        for p in PHRASE_QUERIES
+    )
+    return f"SELECT * FROM ({sel}) WHERE n_hits > 0"
+
+
+register("phrase_search", phrase_search, _phrase_oracle())
+
+
+# -- cross-source contamination matrix ----------------------------------------
+#
+# How much verbatim n-gram material each pair of sources shares — the
+# leakage diagnostic run before mixing sources into one training set.
+
+XSRC_N = 8  # word n-gram size
+
+
+def cross_source_contamination(sf_dir: str):
+    """(source_a < source_b, n_shared_grams): count of DISTINCT word
+    8-grams appearing in both sources. Map pass emits distinct (gram
+    md5, source) per doc; a bucketed reduce on the gram hash dedups
+    per-source and expands per-gram source pairs (<= C(n_sources, 2)
+    rows per gram — source cardinality, not corpus); a tiny second
+    reduce sums pair counts."""
+    import hashlib as _hl
+
+    B = LM_REDUCE_BUCKETS
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        gs: list[str] = []
+        srcs: list[str] = []
+        for src, text in zip(df["source"], df["text"]):
+            tk = text.lower().split(" ")
+            seen = set()
+            for i in range(len(tk) - XSRC_N + 1):
+                seen.add(" ".join(tk[i : i + XSRC_N]))
+            for g in seen:
+                gs.append(g)
+                srcs.append(src)
+        h = [
+            int.from_bytes(_hl.md5(g.encode()).digest()[:8], "little")
+            & ((1 << 63) - 1)
+            for g in gs
+        ]
+        out = pd.DataFrame(
+            {
+                "gh": pd.Series(h, dtype="int64"),
+                "source": srcs,
+            }
+        ).drop_duplicates()
+        out["bucket"] = (out["gh"] % B).astype("int32")
+        return out
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        a_parts, b_parts = [], []
+        for _, grp in g.groupby("gh", sort=False):
+            ss = np.sort(grp["source"].unique())
+            if len(ss) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ss), 1)
+            a_parts.append(ss[ii])
+            b_parts.append(ss[jj])
+        if not a_parts:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series(dtype=object),
+                    "source_b": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        p = pd.DataFrame(
+            {
+                "source_a": np.concatenate(a_parts),
+                "source_b": np.concatenate(b_parts),
+            }
+        )
+        out = p.groupby(["source_a", "source_b"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    parts = (
+        _read_documents(sf_dir, ["source", "text"])
+        .map_batches(grams, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: gram_pairs(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= B * C(n_sources, 2) pre-aggregated rows
+    )
+    out = parts.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+    return out.rename(columns={"n": "n_shared_grams"}).astype(
+        {"n_shared_grams": "int64"}
+    )
+
+
+register(
+    "cross_source_contamination",
+    cross_source_contamination,
+    f"""
+    WITH s AS (SELECT source, string_split(lower(text), ' ') tk
+               FROM documents),
+    g AS (SELECT DISTINCT source,
+                 unnest(list_distinct(list_transform(
+                     range(1, len(tk) - {XSRC_N - 2}),
+                     i -> list_aggregate(tk[i:i+{XSRC_N - 1}],
+                                         'string_agg', ' ')))) AS ng
+          FROM s WHERE len(tk) >= {XSRC_N}),
+    p AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source)
+    SELECT source_a, source_b, count(*)::BIGINT AS n_shared_grams
+    FROM p GROUP BY 1, 2
+    """,
+)

@@ -72,6 +72,8 @@ SUBSET = [
     "trending_event_types",
     "pareto_docs",
     "dedup_edit_distance",
+    "phrase_search",
+    "cross_source_contamination",
 ]
 
 
