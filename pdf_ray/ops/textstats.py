@@ -1636,7 +1636,12 @@ def bpe_learn(sf_dir: str):
     ).astype({"round": "int64", "pair_count": "int64"})
 
 
-def _bpe_learn_oracle() -> str:
+def _bpe_cte_parts(include_final_vocab: bool = False) -> list[str]:
+    """Shared CTE chain replaying the distributed BPE learn run in pure
+    SQL (v0 = char-split vocab; per round t: pair counts p{t}, best pair
+    b{t}, merged vocab v{t}). ``include_final_vocab`` adds the last
+    v{ROUNDS} so downstream oracles (bpe_encode) can read the final
+    symbolization."""
     parts = [
         """
     wrd AS (
@@ -1664,7 +1669,7 @@ def _bpe_learn_oracle() -> str:
       GROUP BY 1, 2),
     b{t} AS (SELECT l, r, pcnt FROM p{t} ORDER BY pcnt DESC, l, r LIMIT 1)"""
         )
-        if t < BPE_LEARN_ROUNDS:
+        if t < BPE_LEARN_ROUNDS or include_final_vocab:
             parts.append(
                 f"""
     v{t} AS (SELECT word, cnt,
@@ -1672,11 +1677,15 @@ def _bpe_learn_oracle() -> str:
                                  chr(31) || b.l || b.r || chr(31)) AS sym
              FROM v{t - 1}, b{t} b)"""
             )
+    return parts
+
+
+def _bpe_learn_oracle() -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {t}::BIGINT AS round, l AS lhs, r AS rhs, pcnt AS pair_count FROM b{t}"
         for t in range(1, BPE_LEARN_ROUNDS + 1)
     )
-    return "WITH " + ",".join(parts) + "\n    " + sel
+    return "WITH " + ",".join(_bpe_cte_parts()) + "\n    " + sel
 
 
 register("bpe_learn", bpe_learn, _bpe_learn_oracle())
@@ -2405,3 +2414,192 @@ register(
     FROM p GROUP BY 1, 2
     """,
 )
+
+
+# -- BPE encode: apply the learned merges to the corpus ------------------------
+
+
+def bpe_encode(sf_dir: str):
+    """Per-doc token count under the learned BPE vocabulary — the apply
+    half of the learn/encode pair (the sizing pass a training pipeline
+    runs after vocabulary induction). Learns the merge table first
+    (tiny: BPE_LEARN_ROUNDS rows on the driver), broadcasts it by
+    closure, then ONE map pass re-symbolizes each batch's DISTINCT words
+    (memoized per batch) and sums symbols per doc. No shuffle."""
+    merges = bpe_learn(sf_dir)
+    pats = [
+        (
+            _BPE_SEP + l + _BPE_SEP + r + _BPE_SEP,
+            _BPE_SEP + l + r + _BPE_SEP,
+        )
+        for l, r in zip(merges["lhs"], merges["rhs"])
+    ]
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def n_sym(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                sym = _BPE_SEP + _BPE_SEP.join(w) + _BPE_SEP
+                for pat, rep in pats:
+                    sym = sym.replace(pat, rep)
+                n = sym.count(_BPE_SEP) - 1
+                cache[w] = n
+            return n
+
+        counts = [
+            sum(n_sym(w) for w in text.lower().split(" ") if w != "")
+            for text in df["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pandas"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    r = BPE_LEARN_ROUNDS
+    return (
+        "WITH "
+        + ",".join(_bpe_cte_parts(include_final_vocab=True))
+        + f""",
+    m AS (SELECT word,
+                 len(list_filter(string_split(sym, chr(31)),
+                                 x -> x <> ''))::BIGINT AS ns
+          FROM v{r}),
+    dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents)
+    SELECT doc_id, sum(m.ns)::BIGINT AS n_bpe_tokens
+    FROM dw JOIN m ON dw.w = m.word
+    GROUP BY doc_id"""
+    )
+
+
+register("bpe_encode", bpe_encode, _bpe_encode_oracle())
+
+
+# -- column profiling (data-quality summary) -----------------------------------
+#
+# The first thing anyone runs on a new corpus drop: per-column null
+# counts, exact distinct counts, and min/max (value for numerics,
+# LENGTH for strings — integer-only output keeps the oracle hash-exact).
+
+_PROFILE_NUM_COLS = ["doc_id", "n_chars"]
+_PROFILE_STR_COLS = ["text", "lang", "source"]
+
+
+def profile_documents(sf_dir: str):
+    """One row per column: n_nulls, n_distinct (exact), min_v / max_v
+    (value for numeric columns, length for string columns). Scalar
+    stats: per-batch partials -> tiny driver merge. Distinct counts: a
+    single TAGGED bucket-hash reduce over (col, value-hash) rows — one
+    shuffle for all five columns, counting inside each bucket."""
+    import hashlib as _hl
+
+    cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS
+    B = LM_REDUCE_BUCKETS
+
+    def scalar_partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_NUM_COLS:
+            v = df[c]
+            ok = v.dropna()
+            rows.append(
+                (
+                    c,
+                    int(v.isna().sum()),
+                    int(ok.min()) if len(ok) else None,
+                    int(ok.max()) if len(ok) else None,
+                )
+            )
+        for c in _PROFILE_STR_COLS:
+            v = df[c]
+            ln = v.dropna().str.len()
+            rows.append(
+                (
+                    c,
+                    int(v.isna().sum()),
+                    int(ln.min()) if len(ln) else None,
+                    int(ln.max()) if len(ln) else None,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["col", "p_nulls", "p_min", "p_max"]
+        )
+
+    def distinct_rows(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            vals = df[c].dropna()
+            h = [
+                int.from_bytes(
+                    _hl.md5(str(x).encode()).digest()[:8], "little"
+                )
+                & ((1 << 63) - 1)
+                for x in vals.unique()
+            ]
+            frames.append(pd.DataFrame({"col": c, "h": pd.Series(h, dtype="int64")}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (out["h"] % B).astype("int32")
+        return out
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby("col", as_index=False).size()
+        return out.rename(columns={"size": "nd"}).astype({"nd": "int64"})
+
+    docs = _read_documents(sf_dir, cols)
+    scal = docs.map_batches(scalar_partials, batch_format="pandas").to_pandas()
+    nd = (
+        docs.map_batches(distinct_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: count_distinct(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= B * n_cols pre-aggregated rows
+        .groupby("col")["nd"]
+        .sum()
+    )
+    agg = scal.groupby("col").agg(
+        n_nulls=("p_nulls", "sum"), min_v=("p_min", "min"), max_v=("p_max", "max")
+    )
+    out = pd.DataFrame(
+        {
+            "col": cols,
+            "n_nulls": [int(agg.loc[c, "n_nulls"]) for c in cols],
+            "n_distinct": [int(nd.get(c, 0)) for c in cols],
+            "min_v": [int(agg.loc[c, "min_v"]) for c in cols],
+            "max_v": [int(agg.loc[c, "max_v"]) for c in cols],
+        }
+    )
+    return out
+
+
+def _profile_oracle() -> str:
+    sel = []
+    for c in _PROFILE_NUM_COLS:
+        sel.append(
+            f"SELECT '{c}' AS col, (count(*) - count({c}))::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"min({c})::BIGINT AS min_v, max({c})::BIGINT AS max_v "
+            f"FROM documents"
+        )
+    for c in _PROFILE_STR_COLS:
+        sel.append(
+            f"SELECT '{c}' AS col, (count(*) - count({c}))::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"min(len({c}))::BIGINT AS min_v, max(len({c}))::BIGINT AS max_v "
+            f"FROM documents"
+        )
+    return " UNION ALL ".join(sel)
+
+
+register("profile_documents", profile_documents, _profile_oracle())

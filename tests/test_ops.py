@@ -74,6 +74,8 @@ SUBSET = [
     "dedup_edit_distance",
     "phrase_search",
     "cross_source_contamination",
+    "bpe_encode",
+    "profile_documents",
 ]
 
 
