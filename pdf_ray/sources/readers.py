@@ -6,6 +6,9 @@ container, so ``read_docs`` dispatches on what's available/on-disk:
 
 - ``*.lance`` dataset dir + importable ``lance`` -> ``ray.data.read_lance``
   (column projection pushed down)
+- ``*.jsonl`` / ``*.json`` (one doc object per line) -> ``ray.data.read_json``
+  (arrow-native JSON reader; columns projected after the scan — JSONL has
+  no columnar footer to push into)
 - parquet file/dir -> ``ray.data.read_parquet``
 
 Payload stores similarly load from a (media_ref, bytes) parquet/lance
@@ -41,6 +44,8 @@ def read_docs(path: str, columns=None):
                 "is not installed in this environment"
             )
         return rd.read_lance(path, columns=columns)
+    if path.endswith((".jsonl", ".json")):
+        return rd.read_json(path).select_columns(columns)
     return rd.read_parquet(path, columns=columns)
 
 

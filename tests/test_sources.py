@@ -94,3 +94,42 @@ def test_load_payload_dict_parquet_and_lance_stub(tmp_path, monkeypatch):
     stub.dataset = lambda path: _DS()
     monkeypatch.setitem(sys.modules, "lance", stub)
     assert load_payload_dict(str(tmp_path / "pay.lance")) == d
+
+
+def test_read_docs_jsonl_branch_end_to_end(ray_session, tmp_path):
+    """JSONL line-per-doc input must round-trip the nested spans schema
+    and feed extraction identically to the parquet branch."""
+    import json
+
+    from pdf_ray.pipelines.extract import explode_spans, extract_dataset
+
+    docs, pay = _docs_table()
+    pj = str(tmp_path / "docs.jsonl")
+    with open(pj, "w") as f:
+        for row in docs.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    pp = str(tmp_path / "payloads.parquet")
+    pq.write_table(pay, pp)
+
+    ds = read_docs(pj)
+    assert set(ds.schema().names) == set(DOC_COLUMNS)
+    assert ds.count() == docs.num_rows
+
+    import ray
+
+    payloads = ray.put(load_payload_dict(pp))
+    via_jsonl = (
+        explode_spans(extract_dataset(ds, payloads, concurrency=2))
+        .to_pandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    pqp = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, pqp)
+    via_parquet = (
+        explode_spans(extract_dataset(read_docs(pqp), payloads, concurrency=2))
+        .to_pandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    assert via_jsonl.equals(via_parquet)
