@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_main_content": p.pdf_main_content,
         "pdf_main_content_quality": p.pdf_main_content_quality,
         "pdf_form_fields": p.pdf_form_fields,
+        "pdf_page_labels": p.pdf_page_labels,
         "image_phash_dedup": p.image_phash_dedup,
         "pdf_ocg_content": p.pdf_ocg_content,
     }

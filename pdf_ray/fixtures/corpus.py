@@ -1861,6 +1861,63 @@ UNICODE_OVERRIDES: dict[str, list] = {
     "f42": [("text", "AB한국", None, 0)],
 }
 
+# Page-label fixture (f45): catalog /PageLabels NUMBER TREE (Kids +
+# Limits + Nums — the reference's generic structure,
+# src/data_structures/number_tree.rs) with all three common styles:
+# roman front matter, decimal body with a prefix and a start offset,
+# letter appendix. Golden labels are hand-written below.
+
+F45_LABELS = [
+    (0, "i"),
+    (1, "ii"),
+    (2, "iii"),
+    (3, "A-5"),
+    (4, "A-6"),
+    (5, "A-7"),
+    (6, "a"),
+    (7, "b"),
+]
+
+
+def f45_page_labels(n_pages: int = 8):
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /PageLabels 4 0 R >>")
+    kids = " ".join(f"{10 + i} 0 R" for i in range(n_pages))
+    b.add(
+        2,
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+            "/Resources << /Font << /F1 3 0 R >> >> "
+            "/MediaBox [0 0 612 792] >>"
+        ).encode(),
+    )
+    b.add(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # number tree: root -> two kids with Limits
+    b.add(4, b"<< /Kids [5 0 R 6 0 R] >>")
+    b.add(
+        5,
+        b"<< /Limits [0 3] /Nums [0 << /S /r >> "
+        b"3 << /S /D /P (A-) /St 5 >>] >>",
+    )
+    b.add(6, b"<< /Limits [6 6] /Nums [6 << /S /a >>] >>")
+    golden = []
+    for i in range(n_pages):
+        text = f"PL page {i + 1}"
+        b.add(
+            10 + i,
+            f"<< /Type /Page /Parent 2 0 R /Contents {10 + n_pages + i} 0 R >>".encode(),
+        )
+        content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        b.add(
+            10 + n_pages + i,
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream",
+        )
+        golden.append(("text", text, None, i))
+    return b.build(1), golden
+
+
 FIXTURES = {
     "f01": f01_minimal_tj,
     "f02": f02_flate_content,
@@ -1906,4 +1963,5 @@ FIXTURES = {
     "f42": f42_type0_kscpc_euc,
     "f43": f43_optional_content,
     "f44": f44_tint_transforms,
+    "f45": f45_page_labels,
 }

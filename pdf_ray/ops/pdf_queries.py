@@ -848,3 +848,52 @@ def _phash_oracle() -> str:
 
 
 PDF_ORACLE_SQL["image_phash_dedup"] = _phash_oracle()
+
+
+def pdf_page_labels(sf_dir: str | None = None):
+    """Catalog /PageLabels number-tree walk (Kids/Limits/Nums) with
+    §12.4.2 label formatting (roman/decimal/letter styles, prefixes,
+    start offsets): actor-pool PageLabelStage over the fixture corpus.
+    Oracle: the hand-written F45_LABELS golden expanded per replica.
+    The reference ships the generic number-tree structure
+    (src/data_structures/number_tree.rs) but never surfaces labels."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import PageLabelStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        PageLabelStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _page_labels_oracle() -> str:
+    from ..fixtures.corpus import F45_LABELS
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for idx, label in F45_LABELS:
+            rows.append(
+                f"SELECT 'f45-{r:04d}' AS doc_id, {idx}::INT AS page_index, "
+                f"'{label}' AS label"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS page_index, "
+                f"'__error__ {msg}' AS label"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_page_labels"] = _page_labels_oracle()

@@ -476,3 +476,43 @@ class FormFieldStage(ExtractStage):
                 "value": pa.array(rows["value"], pa.string()),
             }
         )
+
+
+class PageLabelStage(ExtractStage):
+    """Variant that emits PAGE LABEL rows (doc_id, page_index, label):
+    the catalog /PageLabels number-tree walk + §12.4.2 formatting
+    (pdfcore/pagelabels.py). Docs without /PageLabels emit nothing.
+    Same actor-pool shape and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.pagelabels import page_labels
+
+        rows: dict[str, list] = {"doc_id": [], "page_index": [], "label": []}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for idx, label in page_labels(doc):
+                        rows["doc_id"].append(doc_id)
+                        rows["page_index"].append(idx)
+                        rows["label"].append(label)
+                except Exception as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["page_index"].append(-1)
+                    rows["label"].append(
+                        "__error__ " + f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "page_index": pa.array(rows["page_index"], pa.int32()),
+                "label": pa.array(rows["label"], pa.string()),
+            }
+        )
