@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_main_content_quality": p.pdf_main_content_quality,
         "pdf_form_fields": p.pdf_form_fields,
         "pdf_page_labels": p.pdf_page_labels,
+        "pdf_metadata": p.pdf_metadata,
+        "pdf_embedded_files": p.pdf_embedded_files,
+        "pdf_font_spans": p.pdf_font_spans,
         "image_phash_dedup": p.image_phash_dedup,
         "pdf_ocg_content": p.pdf_ocg_content,
     }

@@ -1918,6 +1918,123 @@ def f45_page_labels(n_pages: int = 8):
     return b.build(1), golden
 
 
+# Metadata + embedded-file fixtures (f46/f47): trailer /Info dict with
+# a full PDF date string, and a /Names -> /EmbeddedFiles NAME tree
+# (Kids + Limits) with two flate-compressed attachments. Goldens are the
+# literal values below.
+
+F46_INFO = (
+    "Fixture Report",           # Title
+    "Jordan Example",           # Author
+    "pdf-ray fixtures",         # Subject
+    "PdfBuilder 1.0",           # Producer
+    (2024, 1, 15),              # CreationDate Y/M/D
+)
+
+ATTACH_A = b"attachment payload A: " + bytes(range(32))
+ATTACH_B = b"second payload, longer " * 7
+
+
+def f46_metadata():
+    t, a, s, p, (y, m, d) = F46_INFO
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+             b"/Resources << /Font << /F1 5 0 R >> >> "
+             b"/MediaBox [0 0 612 792] >>")
+    content = b"BT /F1 12 Tf 72 720 Td (Metadata doc) Tj ET"
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.add(4, b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(
+        9,
+        (
+            f"<< /Title ({t}) /Author ({a}) /Subject ({s}) "
+            f"/Producer ({p}) "
+            f"/CreationDate (D:{y:04d}{m:02d}{d:02d}093000+05'30') >>"
+        ).encode(),
+    )
+    pdf = b.build(1, extra_trailer=b"/Info 9 0 R ")
+    return pdf, [("text", "Metadata doc", None, 0)]
+
+
+def f47_embedded_files():
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles 6 0 R >> >>")
+    b.add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+             b"/Resources << /Font << /F1 5 0 R >> >> "
+             b"/MediaBox [0 0 612 792] >>")
+    content = b"BT /F1 12 Tf 72 720 Td (Has attachments) Tj ET"
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.add(4, b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # name tree with two leaf kids (exercises Kids recursion)
+    b.add(6, b"<< /Kids [7 0 R 8 0 R] >>")
+    b.add(7, b"<< /Limits [(alpha.bin) (alpha.bin)] "
+             b"/Names [(alpha.bin) 10 0 R] >>")
+    b.add(8, b"<< /Limits [(beta.txt) (beta.txt)] "
+             b"/Names [(beta.txt) 11 0 R] >>")
+    b.add(10, b"<< /Type /Filespec /F (alpha.bin) /UF (alpha-unicode.bin) "
+              b"/EF << /F 12 0 R >> >>")
+    b.add(11, b"<< /Type /Filespec /F (beta.txt) /EF << /F 13 0 R >> >>")
+    b.add_stream(12, b"/Type /EmbeddedFile", ATTACH_A, filters="flate")
+    b.add_stream(13, b"/Type /EmbeddedFile", ATTACH_B, filters="flate")
+    pdf = b.build(1)
+    return pdf, [("text", "Has attachments", None, 0)]
+
+
+# Font-attributed span fixture (f48): three base fonts at distinct
+# sizes plus a form XObject carrying its own font resources — the
+# layout-signal extraction (heading vs body detection) golden.
+
+F48_FONTS = [
+    (0, "Title line", "Helvetica", 24000),
+    (1, "Body line", "Helvetica", 10000),
+    (2, "Times body", "Times-Roman", 10000),
+    (3, "Form footnote", "Courier", 8000),
+]
+
+
+def f48_font_spans():
+    b = PdfBuilder()
+    b.add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.add(
+        2,
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> "
+        b"/XObject << /Fm 7 0 R >> >> /MediaBox [0 0 612 792] >>",
+    )
+    content = (
+        b"BT /F1 24 Tf 72 720 Td (Title line) Tj ET "
+        b"BT /F1 10 Tf 72 700 Td (Body line) Tj ET "
+        b"BT /F2 10 Tf 72 680 Td (Times body) Tj ET "
+        b"/Fm Do"
+    )
+    b.add(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.add(4, b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream")
+    b.add(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add(6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>")
+    form = b"BT /F3 8 Tf 72 660 Td (Form footnote) Tj ET"
+    b.add(
+        7,
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /Font << /F3 8 0 R >> >> /Length "
+        + str(len(form)).encode()
+        + b" >>\nstream\n" + form + b"\nendstream",
+    )
+    b.add(8, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    pdf = b.build(1)
+    return pdf, [
+        ("text", "Title line", None, 0),
+        ("text", "Body line", None, 1),
+        ("text", "Times body", None, 2),
+        ("text", "Form footnote", None, 3),
+    ]
+
+
 FIXTURES = {
     "f01": f01_minimal_tj,
     "f02": f02_flate_content,
@@ -1964,4 +2081,7 @@ FIXTURES = {
     "f43": f43_optional_content,
     "f44": f44_tint_transforms,
     "f45": f45_page_labels,
+    "f46": f46_metadata,
+    "f47": f47_embedded_files,
+    "f48": f48_font_spans,
 }

@@ -897,3 +897,136 @@ def _page_labels_oracle() -> str:
 
 
 PDF_ORACLE_SQL["pdf_page_labels"] = _page_labels_oracle()
+
+
+def _fixture_stage_query(stage_cls):
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        stage_cls,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def pdf_metadata(sf_dir: str | None = None):
+    """Trailer /Info extraction (title/author/subject/producer + parsed
+    CreationDate): actor-pool MetadataStage over the fixture corpus.
+    Oracle: the hand-written F46_INFO golden expanded per replica."""
+    from ..stages.extract import MetadataStage
+
+    return _fixture_stage_query(MetadataStage)
+
+
+def _metadata_oracle() -> str:
+    from ..fixtures.corpus import F46_INFO
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    t, a, s, p, (y, m, d) = F46_INFO
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        rows.append(
+            f"SELECT 'f46-{r:04d}' AS doc_id, '{t}' AS title, "
+            f"'{a}' AS author, '{s}' AS subject, '{p}' AS producer, "
+            f"{y}::INT AS created_y, {m}::INT AS created_m, "
+            f"{d}::INT AS created_d"
+        )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, '__error__' AS title, "
+                f"NULL::VARCHAR AS author, NULL::VARCHAR AS subject, "
+                f"'{msg}' AS producer, -1::INT AS created_y, "
+                f"-1::INT AS created_m, -1::INT AS created_d"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_metadata"] = _metadata_oracle()
+
+
+def pdf_embedded_files(sf_dir: str | None = None):
+    """Attachment extraction from the /Names -> /EmbeddedFiles name tree
+    (Kids/Limits recursion, /EF /F payload streams decoded): actor-pool
+    EmbeddedFileStage. Oracle: hand-derived md5/size constants of the
+    literal ATTACH_A/ATTACH_B payload bytes, per replica."""
+    from ..stages.extract import EmbeddedFileStage
+
+    return _fixture_stage_query(EmbeddedFileStage)
+
+
+def _embedded_files_oracle() -> str:
+    import hashlib as _hl
+
+    from ..fixtures.corpus import ATTACH_A, ATTACH_B
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    files = [
+        ("alpha.bin", "alpha-unicode.bin", ATTACH_A),
+        ("beta.txt", "beta.txt", ATTACH_B),
+    ]
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for name, fname, data in files:
+            rows.append(
+                f"SELECT 'f47-{r:04d}' AS doc_id, '{name}' AS name, "
+                f"'{fname}' AS filename, {len(data)}::BIGINT AS n_bytes, "
+                f"'{_hl.md5(data).hexdigest()}' AS md5"
+            )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, '__error__' AS name, "
+                f"'{msg}' AS filename, -1::BIGINT AS n_bytes, "
+                f"NULL::VARCHAR AS md5"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_embedded_files"] = _embedded_files_oracle()
+
+
+def pdf_font_spans(sf_dir: str | None = None):
+    """Font-attributed text spans (/BaseFont + Tf size per show op,
+    through form-XObject font scoping): actor-pool FontSpanStage,
+    projected to the f48 multi-font fixture docs (the corpus-wide stage
+    is generic; the hand-written golden covers the fixture built for
+    it). The reference carries this state for rendering
+    (src/render/text_state.rs) but never exposes it."""
+    from ..stages.extract import FontSpanStage
+
+    def only_f48(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(
+            _pc.starts_with(t.column("doc_id"), pattern="f48-")
+        )
+
+    return _fixture_stage_query(FontSpanStage).map_batches(
+        only_f48, batch_format="pyarrow"
+    )
+
+
+def _font_spans_oracle() -> str:
+    from ..fixtures.corpus import F48_FONTS
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        for order, text, font, size_milli in F48_FONTS:
+            rows.append(
+                f"SELECT 'f48-{r:04d}' AS doc_id, {order}::INT AS span_order, "
+                f"'{text}' AS text, '{font}' AS font, "
+                f"{size_milli}::BIGINT AS size_milli"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_font_spans"] = _font_spans_oracle()

@@ -103,6 +103,7 @@ class Interpreter:
         apply_tounicode: bool = False,
         apply_actual_text: bool = False,
         collect_mcids: bool = False,
+        collect_fonts: bool = False,
         hidden_ocgs: frozenset | None = None,
     ):
         self.doc = doc
@@ -121,6 +122,11 @@ class Interpreter:
         # for tagged-PDF logical structure + artifact stripping. The
         # reference captures none of this (tag stack only).
         self.collect_mcids = collect_mcids
+        # optional (OFF for parity): record, per emitted span, the active
+        # font's /BaseFont and the Tf size — layout-aware extraction
+        # (heading detection etc.); mirrors the state the reference's
+        # text_state.rs carries for rendering.
+        self.collect_fonts = collect_fonts
         # optional (OFF for parity): set of hidden OCG Refs (pdfcore/ocg.py,
         # default config). When not None, content inside /OC marked scopes
         # and /OC-tagged XObjects whose group is hidden is SUPPRESSED — the
@@ -132,6 +138,9 @@ class Interpreter:
         # parallels self.spans one-to-one while collect_mcids is on (only
         # valid if self.spans isn't mutated externally)
         self.span_marks: list[tuple[int, int, bool]] = []
+        # parallels self.spans one-to-one while collect_fonts is on
+        self.span_fonts: list[tuple[str | None, float]] = []
+        self._cur_base_font: str | None = None
         self._page_idx = -1
         self.images: dict[str, bytes] = {}
         self._font_widths = None  # lazy per-Tf width lookup
@@ -141,6 +150,10 @@ class Interpreter:
         if self._oc_hidden:
             return  # inside a hidden optional-content scope
         self.spans.append((kind, text, ref))
+        if self.collect_fonts:
+            self.span_fonts.append(
+                (self._cur_base_font, self.ts.font_size or 0.0)
+            )
         if self.collect_mcids:
             mcid, artifact = -1, False
             for entry in reversed(self.marked):  # innermost MCID wins
@@ -285,6 +298,10 @@ class Interpreter:
             raise PdfParseError(f"font {name!r} not in resources")
         self.ts.font_name = name
         self.ts.font_size = size
+        if self.collect_fonts:
+            fd = self.doc.resolve_dict(fonts[name])
+            bf = self.doc.resolve(fd.get("BaseFont"))
+            self._cur_base_font = str(bf) if bf is not None else name
         self._font_widths = None
         if self.compute_positions:
             from .fonts import width_function

@@ -516,3 +516,158 @@ class PageLabelStage(ExtractStage):
                 "label": pa.array(rows["label"], pa.string()),
             }
         )
+
+
+class MetadataStage(ExtractStage):
+    """Variant that emits one /Info METADATA row per doc that has one
+    (doc_id, title, author, subject, producer, created_y/m/d). Same
+    actor-pool shape and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.attachments import doc_metadata
+
+        rows: dict[str, list] = {
+            "doc_id": [], "title": [], "author": [], "subject": [],
+            "producer": [], "created_y": [], "created_m": [], "created_d": [],
+        }
+
+        def emit(doc_id, m):
+            rows["doc_id"].append(doc_id)
+            for k in ("title", "author", "subject", "producer"):
+                rows[k].append(m.get(k))
+            for k in ("created_y", "created_m", "created_d"):
+                rows[k].append(m.get(k, -1))
+
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    m = doc_metadata(Document(blob))
+                    if m is not None:
+                        emit(doc_id, m)
+                except Exception as e:
+                    emit(
+                        doc_id,
+                        {
+                            "title": "__error__",
+                            "producer": f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN],
+                        },
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "title": pa.array(rows["title"], pa.string()),
+                "author": pa.array(rows["author"], pa.string()),
+                "subject": pa.array(rows["subject"], pa.string()),
+                "producer": pa.array(rows["producer"], pa.string()),
+                "created_y": pa.array(rows["created_y"], pa.int32()),
+                "created_m": pa.array(rows["created_m"], pa.int32()),
+                "created_d": pa.array(rows["created_d"], pa.int32()),
+            }
+        )
+
+
+class EmbeddedFileStage(ExtractStage):
+    """Variant that emits ATTACHMENT rows (doc_id, name, filename,
+    n_bytes, md5) from the /Names -> /EmbeddedFiles name tree. Same
+    actor-pool shape and poison containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.attachments import embedded_files
+
+        rows: dict[str, list] = {
+            "doc_id": [], "name": [], "filename": [], "n_bytes": [], "md5": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    for f in embedded_files(Document(blob)):
+                        rows["doc_id"].append(doc_id)
+                        rows["name"].append(f["name"])
+                        rows["filename"].append(f["filename"])
+                        rows["n_bytes"].append(f["n_bytes"])
+                        rows["md5"].append(f["md5"])
+                except Exception as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["name"].append("__error__")
+                    rows["filename"].append(
+                        f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+                    rows["n_bytes"].append(-1)
+                    rows["md5"].append(None)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "name": pa.array(rows["name"], pa.string()),
+                "filename": pa.array(rows["filename"], pa.string()),
+                "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
+                "md5": pa.array(rows["md5"], pa.string()),
+            }
+        )
+
+
+class FontSpanStage(ExtractStage):
+    """Variant that emits FONT-ATTRIBUTED text spans (doc_id, order,
+    text, font, size_milli): the interpreter's collect_fonts mode —
+    /BaseFont + Tf size per show op, the layout signal (heading vs body)
+    downstream curation consumes. Same actor-pool shape and poison
+    containment as ExtractStage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "doc_id": [], "span_order": [], "text": [],
+            "font": [], "size_milli": [],
+        }
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    interp = Interpreter(
+                        doc, collect_fonts=True, font_cache=self.font_cache
+                    )
+                    out = interp.run()
+                    for (kind, text, _ref, order), (font, size) in zip(
+                        out, interp.span_fonts
+                    ):
+                        if kind != "text":
+                            continue
+                        rows["doc_id"].append(doc_id)
+                        rows["span_order"].append(order)
+                        rows["text"].append(text)
+                        rows["font"].append(font)
+                        rows["size_milli"].append(int(round(size * 1000)))
+                except Exception as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["span_order"].append(-1)
+                    rows["text"].append("__error__")
+                    rows["font"].append(f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN])
+                    rows["size_milli"].append(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_order": pa.array(rows["span_order"], pa.int32()),
+                "text": pa.array(rows["text"], pa.string()),
+                "font": pa.array(rows["font"], pa.string()),
+                "size_milli": pa.array(rows["size_milli"], pa.int64()),
+            }
+        )
