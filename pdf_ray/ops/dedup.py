@@ -865,7 +865,7 @@ CC_MAX_ITERS = 24
 CC_JUMP_AFTER = 3  # plain hook rounds before pointer-jumping kicks in
 
 
-def _cc_min_labels(pairs, nodes):
+def _cc_min_labels(pairs, nodes, n_buckets: int = N_SHINGLE_BUCKETS):
     """Min-label-propagation core over an arbitrary undirected pair graph
     (``pairs``: Dataset[doc_a, doc_b], ``nodes``: Dataset[doc_id]).
     Returns ``(labels, rounds)`` where labels is a Dataset[node, label]
@@ -896,7 +896,7 @@ def _cc_min_labels(pairs, nodes):
         return pa.table(
             {
                 "bucket": pa.array(
-                    (src % N_SHINGLE_BUCKETS).astype("int32")
+                    (src % n_buckets).astype("int32")
                 ),
                 "side": pa.array(["E"] * len(src), pa.string()),
                 "key": pa.array(src),
@@ -920,7 +920,7 @@ def _cc_min_labels(pairs, nodes):
         n = t.column("node").to_numpy()
         return pa.table(
             {
-                "bucket": pa.array((n % N_SHINGLE_BUCKETS).astype("int32")),
+                "bucket": pa.array((n % n_buckets).astype("int32")),
                 "side": pa.array(["L"] * len(n), pa.string()),
                 "key": pa.array(n),
                 "dst": pa.array(np.zeros(len(n), np.int64)),
@@ -935,7 +935,7 @@ def _cc_min_labels(pairs, nodes):
         lb = t.column("label").to_numpy()
         return pa.table(
             {
-                "bucket": pa.array((lb % N_SHINGLE_BUCKETS).astype("int32")),
+                "bucket": pa.array((lb % n_buckets).astype("int32")),
                 "side": pa.array(["Q"] * len(n), pa.string()),
                 "key": pa.array(lb),
                 "dst": pa.array(n),
@@ -976,7 +976,7 @@ def _cc_min_labels(pairs, nodes):
     def add_node_bucket(t: pa.Table) -> pa.Table:
         n = t.column("node").to_numpy()
         return t.append_column(
-            "nbucket", pa.array((n % N_SHINGLE_BUCKETS).astype("int32"))
+            "nbucket", pa.array((n % n_buckets).astype("int32"))
         )
 
     rounds = 0
@@ -1029,7 +1029,10 @@ def dedup_clusters(sf_dir: str, tau: float = JACCARD_TAU):
     pipeline actually consumes (keep one doc per cluster). The label
     propagation (and its pointer-jumping escalation for adversarial
     diameters) lives in ``_cc_min_labels``."""
-    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
+    # dedup_ngram_jaccard pairs are already globally unique (its final
+    # reduce groups by (doc_a, doc_b) inside pair-hash buckets), so no
+    # extra pair-dedup exchange is needed.
+    pairs = dedup_ngram_jaccard(sf_dir, tau)
     labels, _ = _cc_min_labels(pairs, _read_documents(sf_dir, ["doc_id"]))
 
     def rename(t: pa.Table) -> pa.Table:
@@ -1211,7 +1214,10 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
     bucketed reduce joining contribs back onto the doc list (dst %% B).
     Edge degrees are attached once at build time in the same bucketed
     shape. Label table materializes per superstep (the BSP barrier)."""
-    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau))
+    # dedup_ngram_jaccard pairs are already globally unique (its final
+    # reduce groups by (doc_a, doc_b) inside pair-hash buckets), so no
+    # extra pair-dedup exchange is needed.
+    pairs = dedup_ngram_jaccard(sf_dir, tau)
     docs = _read_documents(sf_dir, ["doc_id"])
     n_docs = docs.count()
     init_q = PR_INIT_NUM // n_docs
@@ -1418,7 +1424,7 @@ def neardup_triangles(sf_dir: str, tau: float = JACCARD_TAU):
     emits (y, z) wedge candidates via a vectorized upper-triangle
     expansion; stage 2 tag-unions wedges with the oriented edge list and
     joins inside each (y, z)-hash bucket."""
-    pairs = _dedup_pairs(dedup_ngram_jaccard(sf_dir, tau)).materialize()
+    pairs = dedup_ngram_jaccard(sf_dir, tau).materialize()  # pairs already unique
 
     B = N_SHINGLE_BUCKETS
 

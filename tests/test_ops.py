@@ -639,7 +639,7 @@ def test_cc_pointer_jump_log_rounds(ray_session):
     nodes = rd.from_pandas(
         pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
     )
-    labels, rounds = _cc_min_labels(pairs, nodes)
+    labels, rounds = _cc_min_labels(pairs, nodes, n_buckets=8)
     df = labels.to_pandas()
     assert (df["label"] == 0).all()
     assert rounds <= 14  # 3 plain + ~log2(255) jumped, with slack
