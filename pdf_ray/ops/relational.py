@@ -2826,3 +2826,218 @@ register(
     FROM r WHERE rank <= {TREND_TOP_N}
     """,
 )
+
+
+# -- TPC-H Q4 shape: EXISTS semi-join ----------------------------------------
+
+Q4_START = "1996-01-01"
+Q4_END = "1996-07-01"
+
+
+def returned_orders_by_priority(sf_dir: str):
+    """TPC-H Q4 shape: count orders per priority placed inside a date
+    window that have AT LEAST ONE returned lineitem (EXISTS semi-join —
+    the order must not be double-counted however many lineitems match).
+
+    Scale shape: the returnflag filter and the date window both ride the
+    parquet scan; lineitem is projected to l_orderkey only and deduped
+    per batch BEFORE the shuffle, so the exchange carries at most one key
+    per (batch, order); the semi-join is the house tagged-union bucketed
+    hash join on orderkey (orders' side keeps one row per order, so
+    `isin` IS the EXISTS); per-bucket partial counts make the final
+    groupby O(B * n_priorities)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    bc = _join_buckets(sf_dir, "lineitem")
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        k = np.unique(t.column("l_orderkey").to_numpy())
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "bucket": pa.array((k & (bc - 1)).astype("int32")),
+                "side": pa.array(["L"] * len(k), pa.string()),
+                "prio": pa.array([None] * len(k), pa.string()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(pc.bit_wise_and(k, bc - 1), pa.int32()),
+                "side": pa.array(["O"] * t.num_rows, pa.string()),
+                "prio": t.column("o_orderpriority"),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R",
+    ).map_batches(tag_li, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= pd.Timestamp(Q4_START))
+        & (pads.field("o_orderdate") < pd.Timestamp(Q4_END)),
+    ).map_batches(tag_orders, batch_format="pyarrow")
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "O"]
+        lk = g.loc[g["side"] == "L", "key"]
+        surv = o[o["key"].isin(lk)]
+        out = surv.groupby("prio", as_index=False).size()
+        return out.rename(columns={"prio": "o_orderpriority", "size": "n"})
+
+    out = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: semi_count(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+register(
+    "returned_orders_by_priority",
+    returned_orders_by_priority,
+    f"""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+      AND o_orderdate < TIMESTAMP '{Q4_END}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+
+
+# -- TPC-H Q17 shape: correlated per-group average join -----------------------
+
+SMALL_LOT_BRAND = "Brand#13"
+
+
+def small_lot_revenue(sf_dir: str):
+    """TPC-H Q17 shape: total revenue of lineitems whose quantity is
+    below half the average quantity for their part, restricted to one
+    brand (the classic correlated-aggregate subquery).
+
+    Exactness: quantities are integral, so `qty < 0.5 * avg` is evaluated
+    as `2 * qty * cnt < sum` in exact int64 on both sides; money travels
+    as exact int64 cents until the final division.
+
+    Scale shape: the brand filter rides the part scan; ONE tagged-union
+    shuffle on partkey co-locates the selected part keys with the
+    lineitem rows; per-part (sum, cnt) stats, the isin restriction, and
+    the threshold test all run vectorized inside the bucket group; each
+    bucket emits a single (n, cents) partial, so the final reduce is
+    O(B)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    bp = _join_buckets(sf_dir, "lineitem")
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey")
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(pc.bit_wise_and(k, bp - 1), pa.int32()),
+                "side": pa.array(["P"] * n, pa.string()),
+                "qty": pa.array(np.zeros(n, np.int64)),
+                "cents": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey")
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pc.cast(pc.bit_wise_and(k, bp - 1), pa.int32()),
+                "side": pa.array(["L"] * t.num_rows, pa.string()),
+                "qty": pa.array(
+                    np.rint(t.column("l_quantity").to_numpy()).astype(
+                        np.int64
+                    )
+                ),
+                "cents": pa.array(_cents(t.column("l_extendedprice"))),
+            }
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == SMALL_LOT_BRAND,
+    ).map_batches(tag_part, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(tag_li, batch_format="pyarrow")
+
+    def small_lot_partial(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g.loc[g["side"] == "P", "key"]
+        sub = g[(g["side"] == "L") & g["key"].isin(pk)]
+        if len(sub) == 0:
+            return pd.DataFrame({"n": [0], "cents": [0]}).astype("int64")
+        st = sub.groupby("key")["qty"].agg(s="sum", c="count")
+        j = sub.join(st, on="key")
+        mask = 2 * j["qty"] * j["c"] < j["s"]
+        return pd.DataFrame(
+            {
+                "n": [int(mask.sum())],
+                "cents": [int(j.loc[mask, "cents"].sum())],
+            }
+        ).astype("int64")
+
+    agg = (
+        parts.union(li)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: small_lot_partial(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    return pd.DataFrame(
+        {
+            "n_small": [int(agg["n"])],
+            "revenue": [float(_cents_to_f64(agg["cents"]))],
+        }
+    )
+
+
+register(
+    "small_lot_revenue",
+    small_lot_revenue,
+    f"""
+    WITH sel AS (SELECT p_partkey FROM part
+                 WHERE p_brand = '{SMALL_LOT_BRAND}'),
+    li AS (SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           FROM lineitem JOIN sel ON l_partkey = p_partkey),
+    st AS (SELECT l_partkey, SUM(q) AS s, COUNT(*)::BIGINT AS c
+           FROM li GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_small,
+           COALESCE(CAST(SUM(li.price) AS DOUBLE), 0.0) AS revenue
+    FROM li JOIN st USING (l_partkey)
+    WHERE 2 * li.q * st.c < st.s
+    """,
+)

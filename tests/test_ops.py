@@ -76,6 +76,8 @@ SUBSET = [
     "cross_source_contamination",
     "bpe_encode",
     "profile_documents",
+    "returned_orders_by_priority",
+    "small_lot_revenue",
 ]
 
 
