@@ -3041,3 +3041,69 @@ register(
     WHERE 2 * li.q * st.c < st.s
     """,
 )
+
+
+# -- weighted deterministic sampling ------------------------------------------
+
+WEIGHTED_K = 100
+_WKEY_SHIFT = 20  # key = (h32 << 20) // w; exact for w < 2^20
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_K):
+    """Deterministic weighted sample: the k documents with the smallest
+    ``(h32(doc_id) << 20) // n_chars`` — longer documents sort earlier in
+    expectation (pairwise inclusion odds w_i : w_j, the rational-key
+    variant of Efraimidis-Spirakis A-ES ordering; the classic scheme
+    orders by -ln(u)/w, but a transcendental key could differ by an ulp
+    between numpy and DuckDB, so the key here is an EXACT int64 rational
+    floor((h/2^32)/w * 2^52) computed identically on both sides).
+    Like bottom-k it is RNG-free, reproducible across engines, and
+    mergeable (bottom-k of a union == bottom-k of per-shard bottom-ks).
+
+    Shape: per-batch partial bottom-k map-side -> O(k x n_blocks) driver
+    merge; no shuffle."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h32 = np.array(
+            [
+                int(_hl.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+                for d in df["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        w = np.maximum(df["n_chars"].to_numpy().astype(np.int64), 1)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_chars": df["n_chars"].astype("int64"),
+                "wkey": (h32 << _WKEY_SHIFT) // w,
+            }
+        )
+        return out.sort_values(["wkey", "doc_id"], kind="mergesort").head(k)
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(partial, batch_format="pandas")
+    return (
+        parts.to_pandas()  # <= k rows per block
+        .sort_values(["wkey", "doc_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+register(
+    "weighted_sample",
+    weighted_sample,
+    f"""
+    SELECT doc_id, n_chars,
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            * {1 << _WKEY_SHIFT}) // greatest(n_chars, 1) AS wkey
+    FROM documents
+    ORDER BY wkey, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)

@@ -78,6 +78,7 @@ SUBSET = [
     "profile_documents",
     "returned_orders_by_priority",
     "small_lot_revenue",
+    "weighted_sample",
 ]
 
 
