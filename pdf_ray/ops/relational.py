@@ -3107,3 +3107,71 @@ register(
     LIMIT {WEIGHTED_K}
     """,
 )
+
+
+# -- exact distinct count per group -------------------------------------------
+
+N_DISTINCT_BUCKETS = 64
+
+
+def distinct_users_exact(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact
+    counterpart of the HLL sketch in ``ops/sketches.py`` (same question,
+    zero error, one extra shuffle; the sketch answers it shuffle-free in
+    O(KB) mergeable state).
+
+    Scale shape: each batch first collapses to its locally-unique
+    (event_type, user_id) pairs (the map-side combiner — the exchange
+    carries at most one row per distinct pair per block, not per event);
+    the global dedup + count happens inside hash(pair) %% B bucket groups,
+    each emitting per-type partial counts, so the final groupby is
+    O(B x n_types)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    B = N_DISTINCT_BUCKETS
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["event_type", "user_id"])[
+            ["event_type", "user_id"]
+        ].copy()
+        h = pd.util.hash_pandas_object(
+            out["event_type"], index=False
+        ).to_numpy().astype(np.int64) ^ out["user_id"].to_numpy().astype(
+            np.int64
+        )
+        out["bucket"] = ((h % B + B) % B).astype("int32")
+        return out
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["event_type", "user_id"])
+        out = u.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(local_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_counts(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+register(
+    "distinct_users_exact",
+    distinct_users_exact,
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1
+    """,
+)

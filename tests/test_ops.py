@@ -79,6 +79,7 @@ SUBSET = [
     "returned_orders_by_priority",
     "small_lot_revenue",
     "weighted_sample",
+    "distinct_users_exact",
 ]
 
 
