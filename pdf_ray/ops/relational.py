@@ -3111,8 +3111,6 @@ register(
 
 # -- exact distinct count per group -------------------------------------------
 
-N_DISTINCT_BUCKETS = 64
-
 
 def distinct_users_exact(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type — the exact
@@ -3125,12 +3123,13 @@ def distinct_users_exact(sf_dir: str):
     carries at most one row per distinct pair per block, not per event);
     the global dedup + count happens inside hash(pair) %% B bucket groups,
     each emitting per-type partial counts, so the final groupby is
-    O(B x n_types)."""
-    import pyarrow as pa
+    O(B x n_types). B is sized from the input row count like every
+    other bucketed reduce here (a fixed B caps reducer parallelism and
+    grows per-group memory with the corpus)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    B = N_DISTINCT_BUCKETS
+    B = _join_buckets(sf_dir, "events")
 
     def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates(["event_type", "user_id"])[
