@@ -3174,3 +3174,134 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+# -- exact cross-column correlation matrix ------------------------------------
+
+_CORR_COLS = ("qty", "price_c", "disc_e2", "tax_e2")
+_CORR_BATCH = 4096  # caps a partial's price_c^2 sum at ~4e17 < 2^63
+
+
+def lineitem_correlations(sf_dir: str):
+    """Pearson correlation between every pair of lineitem numeric columns
+    (quantity, extendedprice, discount, tax) from EXACT integer
+    sufficient statistics — cross-column data profiling (the
+    single-column profile lives in profile_documents).
+
+    Exactness/parity: inputs become exact ints (quantity, cents, 1e-2
+    units); every Sx, Sxx, Sxy is an exact integer on both sides, so the
+    final float expression float(n*Sxy - Sx*Sy) / sqrt(float(..)) /
+    sqrt(float(..)) is bit-identical between Python and DuckDB (int ->
+    double casts, sqrt and division are all IEEE correctly-rounded; no
+    accumulation-order dependence survives to the float stage).
+
+    Scale shape: one map pass emits per-batch integer partials; each
+    sum is SPLIT INTO (hi, lo) int64 halves (price-cents squares sum to
+    ~2^58 per 4096-row batch — int64 holds one batch, but a corpus-level
+    int64 Sum would overflow, and the driver must not merge O(n_blocks)
+    partials itself per the k-means lesson), so the tree reduce is a
+    plain 29-column Sum and the driver reconstructs the exact int128
+    totals from two scalars each. No shuffle."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pairs = [
+        (i, j)
+        for i in range(len(_CORR_COLS))
+        for j in range(len(_CORR_COLS))
+        if i <= j
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+            _cents(df["l_extendedprice"]),
+            np.rint(df["l_discount"].to_numpy(np.float64) * 100).astype(
+                np.int64
+            ),
+            np.rint(df["l_tax"].to_numpy(np.float64) * 100).astype(np.int64),
+        ]
+        out = {"n": [np.int64(len(df))]}
+        sums = {f"s{i}": int(cols[i].sum()) for i in range(len(cols))}
+        sums.update(
+            {f"s{i}{j}": int((cols[i] * cols[j]).sum()) for i, j in pairs}
+        )
+        for k, v in sums.items():
+            out[f"{k}_hi"] = [np.int64(v >> 32)]
+            out[f"{k}_lo"] = [np.int64(v & 0xFFFFFFFF)]
+        return pd.DataFrame(out)
+
+    names = [f"s{i}" for i in range(len(_CORR_COLS))] + [
+        f"s{i}{j}" for i, j in pairs
+    ]
+    aggs = [Sum("n", alias_name="n")]
+    for k in names:
+        aggs.append(Sum(f"{k}_hi", alias_name=f"{k}_hi"))
+        aggs.append(Sum(f"{k}_lo", alias_name=f"{k}_lo"))
+    got = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ],
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=_CORR_BATCH)
+        .aggregate(*aggs)
+    )
+    n = int(got["n"])
+    tot = {k: (int(got[f"{k}_hi"]) << 32) + int(got[f"{k}_lo"]) for k in names}
+    rows = []
+    for i, j in pairs:
+        if i == j:
+            continue
+        num = n * tot[f"s{i}{j}"] - tot[f"s{i}"] * tot[f"s{j}"]
+        vi = n * tot[f"s{i}{i}"] - tot[f"s{i}"] ** 2
+        vj = n * tot[f"s{j}{j}"] - tot[f"s{j}"] ** 2
+        rows.append(
+            {
+                "col_a": _CORR_COLS[i],
+                "col_b": _CORR_COLS[j],
+                "corr": float(num) / math.sqrt(float(vi)) / math.sqrt(float(vj)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _corr_oracle() -> str:
+    exprs = {
+        "qty": "CAST(ROUND(l_quantity) AS HUGEINT)",
+        "price_c": "CAST(ROUND(l_extendedprice * 100) AS HUGEINT)",
+        "disc_e2": "CAST(ROUND(l_discount * 100) AS HUGEINT)",
+        "tax_e2": "CAST(ROUND(l_tax * 100) AS HUGEINT)",
+    }
+    sel = ["count(*)::HUGEINT AS n"]
+    for a, e in exprs.items():
+        sel.append(f"sum({e}) AS s_{a}")
+    ks = list(exprs)
+    for x, a in enumerate(ks):
+        for b in ks[x:]:
+            sel.append(f"sum(({exprs[a]}) * ({exprs[b]})) AS s_{a}_{b}")
+    corr_rows = []
+    for x, a in enumerate(ks):
+        for b in ks[x + 1 :]:
+            corr_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE) "
+                f"/ sqrt(CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)) "
+                f"/ sqrt(CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)) "
+                f"AS corr FROM s"
+            )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(sel)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(corr_rows)
+    )
+
+
+register("lineitem_correlations", lineitem_correlations, _corr_oracle())

@@ -80,6 +80,7 @@ SUBSET = [
     "small_lot_revenue",
     "weighted_sample",
     "distinct_users_exact",
+    "lineitem_correlations",
 ]
 
 
