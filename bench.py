@@ -1,9 +1,13 @@
 """Benchmark harness (driver-run per round; see BASELINE.md).
 
-Prints ONE JSON line:
+The LAST stdout line is a COMPACT JSON headline (the driver's capture
+truncated round 4's oversized final line — VERDICT r4 #4):
   {"metric": "pdf_extraction_docs_per_sec", "value": <headline docs/s>,
-   "unit": "docs/sec", "queries": {...per-pipeline seconds...},
-   "sf": ..., "num_cpus": N, "n_docs": ...}
+   "unit": "docs/sec", "extract_attempts_sec": [...], "sf": ...,
+   "num_cpus": N, "n_docs": ...}
+The full per-query timing map is printed on a PRECEDING stdout line
+(prefixed ``# queries ``) and written to ``bench_queries.json`` next to
+this file.
 
 Headline: PDF extraction throughput over the skew-mix bench corpus
 (95% 1-3 page docs, 4% 20-page, 1% 200-page — FIXTURES.md §5), the
@@ -149,11 +153,23 @@ def main():
     if not os.environ.get("GRAFT_SKIP_TABLE_QUERIES"):
         queries.update(bench_table_queries(sf_dir))
 
+    # per-query map: sidecar file + an early (non-final) stdout line —
+    # the final line must stay small enough for the driver's capture
+    if not os.environ.get("GRAFT_SKIP_TABLE_QUERIES"):
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+        )
+        try:
+            with open(sidecar, "w") as f:
+                json.dump({"queries": queries, "sf": sf_dir}, f, indent=1)
+        except OSError:
+            pass
+    print("# queries " + json.dumps(queries))
+
     result = {
         "metric": "pdf_extraction_docs_per_sec",
         "value": round(n_total / dt, 2),
         "unit": "docs/sec",
-        "queries": queries,
         "extract_attempts_sec": [round(a, 3) for a in attempts],
         "sf": sf_dir,
         "num_cpus": num_cpus,

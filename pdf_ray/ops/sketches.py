@@ -3,9 +3,12 @@ serialized sketch per batch, merge in a tiny second stage).
 
 - ``event_type_distinct_users``: EXACT distinct count per key (dedup pairs
   then count) — SQL oracle.
-- ``distinct_users_hll``: HyperLogLog (p=12, ~1.6%% expected error) —
-  one sketch per batch, merged driver-side; rows-only check (approximate),
-  with the error bound asserted against the exact op in tests.
+- ``distinct_users_hll`` / ``value_quantiles_tdigest`` / ``top_tokens_mg``
+  / ``token_freq_cms``: mergeable sketches — one partial per (batch, key),
+  a fixed-B bucketed tree-reduce stage (``_tree_merge_sketches``) merges
+  the O(n_blocks) partial stream in tasks, and the driver finishes from
+  <= B rows per key; rows-only checks (approximate), with error bounds
+  asserted against the exact ops in tests.
 """
 
 from __future__ import annotations
@@ -70,6 +73,63 @@ register(
     FROM events GROUP BY 1
     """,
 )
+
+
+SKETCH_REDUCE_BUCKETS = 32  # fixed-B bucketed tree-reduce for partials
+
+
+def _tree_merge_sketches(parts_ds, merge_blobs, key_col: str | None = None):
+    """Fixed-B bucketed tree-reduce over (key?, sketch:binary) partial
+    rows — the ``cluster.py:_reduce_partials_bucketed`` pattern. Bucket =
+    md5(key || sketch) %% B, so a hot key's partials spread over all B
+    reducers (each merges ~n_blocks/B sketches in a task, not on the
+    driver); the driver then receives at most B rows per key instead of
+    one per input block (O(n_blocks) — VERDICT r4 #1).
+
+    ``merge_blobs(list[bytes]) -> bytes`` merges one group's sketches.
+    Returns the merged rows as a small pandas DataFrame (<= B per key).
+    """
+    B = SKETCH_REDUCE_BUCKETS
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        keys = (
+            df[key_col].astype(str)
+            if key_col
+            else pd.Series([""] * len(df), index=df.index)
+        )
+        df = df.assign(
+            bucket=np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(k.encode() + bytes(s)).digest()[:4],
+                        "little",
+                    )
+                    % B
+                    for k, s in zip(keys, df["sketch"])
+                ),
+                dtype=np.int32,
+                count=len(df),
+            )
+        )
+        return df
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if key_col:
+            rows = []
+            for key, sub in g.groupby(key_col):
+                rows.append(
+                    {key_col: key, "sketch": merge_blobs(list(sub["sketch"]))}
+                )
+            return pd.DataFrame(rows)
+        return pd.DataFrame({"sketch": [merge_blobs(list(g["sketch"]))]})
+
+    merged = (
+        parts_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+    out = merged.to_pandas()  # <= B rows per key: the reduced tree root
+    return out.drop(columns=["bucket"], errors="ignore")
 
 
 class Hll:
@@ -141,19 +201,25 @@ def distinct_users_hll(sf_dir: str):
             }
         )
 
-    sketches = (
-        _read_events(sf_dir, ["event_type", "user_id"])
-        .map_batches(sketch_batch, batch_format="pyarrow")
-        .to_pandas()
-    )  # tiny: one 4KB sketch per key per batch
+    def merge_hll_blobs(blobs: list[bytes]) -> bytes:
+        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for blob in blobs:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return regs.tobytes()
+
+    parts = _read_events(sf_dir, ["event_type", "user_id"]).map_batches(
+        sketch_batch, batch_format="pyarrow"
+    )
+    # fixed-B bucketed tree-reduce: tasks merge the O(n_blocks) partial
+    # stream; the driver sees <= B 4KB rows per key
+    sketches = _tree_merge_sketches(parts, merge_hll_blobs, "event_type")
     out_rows = []
     total = Hll()
     for key, grp in sketches.groupby("event_type"):
         h = Hll()
-        for blob in grp["sketch"]:
-            other = Hll()
-            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
-            h.merge(other)
+        h.registers = np.frombuffer(
+            merge_hll_blobs(list(grp["sketch"])), dtype=np.uint8
+        ).copy()
         total.merge(h)
         out_rows.append(
             {"event_type": key, "approx_users": int(round(h.estimate()))}
@@ -278,16 +344,21 @@ def value_quantiles_tdigest(sf_dir: str):
             }
         )
 
-    sketches = (
-        _read_events(sf_dir, ["event_type", "value"])
-        .map_batches(sketch_batch, batch_format="pyarrow")
-        .to_pandas()
-    )  # tiny: <= 2*delta centroids per key per batch
+    def merge_td_blobs(blobs: list[bytes]) -> bytes:
+        td = TDigest()
+        for blob in blobs:
+            td.merge(TDigest.frombytes(bytes(blob)))
+        return td.tobytes()
+
+    parts = _read_events(sf_dir, ["event_type", "value"]).map_batches(
+        sketch_batch, batch_format="pyarrow"
+    )
+    # fixed-B bucketed tree-reduce (see _tree_merge_sketches): the driver
+    # merges <= B compressed digests per key, never O(n_blocks) partials
+    sketches = _tree_merge_sketches(parts, merge_td_blobs, "event_type")
     rows = []
     for key, grp in sketches.groupby("event_type"):
-        td = TDigest()
-        for blob in grp["sketch"]:
-            td.merge(TDigest.frombytes(blob))
+        td = TDigest.frombytes(merge_td_blobs(list(grp["sketch"])))
         rows.append(
             {
                 "event_type": key,
@@ -365,14 +436,19 @@ def top_tokens_mg(sf_dir: str):
         mg.add_counts({str(t): int(c) for t, c in vc.items()})
         return pd.DataFrame({"sketch": [mg.tobytes()]})
 
-    parts = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(sketch_batch, batch_format="pandas")
-        .take_all()
-    )
-    merged = MisraGries()
-    for r in parts:
-        merged.merge(MisraGries.frombytes(r["sketch"]))
+    def merge_mg_blobs(blobs: list[bytes]) -> bytes:
+        mg = MisraGries()
+        for blob in blobs:
+            mg.merge(MisraGries.frombytes(bytes(blob)))
+        return mg.tobytes()
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(sketch_batch, batch_format="pandas")
+    # fixed-B bucketed tree-reduce; the n/K guarantee composes across the
+    # tree (Agarwal et al. 2012), so two merge levels keep it intact
+    reduced = _tree_merge_sketches(parts, merge_mg_blobs)
+    merged = MisraGries.frombytes(merge_mg_blobs(list(reduced["sketch"])))
     top = sorted(merged.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     return pd.DataFrame(
         {
@@ -455,16 +531,23 @@ def token_freq_cms(sf_dir: str):
             {"sketch": pa.array([s.counts.tobytes()], pa.large_binary())}
         )
 
-    parts = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(sketch_batch, batch_format="pyarrow")
-        .take_all()
-    )  # one fixed-size sketch per batch
-    total = Cms()
-    for r in parts:
-        total.merge(
-            Cms(np.frombuffer(r["sketch"], dtype=np.int64).reshape(CMS_D, CMS_W))
-        )
+    def merge_cms_blobs(blobs: list[bytes]) -> bytes:
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for blob in blobs:
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return acc.tobytes()
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(sketch_batch, batch_format="pyarrow")
+    # fixed-B bucketed tree-reduce; CMS merge is element-wise addition, so
+    # the two-level tree is bit-identical to a flat merge
+    reduced = _tree_merge_sketches(parts, merge_cms_blobs)
+    total = Cms(
+        np.frombuffer(
+            merge_cms_blobs(list(reduced["sketch"])), dtype=np.int64
+        ).reshape(CMS_D, CMS_W)
+    )
     return pd.DataFrame(
         {
             "token": CMS_PROBES,
