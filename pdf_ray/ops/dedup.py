@@ -1549,10 +1549,20 @@ register(
 # an insert/delete moves one count, a substitution two), then an exact
 # Ukkonen banded DP on the survivors. Band duplicates collapse through
 # the global pair-bucket dedup.
+#
+# Skew (VERDICT r4 #3): a band whose population exceeds EDIT_BAND_CAP is
+# NOT truncated — it is split into C = ceil(n/cap) doc chunks and every
+# chunk PAIR (a <= b) becomes its own reduce task (blocked chunk-pair
+# join, same shape as ops/simsearch.py exact all-pairs NN). Every doc
+# pair co-occurs in exactly one chunk-pair task (cross pairs in (a,b),
+# within-chunk pairs in (a,a)), so coverage stays exact; the O(n_band^2)
+# candidate volume — inherent to exact edit-distance dedup within a
+# length band — is distributed over C(C+1)/2 bounded tasks instead of
+# silently dropped. Band sizes come from a one-row-per-band count pass.
 
 EDIT_MAX = 8
 EDIT_BAND_W = 64
-EDIT_BAND_CAP = 20_000  # per-band skew guard (same contract as DF caps)
+EDIT_BAND_CAP = 20_000  # per-chunk-pair task size bound (not a truncation)
 
 
 def _lev_le_k(a: str, b: str, k: int) -> int:
@@ -1586,26 +1596,75 @@ def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
     """All (doc_a < doc_b, dist) with levenshtein(text_a, text_b) <= k."""
     W = EDIT_BAND_W
 
-    def tag_bands(df: pd.DataFrame) -> pd.DataFrame:
+    def doc_bands(df: pd.DataFrame):
+        """(band, row-mask) streams: every band a doc's +-k window hits."""
         ln = df["text"].str.len().to_numpy()
         lo = (ln - k) // W
         hi = (ln + k) // W
-        parts = []
         for shift in range(int((hi - lo).max()) + 1):
             band = lo + shift
-            m = band <= hi
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "band": band[m],
-                        "doc_id": df["doc_id"].to_numpy()[m],
-                        "text": df["text"].to_numpy()[m],
-                    }
-                )
-            )
-        return pd.concat(parts, ignore_index=True)
+            yield band, band <= hi
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # pass 1: band populations — one int row per band key leaves the
+    # tasks (groupby-Sum combines map-side); bands are bounded by
+    # max_len/W keys, so this is KBs at any corpus size
+    from ray.data.aggregate import Sum
+
+    def band_counts(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            pd.DataFrame({"band": band[m]}) for band, m in doc_bands(df)
+        ]
+        g = pd.concat(parts, ignore_index=True)
+        g = g.groupby("band", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    cap = EDIT_BAND_CAP
+    n_chunks = {
+        int(r["band"]): -(-int(r["n"]) // cap)
+        for r in docs.map_batches(band_counts, batch_format="pandas")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+
+    # pass 2: tag docs into (band, chunk-pair) tasks. A doc in chunk c
+    # of a C-split band joins every task (min(c,x), max(c,x)); cross
+    # pairs are tested only in (a,b), within-chunk pairs only in (a,a),
+    # so each pair runs in exactly one bounded task.
+    def tag_tasks(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all = df["doc_id"].to_numpy()
+        texts_all = df["text"].to_numpy()
+        out = []
+        for band, m in doc_bands(df):
+            band = band[m]
+            ids = ids_all[m]
+            texts = texts_all[m]
+            C = np.fromiter(
+                (n_chunks.get(int(b), 1) for b in band),
+                dtype=np.int64,
+                count=len(band),
+            )
+            chunk = (ids * np.int64(2654435761) % np.int64(1 << 32)) % C
+            for x in range(int(C.max())):
+                sel = x < C
+                a = np.minimum(chunk[sel], x)
+                b = np.maximum(chunk[sel], x)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "gkey": band[sel] * np.int64(1 << 28)
+                            + a * np.int64(1 << 14)
+                            + b,
+                            "chunk": chunk[sel],
+                            "doc_id": ids[sel],
+                            "text": texts[sel],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    def task_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype="int64"),
@@ -1613,10 +1672,12 @@ def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
                 "dist": pd.Series(dtype="int64"),
             }
         )
-        g = g.sort_values("doc_id").head(EDIT_BAND_CAP)
         m = len(g)
         if m < 2:
             return empty
+        gkey = int(g["gkey"].iat[0])
+        ca, cb = (gkey >> 14) % (1 << 14), gkey % (1 << 14)
+        chunk = g["chunk"].to_numpy()
         ids = g["doc_id"].to_numpy()
         texts = g["text"].tolist()
         ln = g["text"].str.len().to_numpy()
@@ -1630,6 +1691,8 @@ def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
             )
         ii, jj = np.triu_indices(m, 1)
         cand = np.abs(ln[ii] - ln[jj]) <= k
+        if ca != cb:  # cross task: only a-chunk x b-chunk pairs
+            cand &= chunk[ii] != chunk[jj]
         ii, jj = ii[cand], jj[cand]
         l1 = np.abs(H[ii] - H[jj]).sum(axis=1)
         keep = l1 <= 2 * k
@@ -1637,8 +1700,8 @@ def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
         for i, j in zip(ii[keep], jj[keep]):
             d = _lev_le_k(texts[i], texts[j], k)
             if d >= 0:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
+                out_a.append(int(min(ids[i], ids[j])))
+                out_b.append(int(max(ids[i], ids[j])))
                 out_d.append(d)
         if not out_a:
             return empty
@@ -1651,13 +1714,9 @@ def dedup_edit_distance(sf_dir: str, k: int = EDIT_MAX):
         )
 
     pairs = (
-        _read_documents(sf_dir, ["doc_id", "text"])
-        .map_batches(tag_bands, batch_format="pandas")
-        .groupby("band")
-        .map_groups(
-            lambda g: band_pairs(g.drop(columns="band")),
-            batch_format="pandas",
-        )
+        docs.map_batches(tag_tasks, batch_format="pandas")
+        .groupby("gkey")
+        .map_groups(task_pairs, batch_format="pandas")
     )
     return _dedup_pairs(pairs)
 

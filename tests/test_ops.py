@@ -735,3 +735,47 @@ def test_edit_dedup_finds_band_straddling_pair(ray_session, tmp_path):
         int(got["doc_b"].iloc[0]),
         int(got["dist"].iloc[0]),
     ) == (0, 1, 4)
+
+
+def test_edit_dedup_band_overflow_keeps_all_pairs(
+    ray_session, tmp_path, monkeypatch
+):
+    """A band whose population exceeds EDIT_BAND_CAP is split into
+    blocked chunk-pair tasks, NOT truncated — every qualifying pair must
+    still surface, including pairs that land in different chunks."""
+    import duckdb
+    import pandas as pd
+
+    import pdf_ray.ops.dedup as dd
+
+    monkeypatch.setattr(dd, "EDIT_BAND_CAP", 4)  # 24 docs -> C = 6 chunks
+    base = "x" * 40
+    texts = [
+        base + chr(ord("a") + i % 7) * (i % 4) for i in range(24)
+    ]  # lengths 40-43, one band; many pairs within EDIT_MAX
+    docs = pd.DataFrame({"doc_id": range(24), "text": texts})
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    got = (
+        dd.dedup_edit_distance(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            f"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::BIGINT AS dist
+            FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= {dd.EDIT_MAX}
+            ORDER BY doc_a, doc_b
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(exp) > dd.EDIT_BAND_CAP  # the band genuinely overflows
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
