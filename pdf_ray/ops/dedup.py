@@ -1195,7 +1195,11 @@ PR_INIT_NUM = 1_000_000_000  # rank quantum: 1e-9 units of total mass 1
 PR_BASE_NUM = 150_000_000  # (1 - d) * 1e9 with d = 0.85
 
 
-def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
+def neardup_pagerank(
+    sf_dir: str,
+    tau: float = JACCARD_TAU,
+    redistribute_dangling: bool = False,
+):
     """PageRank over the exact near-dup pair graph — representative
     scoring for cluster canonicalization (high-rank docs sit in dense
     near-dup neighborhoods). The node set is the corpus, so iterations
@@ -1206,8 +1210,11 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
     base = PR_BASE_NUM // N plus, per in-edge (u -> v),
     (85 * rank[u]) // (100 * deg[u]) — the per-edge floor makes the sum
     order-independent, so both engines agree bit-for-bit. Dangling mass
-    is dropped (documented; the redistribution variant adds one tiny
-    scalar reduce per round).
+    is dropped by default; ``redistribute_dangling=True`` (the textbook
+    variant, registered as ``neardup_pagerank_dangling``) adds ONE tiny
+    scalar reduce per round — sum of dangling-node rank, floored once as
+    extra = (85 * dq) // (100 * N) and added to every node's base — plus
+    a one-time bucketed dangling-flag anti-join at build.
 
     Per round: ONE bucketed tagged-union join (rank ⋈ edges on src %% B)
     emitting per-group pre-aggregated (dst, contrib) partials, then ONE
@@ -1269,17 +1276,6 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
         tag_edges, batch_format="pyarrow"
     ).materialize()
 
-    def init_rank(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "node": pa.array(ids.astype(np.int64)),
-                "rq": pa.array(np.full(len(ids), init_q, np.int64)),
-            }
-        )
-
-    rank = docs.map_batches(init_rank, batch_format="pyarrow").materialize()
-
     def tag_rank(t: pa.Table) -> pa.Table:
         n = t.column("node").to_numpy()
         return pa.table(
@@ -1321,25 +1317,94 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
                 "side": pa.array(["D"] * len(ids), pa.string()),
                 "node": pa.array(ids.astype(np.int64)),
                 "c": pa.array(np.zeros(len(ids), np.int64)),
+                "dang": pa.array(np.zeros(len(ids), np.int64)),
             }
         )
 
-    docs_tagged = docs.map_batches(
-        tag_docs, batch_format="pyarrow"
+    docs_tagged = docs.map_batches(tag_docs, batch_format="pyarrow")
+
+    if redistribute_dangling:
+        # one-time bucketed anti-join: dang = node never appears as an
+        # edge source (deg 0 — near-dup-free docs, most of a corpus)
+        def tag_src(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy()
+            return pa.table(
+                {
+                    "bucket": pa.array((s % B).astype("int32")),
+                    "side": pa.array(["S"] * len(s), pa.string()),
+                    "node": pa.array(s.astype(np.int64)),
+                    "c": pa.array(np.zeros(len(s), np.int64)),
+                    "dang": pa.array(np.zeros(len(s), np.int64)),
+                }
+            )
+
+        def flag_dangling(g: pd.DataFrame) -> pa.Table:
+            d = g[g["side"] == "D"].copy()
+            srcs = g.loc[g["side"] == "S", "node"]
+            d["dang"] = (~d["node"].isin(srcs)).astype("int64")
+            # arrow out: the per-round docs_tagged ∪ contribs union
+            # requires both sides to be arrow blocks
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        docs_tagged = (
+            docs_tagged.union(
+                edges.map_batches(tag_src, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(flag_dangling, batch_format="pandas")
+        )
+
+    docs_tagged = docs_tagged.materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        n = t.column("node")
+        return pa.table(
+            {
+                "node": n,
+                "rq": pa.array(np.full(len(n), init_q, np.int64)),
+                "dang": t.column("dang"),
+            }
+        )
+
+    rank = docs_tagged.map_batches(
+        init_rank, batch_format="pyarrow"
     ).materialize()
 
-    def new_rank(g: pd.DataFrame) -> pd.DataFrame:
-        base = g[g["side"] == "D"][["node"]].copy()
-        cs = (
-            g[g["side"] == "C"]
-            .groupby("node", as_index=False)
-            .agg(c=("c", "sum"))
+    def make_new_rank(extra: int):
+        def new_rank(g: pd.DataFrame) -> pd.DataFrame:
+            base = g[g["side"] == "D"][["node", "dang"]].copy()
+            cs = (
+                g[g["side"] == "C"]
+                .groupby("node", as_index=False)
+                .agg(c=("c", "sum"))
+            )
+            out = base.merge(cs, on="node", how="left")
+            out["rq"] = base_q + extra + out["c"].fillna(0).astype("int64")
+            return out[["node", "rq", "dang"]].astype(
+                {"node": "int64", "rq": "int64", "dang": "int64"}
+            )
+
+        return new_rank
+
+    def dang_partial(t: pa.Table) -> pa.Table:
+        rq = t.column("rq").to_numpy()
+        dg = t.column("dang").to_numpy()
+        return pa.table(
+            {"dq": pa.array([int((rq * dg).sum())], pa.int64())}
         )
-        out = base.merge(cs, on="node", how="left")
-        out["rq"] = base_q + out["c"].fillna(0).astype("int64")
-        return out[["node", "rq"]].astype({"node": "int64", "rq": "int64"})
 
     for _ in range(PAGERANK_ROUNDS):
+        if redistribute_dangling:
+            # the tiny scalar reduce: total dangling rank this round
+            dq = int(
+                rank.map_batches(dang_partial, batch_format="pyarrow").sum(
+                    "dq"
+                )
+                or 0
+            )
+            extra = (85 * dq) // (100 * n_docs)
+        else:
+            extra = 0
         contribs = (
             edges_tagged.union(
                 rank.map_batches(tag_rank, batch_format="pyarrow")
@@ -1355,7 +1420,9 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
             docs_tagged.union(contribs)
             .groupby("bucket")
             .map_groups(
-                lambda g: new_rank(g.drop(columns="bucket")),
+                lambda g, nr=make_new_rank(extra): nr(
+                    g.drop(columns="bucket")
+                ),
                 batch_format="pandas",
             )
             .materialize()
@@ -1369,7 +1436,7 @@ def neardup_pagerank(sf_dir: str, tau: float = JACCARD_TAU):
     return rank.map_batches(rename, batch_format="pyarrow")
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(redistribute: bool = False) -> str:
     parts = [
         f"""
     pairs AS ({_JACCARD_PAIR_SQL}),
@@ -1379,16 +1446,29 @@ def _pagerank_oracle() -> str:
       SELECT doc_b, doc_a FROM pairs),
     deg AS (SELECT s, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
     nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+    dang AS (SELECT doc_id AS node,
+                    CASE WHEN doc_id IN (SELECT s FROM edges)
+                         THEN 0 ELSE 1 END::BIGINT AS dg
+             FROM documents),
     r0 AS (SELECT doc_id AS node,
                   ({PR_INIT_NUM} // (SELECT n FROM nn))::BIGINT AS rq
            FROM documents)"""
     ]
     for t in range(1, PAGERANK_ROUNDS + 1):
+        if redistribute:
+            parts.append(
+                f"""
+    dq{t} AS (SELECT COALESCE(sum(r.rq * dn.dg), 0)::BIGINT AS dq
+              FROM r{t - 1} r JOIN dang dn ON r.node = dn.node)"""
+            )
+            extra = f"+ ((85 * (SELECT dq FROM dq{t})) // (100 * (SELECT n FROM nn)))"
+        else:
+            extra = ""
         parts.append(
             f"""
     r{t} AS (
       SELECT dd.doc_id AS node,
-             (({PR_BASE_NUM} // (SELECT n FROM nn))
+             (({PR_BASE_NUM} // (SELECT n FROM nn)) {extra}
               + COALESCE(sum((85 * x.rq) // (100 * x.deg)), 0))::BIGINT AS rq
       FROM documents dd
       LEFT JOIN (SELECT e.d, r.rq, g.deg
@@ -1406,6 +1486,11 @@ def _pagerank_oracle() -> str:
 
 
 register("neardup_pagerank", neardup_pagerank, _pagerank_oracle())
+register(
+    "neardup_pagerank_dangling",
+    lambda sf_dir: neardup_pagerank(sf_dir, redistribute_dangling=True),
+    _pagerank_oracle(redistribute=True),
+)
 
 
 # -- triangle enumeration over the near-dup graph -----------------------------

@@ -600,7 +600,9 @@ def bpe_token_stats(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
-                "n_ws_tokens": df["text"].str.split(" ").map(len).astype(
+                # len(split(' ')) == count(' ')+1, without materializing
+                # the token lists (measured ~3.5x for this column)
+                "n_ws_tokens": (df["text"].str.count(" ") + 1).astype(
                     "int64"
                 ),
                 "n_bpe_tokens": [
