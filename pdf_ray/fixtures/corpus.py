@@ -1633,9 +1633,24 @@ JPXC_RGB = [
     for y in range(JPXC_H)
 ]
 JPXC_PIXELS = bytes(c for row in JPXC_RGB for px in row for c in px)
+# 20-bit gray (>16-bit precision, round-4 verdict #7): lossless 5/3 at
+# depth 20, rescaled to 8-bit by the decoder's (255 / (2^d - 1)) rule —
+# the golden below applies that rule to the literal formula values
+# (round() and np.rint share round-half-even semantics on float64).
+JPX20_W, JPX20_H = 8, 6
+JPX20_GRAY = [
+    [(x * 77003 + y * 131071 + 12345) % (1 << 20) for x in range(JPX20_W)]
+    for y in range(JPX20_H)
+]
+JPX20_PIXELS = bytes(
+    int(round(v * 255.0 / ((1 << 20) - 1)))
+    for row in JPX20_GRAY
+    for v in row
+    for _ in range(3)
+)
 
 
-def _jpx_refs() -> tuple[str, str]:
+def _jpx_refs() -> tuple[str, str, str]:
     import hashlib
 
     g = hashlib.sha256(
@@ -1644,10 +1659,13 @@ def _jpx_refs() -> tuple[str, str]:
     c = hashlib.sha256(
         f"{JPXC_W}x{JPXC_H}:rgb8:".encode() + JPXC_PIXELS
     ).hexdigest()[:40]
-    return f"img:{g}", f"img:{c}"
+    d = hashlib.sha256(
+        f"{JPX20_W}x{JPX20_H}:rgb8:".encode() + JPX20_PIXELS
+    ).hexdigest()[:40]
+    return f"img:{g}", f"img:{c}", f"img:{d}"
 
 
-JPX_REF, JPXC_REF = _jpx_refs()
+JPX_REF, JPXC_REF, JPX20_REF = _jpx_refs()
 
 
 def f38_jpx_image():
@@ -1663,11 +1681,14 @@ def f38_jpx_image():
     rgb = np.array(
         [[list(px) for px in row] for row in JPXC_RGB], np.uint8
     )
+    gray20 = np.array(JPX20_GRAY, np.int64)
     cs_g = encode_jpx(gray, levels=2)
     cs_c = encode_jpx(rgb, jp2=True)
+    cs_20 = encode_jpx(gray20, depth=20)
     pdf = simple_page_pdf(
-        b"BT /F1 12 Tf 72 720 Td (Before jpx) Tj ET q /Im1 Do Q q /Im2 Do Q",
-        extra_resources=b"/XObject << /Im1 9 0 R /Im2 10 0 R >>",
+        b"BT /F1 12 Tf 72 720 Td (Before jpx) Tj ET "
+        b"q /Im1 Do Q q /Im2 Do Q q /Im3 Do Q",
+        extra_resources=b"/XObject << /Im1 9 0 R /Im2 10 0 R /Im3 11 0 R >>",
         extra_objects={
             9: (
                 b"<< /Type /XObject /Subtype /Image /Width 13 /Height 9 "
@@ -1685,12 +1706,21 @@ def f38_jpx_image():
                 + cs_c
                 + b"\nendstream"
             ),
+            11: (
+                b"<< /Type /XObject /Subtype /Image /Width 8 /Height 6 "
+                b"/Filter /JPXDecode /Length "
+                + str(len(cs_20)).encode()
+                + b" >>\nstream\n"
+                + cs_20
+                + b"\nendstream"
+            ),
         },
     )
     return pdf, [
         ("text", "Before jpx", None, 0),
         ("image", None, JPX_REF, 1),
         ("image", None, JPXC_REF, 2),
+        ("image", None, JPX20_REF, 3),
     ]
 
 

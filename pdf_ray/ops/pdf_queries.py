@@ -125,6 +125,7 @@ def _fixture_image_list() -> list:
         (fc.JB2T_REF, fc.JB2T_W, fc.JB2T_H, fc.JB2T_PIXELS),
         (fc.JPX_REF, fc.JPX_W, fc.JPX_H, fc.JPX_PIXELS),
         (fc.JPXC_REF, fc.JPXC_W, fc.JPXC_H, fc.JPXC_PIXELS),
+        (fc.JPX20_REF, fc.JPX20_W, fc.JPX20_H, fc.JPX20_PIXELS),
         (fc.OCG_IMG_REF, fc.OCG_IMG_W, fc.OCG_IMG_H, fc.OCG_IMG_PIXELS),
         (fc.TINT_A_REF, fc.TINT_W, fc.TINT_H, fc.TINT_A_PIXELS),
         (fc.TINT_B_REF, fc.TINT_W, fc.TINT_H, fc.TINT_B_PIXELS),

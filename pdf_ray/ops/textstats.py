@@ -2611,3 +2611,264 @@ def _profile_oracle() -> str:
 
 
 register("profile_documents", profile_documents, _profile_oracle())
+
+
+# -- Gopher quality-rule battery (Rae et al. 2021, Appendix A) ----------------
+#
+# The published heuristic document filters, each reported as its own flag
+# so downstream mixes can pick rules a la carte. Every rule is an exact
+# integer/rational comparison (no floats), so the DuckDB oracle replays
+# the flags bit-for-bit. Map-only: one streaming pass, no shuffle.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_filter(sf_dir: str):
+    """Per-doc Gopher rule flags + keep (the AND of all rules):
+
+    - word_count_ok: 50 <= n_words <= 100000
+    - mean_len_ok:   mean token length in [3, 10]  (3n <= chars <= 10n)
+    - symbol_ok:     (# + '...' occurrences) <= 0.1 * n_words
+    - alpha_ok:      >= 80%% of words contain an [a-z] letter (5a >= 4n)
+    - stopword_ok:   >= 2 hits from the 8-word Gopher stopword list
+    """
+    import re
+
+    alpha_re = re.compile(r"[a-z]")
+    sw = set(GOPHER_STOPWORDS)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df["text"].str.lower()
+        n = (lt.str.count(" ") + 1).to_numpy("int64")
+        chars = (lt.str.len() - (n - 1)).to_numpy("int64")
+        syms = (
+            lt.str.count("#") + lt.str.count(r"\.\.\.")
+        ).to_numpy("int64")
+        toks = lt.str.split(" ")
+        alpha = toks.map(
+            lambda t: sum(1 for w in t if alpha_re.search(w))
+        ).to_numpy("int64")
+        stop = toks.map(lambda t: sum(w in sw for w in t)).to_numpy("int64")
+        f_wc = (GOPHER_MIN_WORDS <= n) & (n <= GOPHER_MAX_WORDS)
+        f_ml = (3 * n <= chars) & (chars <= 10 * n)
+        f_sy = 10 * syms <= n
+        f_al = 5 * alpha >= 4 * n
+        f_sw = stop >= GOPHER_MIN_STOPWORDS
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_words": n,
+                "word_count_ok": f_wc.astype("int64"),
+                "mean_len_ok": f_ml.astype("int64"),
+                "symbol_ok": f_sy.astype("int64"),
+                "alpha_ok": f_al.astype("int64"),
+                "stopword_ok": f_sw.astype("int64"),
+                "keep": (f_wc & f_ml & f_sy & f_al & f_sw).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pandas"
+    )
+
+
+def _gopher_oracle() -> str:
+    swl = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) lt, string_split(lower(text), ' ') tk
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(tk)::BIGINT n,
+             (length(lt) - (len(tk) - 1))::BIGINT chars,
+             ((length(lt) - length(replace(lt, '#', '')))
+              + (length(lt) - length(replace(lt, '...', ''))) / 3)::BIGINT syms,
+             len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))::BIGINT alpha,
+             len(list_filter(tk, w -> list_contains([{swl}], w)))::BIGINT sw
+      FROM t)
+    SELECT doc_id, n AS n_words,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})::BIGINT
+             AS word_count_ok,
+           (3 * n <= chars AND chars <= 10 * n)::BIGINT AS mean_len_ok,
+           (10 * syms <= n)::BIGINT AS symbol_ok,
+           (5 * alpha >= 4 * n)::BIGINT AS alpha_ok,
+           (sw >= {GOPHER_MIN_STOPWORDS})::BIGINT AS stopword_ok,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+            AND 3 * n <= chars AND chars <= 10 * n
+            AND 10 * syms <= n AND 5 * alpha >= 4 * n
+            AND sw >= {GOPHER_MIN_STOPWORDS})::BIGINT AS keep
+    FROM s
+    """
+
+
+register("gopher_quality_filter", gopher_quality_filter, _gopher_oracle())
+
+
+# -- DSIR importance resampling (Xie et al. 2023 shape) -----------------------
+#
+# Data Selection via Importance Resampling: hashed unigram features, a
+# target distribution fit on the in-domain split (lang = 'en') and a raw
+# distribution fit on the whole corpus, per-doc importance log-weight
+# = sum over tokens of (log p_target(f) - log p_raw(f)). Distributed
+# shape: ONE streaming training pass emitting per-batch pre-aggregated
+# (kind, bucket, cnt) partials into a fixed-B keyed reduce (at most
+# 2 * DSIR_BUCKETS rows reach the driver whatever the corpus size);
+# the two model vectors broadcast via ray.put; scoring is map-only.
+# Each per-bucket log is floor-quantized to 1e-6 units BEFORE the
+# per-doc sum (order-independent integers), so the DuckDB oracle
+# replays keep/weight bit-for-bit via the same float64 ln chain.
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+# keep docs whose mean per-token importance clears this floor (1e-6 log
+# units; sits between the target-lang and off-target population means on
+# the synthetic corpus, so the flag is a real selection, not a constant)
+DSIR_KEEP_PER_TOK_Q = -157_000
+
+
+def _dsir_train(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    docs = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        kinds: list[str] = []
+        buckets: list[int] = []
+        cnts: list[int] = []
+        tok_cache: dict[str, int] = {}
+        tgt: list[int] = []
+        raw: list[int] = []
+        for lang, tx in zip(df["lang"], df["text"]):
+            for w in tx.lower().split(" "):
+                h = tok_cache.get(w)
+                if h is None:
+                    h = _md5_bucket32(w) % DSIR_BUCKETS
+                    tok_cache[w] = h
+                raw.append(h)
+                if lang == DSIR_TARGET_LANG:
+                    tgt.append(h)
+        for kind, arr in (("T", tgt), ("R", raw)):
+            if arr:
+                u, c = np.unique(np.asarray(arr, np.int64), return_counts=True)
+                kinds.extend([kind] * len(u))
+                buckets.extend(int(x) for x in u)
+                cnts.extend(int(x) for x in c)
+        out = pd.DataFrame(
+            {
+                "kind": pd.Series(kinds, dtype=object),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+            }
+        )
+        out["rb"] = (out["bucket"] % LM_REDUCE_BUCKETS).astype("int32")
+        return out
+
+    rows = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(
+            lambda g: g.drop(columns="rb")
+            .groupby(["kind", "bucket"], as_index=False)
+            .agg(cnt=("cnt", "sum")),
+            batch_format="pandas",
+        )
+        .take_all()
+    )
+    ct = np.zeros(DSIR_BUCKETS, np.int64)
+    cr = np.zeros(DSIR_BUCKETS, np.int64)
+    for r in rows:
+        (ct if r["kind"] == "T" else cr)[r["bucket"]] = r["cnt"]
+    return ct, cr
+
+
+def dsir_select(sf_dir: str):
+    """Per-doc DSIR importance weight (1e-6 log units) and keep flag
+    (keep = mean per-token weight >= DSIR_KEEP_PER_TOK_Q, an exact
+    integer comparison both engines replay)."""
+    import ray
+
+    ct, cr = _dsir_train(sf_dir)
+    tt, tr = int(ct.sum()), int(cr.sum())
+    # per-bucket quantized logs (computed once, broadcast with the model)
+    qt = np.floor(
+        np.log((ct + 1.0) / float(tt + DSIR_BUCKETS)) * 1e6
+    ).astype(np.int64)
+    qr = np.floor(
+        np.log((cr + 1.0) / float(tr + DSIR_BUCKETS)) * 1e6
+    ).astype(np.int64)
+    model_ref = ray.put(qt - qr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qd = ray.get(model_ref)
+        tok_cache: dict[str, int] = {}
+        ids: list[int] = []
+        ns: list[int] = []
+        ws: list[int] = []
+        for d, tx in zip(df["doc_id"], df["text"]):
+            tk = tx.lower().split(" ")
+            tot = 0
+            for w in tk:
+                h = tok_cache.get(w)
+                if h is None:
+                    h = _md5_bucket32(w) % DSIR_BUCKETS
+                    tok_cache[w] = h
+                tot += int(qd[h])
+            ids.append(d)
+            ns.append(len(tk))
+            ws.append(tot)
+        w_arr = np.asarray(ws, np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "logweight_q": w_arr,
+                "keep": (
+                    w_arr >= DSIR_KEEP_PER_TOK_Q * np.asarray(ns, np.int64)
+                ).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    hb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {DSIR_BUCKETS} AS f
+      FROM tok),
+    tcnt AS (SELECT f, count(*)::BIGINT n FROM hb
+             WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    rcnt AS (SELECT f, count(*)::BIGINT n FROM hb GROUP BY 1),
+    tt AS (SELECT COALESCE(sum(n), 0)::BIGINT s FROM tcnt),
+    tr AS (SELECT COALESCE(sum(n), 0)::BIGINT s FROM rcnt),
+    q AS (
+      SELECT h.doc_id,
+             (floor(ln((COALESCE(t.n, 0) + 1)::DOUBLE
+                       / ((SELECT s FROM tt) + {DSIR_BUCKETS})::DOUBLE) * 1e6)
+              - floor(ln((COALESCE(r.n, 0) + 1)::DOUBLE
+                         / ((SELECT s FROM tr) + {DSIR_BUCKETS})::DOUBLE)
+                      * 1e6))::BIGINT AS lw
+      FROM hb h
+      LEFT JOIN tcnt t ON h.f = t.f
+      LEFT JOIN rcnt r ON h.f = r.f),
+    agg AS (SELECT doc_id, count(*)::BIGINT n_tokens,
+                   sum(lw)::BIGINT logweight_q
+            FROM q GROUP BY 1)
+    SELECT d.doc_id,
+           a.n_tokens,
+           a.logweight_q,
+           (CASE WHEN a.logweight_q >= {DSIR_KEEP_PER_TOK_Q} * a.n_tokens
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+register("dsir_select", dsir_select, _dsir_oracle())

@@ -35,8 +35,9 @@ this implements the codestream subset that PDF-embedded JPX images use:
   magnitude >= 2^SPrgn is ROI and is scaled back down — no mask needed)
 
 Out of scope (explicit PdfParseError, row-level poison like JBIG2's
-unsupported variants): >16-bit precision and the reserved non-maxshift
-RGN styles.
+unsupported variants): >38-bit precision (the T.800 Ssiz ceiling; the
+int64/float64 sample path covers 1-38 bit exactly) and the reserved
+non-maxshift RGN styles.
 
 Coordinate conventions follow T.800 Annex B verbatim: all rectangles are
 half-open [x0, x1) x [y0, y1) on the absolute reference grid; band,
@@ -1328,8 +1329,10 @@ def decode_codestream(data: bytes):
                 yr.append(body[38 + 3 * c])
             if any(v < 1 for v in xr) or any(v < 1 for v in yr):
                 raise PdfParseError("JPX: zero component subsampling")
-            if any(d > 16 for d in depth):
-                raise PdfParseError("JPX: precision > 16 unsupported")
+            if any(d > 38 for d in depth):
+                # T.800 Ssiz ceiling; the sample path is int64/float64
+                # throughout, so 17-38 bit needs no special casing
+                raise PdfParseError("JPX: precision > 38 unsupported")
             if (xsiz - xo) * (ysiz - yo) > MAX_JPX_PIXELS:
                 raise PdfParseError("JPX: image exceeds pixel budget")
             if xsiz <= xo or ysiz <= yo or xt == 0 or yt == 0:

@@ -443,6 +443,29 @@ def test_depth12_rescales_to_8bit():
     assert np.array_equal(out, exp)
 
 
+def test_depth20_rescales_to_8bit():
+    """>16-bit precision (round-4 verdict #7): the int64 sample path
+    carries 17-38 bit exactly; 20-bit lossless content rescales to 8-bit
+    by the same maxv formula as the other depths."""
+    img20 = RNG.randint(0, 1 << 20, (14, 18)).astype(np.int64)
+    cs = encode_jpx(img20, depth=20)
+    w, h, n, s = decode_jpx(cs)
+    out = np.frombuffer(s, np.uint8).reshape(h, w)
+    exp = np.rint(img20 * (255.0 / ((1 << 20) - 1))).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_depth29_lossless_codestream_exact():
+    """Depth 29 is the encoder's reversible ceiling (HH eps = depth + 2
+    must fit the 5-bit QCD exponent); decode_codestream must return the
+    level-shifted samples BIT-EXACT at that depth."""
+    img = RNG.randint(0, 1 << 29, (9, 11)).astype(np.int64)
+    cs = encode_jpx(img, depth=29)
+    w, h, planes, depths, signed = decode_codestream(cs)
+    assert (w, h, depths[0], signed[0]) == (11, 9, 29, False)
+    assert np.array_equal(planes[0] + (1 << 28), img)
+
+
 def test_irreversible_97_error_bound():
     # Smooth-ish content: 9/7 with no quantization floor loss beyond the
     # lifting arithmetic should land within a few codes of the source.

@@ -200,9 +200,9 @@ def test_image_blob_pipeline(ray_session):
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # ten distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
+    # distinct decodable images: f13 RGB, f25 indexed, f24 DCT,
     # f29 CCITT, f33 progressive DCT, f34 JBIG2 generic, f36 JBIG2 text
-    # (f37 shares its pixels/ref), f38 JPX gray + RGB
+    # (f37 shares its pixels/ref), f38 JPX gray + RGB + 20-bit gray
     from pdf_ray.fixtures.corpus import (
         CCITT_REF,
         DCT_REF,
@@ -210,6 +210,7 @@ def test_image_blob_pipeline(ray_session):
         IMG_REF,
         JB2_REF,
         JB2T_REF,
+        JPX20_REF,
         JPX_REF,
         JPXC_REF,
         OCG_IMG_REF,
@@ -231,6 +232,7 @@ def test_image_blob_pipeline(ray_session):
             JB2T_REF,
             JPX_REF,
             JPXC_REF,
+            JPX20_REF,
             OCG_IMG_REF,
             TINT_A_REF,
             TINT_B_REF,

@@ -81,6 +81,9 @@ SUBSET = [
     "weighted_sample",
     "distinct_users_exact",
     "lineitem_correlations",
+    "neardup_pagerank_dangling",
+    "gopher_quality_filter",
+    "dsir_select",
 ]
 
 
