@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_metadata": p.pdf_metadata,
         "pdf_embedded_files": p.pdf_embedded_files,
         "pdf_font_spans": p.pdf_font_spans,
+        "pdf_icc_profiles": p.pdf_icc_profiles,
         "image_phash_dedup": p.image_phash_dedup,
         "pdf_ocg_content": p.pdf_ocg_content,
     }

@@ -2065,6 +2065,87 @@ def f48_font_spans():
     ]
 
 
+# ICC profile fixture (f49): a hand-built minimal ICC.1:2004 profile —
+# 128-byte header + 3-entry tag table (wtpt/desc/cprt) — attached to an
+# /ICCBased colorspace that the content stream selects state-only (C16).
+# The header field values below are the literal oracle constants for
+# pdf_icc_profiles; the reference parses exactly this surface
+# (src/icc_profile/parse.rs) and never interprets tag payloads.
+ICC_TAGS = [("wtpt", 168, 20), ("desc", 188, 12), ("cprt", 200, 11)]
+ICC_HEADER = {
+    "profile_size": 212,  # 128 + 4 + 36 tag table + 43 data + 1 pad
+    "preferred_cmm": "ADBE",
+    "version_major": 4,
+    "version_minor": 2,
+    "device_class": "mntr",
+    "colour_space": "RGB ",
+    "pcs": "XYZ ",
+    "platform": "APPL",
+    "rendering_intent": 1,
+}
+
+
+def _build_icc_profile() -> bytes:
+    import struct
+
+    h = ICC_HEADER
+    buf = b"".join(
+        [
+            struct.pack(">I", h["profile_size"]),
+            h["preferred_cmm"].encode(),
+            bytes([h["version_major"], h["version_minor"] << 4, 0, 0]),
+            h["device_class"].encode(),
+            h["colour_space"].encode(),
+            h["pcs"].encode(),
+            struct.pack(">6H", 2020, 1, 2, 3, 4, 5),  # dateTimeNumber
+            b"acsp",
+            h["platform"].encode(),
+            struct.pack(">I", 0),  # flags
+            b"ABCD",  # manufacturer
+            b"EFGH",  # model
+            struct.pack(">Q", 0),  # attributes
+            struct.pack(">I", h["rendering_intent"]),
+            # D50 PCS illuminant as s15Fixed16 (1/65536 units)
+            struct.pack(">3i", 63190, 65536, 54061),
+            b"pdfr",  # creator
+            bytes(16),  # profile ID
+            bytes(28),  # reserved
+        ]
+    )
+    assert len(buf) == 128
+    buf += struct.pack(">I", len(ICC_TAGS))
+    for sig, off, ln in ICC_TAGS:
+        buf += struct.pack(">4sII", sig.encode(), off, ln)
+    buf += b"XYZ " + bytes(4) + struct.pack(">3i", 63190, 65536, 54061)
+    buf += b"desc" + bytes(8)
+    buf += b"text" + bytes(4) + b"(c)"
+    buf += bytes(ICC_HEADER["profile_size"] - len(buf))  # pad
+    assert len(buf) == ICC_HEADER["profile_size"]
+    return buf
+
+
+def f49_icc_profile():
+    """/ICCBased colorspace whose profile stream gets header/tag-table
+    introspection (pdf_icc_profiles). The colorspace select + fill color
+    are consumed state-only, so the span golden is just the text."""
+    icc = _build_icc_profile()
+    pdf = simple_page_pdf(
+        b"/CS0 cs 0.2 0.3 0.4 sc "
+        b"BT /F1 12 Tf 72 720 Td (icc profile doc) Tj ET",
+        extra_resources=b"/ColorSpace << /CS0 [/ICCBased 9 0 R] >>",
+        extra_objects={
+            9: (
+                b"<< /N 3 /Length "
+                + str(len(icc)).encode()
+                + b" >>\nstream\n"
+                + icc
+                + b"\nendstream"
+            ),
+        },
+    )
+    return pdf, [("text", "icc profile doc", None, 0)]
+
+
 FIXTURES = {
     "f01": f01_minimal_tj,
     "f02": f02_flate_content,
@@ -2114,4 +2195,5 @@ FIXTURES = {
     "f46": f46_metadata,
     "f47": f47_embedded_files,
     "f48": f48_font_spans,
+    "f49": f49_icc_profile,
 }

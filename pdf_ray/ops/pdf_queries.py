@@ -1031,3 +1031,63 @@ def _font_spans_oracle() -> str:
 
 
 PDF_ORACLE_SQL["pdf_font_spans"] = _font_spans_oracle()
+
+
+def pdf_icc_profiles(sf_dir: str | None = None):
+    """ICC profile introspection (/ICCBased colorspace streams): header
+    fields + tag-table signatures per profile, the reference's
+    src/icc_profile surface (round-4 verdict missing #4). Actor-pool
+    IccProfileStage over the fixture corpus; oracle = the literal
+    hand-built profile constants (corpus.ICC_HEADER / ICC_TAGS)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.extract import IccProfileStage
+
+    docs = rd.read_parquet(os.path.join(FIXTURES_DIR, "docs.parquet"))
+    ptbl = pq.read_table(os.path.join(FIXTURES_DIR, "payloads.parquet"))
+    payloads = dict(
+        zip(ptbl.column("media_ref").to_pylist(), ptbl.column("bytes").to_pylist())
+    )
+    return docs.map_batches(
+        IccProfileStage,
+        fn_constructor_kwargs={"payloads": ray.put(payloads)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def _icc_profiles_oracle() -> str:
+    from ..fixtures.corpus import ICC_HEADER, ICC_TAGS
+    from ..fixtures.tables import DEFAULT_REPLICAS
+
+    h = ICC_HEADER
+    sigs = ",".join(s for s, _o, _l in ICC_TAGS)
+    rows = []
+    for r in range(DEFAULT_REPLICAS):
+        rows.append(
+            f"SELECT 'f49-{r:04d}' AS doc_id, 0::INT AS page_index, "
+            f"'CS0' AS cs_name, {h['profile_size']}::BIGINT AS profile_size, "
+            f"{h['version_major']}::INT AS version_major, "
+            f"{h['version_minor']}::INT AS version_minor, "
+            f"'{h['device_class']}' AS device_class, "
+            f"'{h['colour_space']}' AS colour_space, '{h['pcs']}' AS pcs, "
+            f"{h['rendering_intent']}::BIGINT AS rendering_intent, "
+            f"{len(ICC_TAGS)}::BIGINT AS n_tags, '{sigs}' AS tag_sigs"
+        )
+        for fx, msg in _POISON_ERRORS:
+            rows.append(
+                f"SELECT '{fx}-{r:04d}' AS doc_id, -1::INT AS page_index, "
+                f"'__error__' AS cs_name, -1::BIGINT AS profile_size, "
+                f"-1::INT AS version_major, -1::INT AS version_minor, "
+                f"'{msg}'::VARCHAR AS device_class, "
+                f"NULL::VARCHAR AS colour_space, NULL::VARCHAR AS pcs, "
+                f"-1::BIGINT AS rendering_intent, -1::BIGINT AS n_tags, "
+                f"NULL::VARCHAR AS tag_sigs"
+            )
+    return " UNION ALL ".join(rows)
+
+
+PDF_ORACLE_SQL["pdf_icc_profiles"] = _icc_profiles_oracle()

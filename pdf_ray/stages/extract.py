@@ -671,3 +671,106 @@ class FontSpanStage(ExtractStage):
                 "size_milli": pa.array(rows["size_milli"], pa.int64()),
             }
         )
+
+
+class IccProfileStage(ExtractStage):
+    """Variant that emits ICC PROFILE header/tag rows — one row per
+    /ICCBased colorspace stream found in a page's /ColorSpace resources
+    (doc_id, page_index, cs_name, profile_size, version_major,
+    version_minor, device_class, colour_space, pcs, rendering_intent,
+    n_tags, tag_sigs). Mirrors the reference's introspection surface
+    (src/icc_profile/mod.rs IccProfileHeader + IccTagTable); tag
+    payloads are not interpreted on either side. Same actor-pool shape
+    and poison containment as the other catalog stages."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pdfcore.icc import parse_icc
+
+        cols = (
+            "doc_id", "page_index", "cs_name", "profile_size",
+            "version_major", "version_minor", "device_class",
+            "colour_space", "pcs", "rendering_intent", "n_tags",
+            "tag_sigs",
+        )
+        rows: dict[str, list] = {c: [] for c in cols}
+
+        def emit(doc_id, pi, cs, p):
+            rows["doc_id"].append(doc_id)
+            rows["page_index"].append(pi)
+            rows["cs_name"].append(cs)
+            rows["profile_size"].append(p["profile_size"])
+            rows["version_major"].append(p["version_major"])
+            rows["version_minor"].append(p["version_minor"])
+            rows["device_class"].append(p["device_class"])
+            rows["colour_space"].append(p["colour_space"])
+            rows["pcs"].append(p["pcs"])
+            rows["rendering_intent"].append(p["rendering_intent"])
+            rows["n_tags"].append(len(p["tags"]))
+            rows["tag_sigs"].append(
+                ",".join(t["sig"] for t in p["tags"])
+            )
+
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for sp in spans or []:
+                if sp.get("kind") != "media":
+                    continue
+                blob = self.resolver(sp.get("media_ref"))
+                if blob is None:
+                    continue
+                try:
+                    doc = Document(blob)
+                    for pi, page in enumerate(doc.pages):
+                        res = page.resources
+                        if not isinstance(res, dict):
+                            continue
+                        csd = doc.resolve(res.get("ColorSpace"))
+                        if not isinstance(csd, dict):
+                            continue
+                        for cs_name in sorted(csd):
+                            arr = doc.resolve(csd[cs_name])
+                            if (
+                                not isinstance(arr, list)
+                                or len(arr) < 2
+                                or arr[0] != "ICCBased"
+                            ):
+                                continue
+                            st = doc.resolve_stream(arr[1])
+                            emit(
+                                doc_id, pi, str(cs_name),
+                                parse_icc(doc.decoded(st)),
+                            )
+                except Exception as e:
+                    rows["doc_id"].append(doc_id)
+                    rows["page_index"].append(-1)
+                    rows["cs_name"].append("__error__")
+                    for c in (
+                        "profile_size", "version_major", "version_minor",
+                        "rendering_intent", "n_tags",
+                    ):
+                        rows[c].append(-1)
+                    rows["device_class"].append(
+                        f"{type(e).__name__}: {e}"[:_MAX_ERROR_LEN]
+                    )
+                    rows["colour_space"].append(None)
+                    rows["pcs"].append(None)
+                    rows["tag_sigs"].append(None)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "page_index": pa.array(rows["page_index"], pa.int32()),
+                "cs_name": pa.array(rows["cs_name"], pa.string()),
+                "profile_size": pa.array(rows["profile_size"], pa.int64()),
+                "version_major": pa.array(rows["version_major"], pa.int32()),
+                "version_minor": pa.array(rows["version_minor"], pa.int32()),
+                "device_class": pa.array(rows["device_class"], pa.string()),
+                "colour_space": pa.array(rows["colour_space"], pa.string()),
+                "pcs": pa.array(rows["pcs"], pa.string()),
+                "rendering_intent": pa.array(
+                    rows["rendering_intent"], pa.int64()
+                ),
+                "n_tags": pa.array(rows["n_tags"], pa.int64()),
+                "tag_sigs": pa.array(rows["tag_sigs"], pa.string()),
+            }
+        )

@@ -266,3 +266,36 @@ def test_xref_recovery_incremental_update_last_wins():
     it = Interpreter(doc)
     it.run()
     assert it.spans == [("text", "Updated text", None)]
+
+
+def test_icc_profile_parser_header_and_tags():
+    """parse_icc returns the literal hand-built header constants and the
+    tag table (sig, offset, len) exactly; truncation / bad magic / a tag
+    pointing outside the buffer raise typed errors."""
+    import pytest
+
+    from pdf_ray.fixtures.corpus import ICC_HEADER, ICC_TAGS, _build_icc_profile
+    from pdf_ray.pdfcore.icc import parse_icc
+    from pdf_ray.pdfcore.objects import PdfParseError
+
+    buf = _build_icc_profile()
+    p = parse_icc(buf)
+    for k, v in ICC_HEADER.items():
+        assert p[k] == v, k
+    assert p["created_at"] == (2020, 1, 2, 3, 4, 5)
+    assert p["manufacturer"] == "ABCD"
+    assert p["creator"] == "pdfr"
+    assert p["illuminant_q"] == (63190, 65536, 54061)
+    assert [(t["sig"], t["offset"], t["len"]) for t in p["tags"]] == ICC_TAGS
+
+    with pytest.raises(PdfParseError):
+        parse_icc(buf[:100])
+    bad = bytearray(buf)
+    bad[36:40] = b"nope"
+    with pytest.raises(PdfParseError):
+        parse_icc(bytes(bad))
+    overrun = bytearray(buf)
+    # first tag's len field -> beyond buffer
+    overrun[140:144] = (10 ** 6).to_bytes(4, "big")
+    with pytest.raises(PdfParseError):
+        parse_icc(bytes(overrun))
