@@ -1211,10 +1211,13 @@ def neardup_pagerank(
     (85 * rank[u]) // (100 * deg[u]) — the per-edge floor makes the sum
     order-independent, so both engines agree bit-for-bit. Dangling mass
     is dropped by default; ``redistribute_dangling=True`` (the textbook
-    variant, registered as ``neardup_pagerank_dangling``) adds ONE tiny
-    scalar reduce per round — sum of dangling-node rank, floored once as
-    extra = (85 * dq) // (100 * N) and added to every node's base — plus
-    a one-time bucketed dangling-flag anti-join at build.
+    variant, registered as ``neardup_pagerank_dangling``) adds the
+    dangling-rank total dq floored once as extra = (85 * dq) //
+    (100 * N) to every node's base. Because the edge set is symmetric,
+    dangling == isolated and dq follows a driver-side closed form
+    (see the in-body comment), so the variant costs ONE bucketed
+    dangling-flag anti-join plus one count at build — zero extra
+    per-round jobs.
 
     Per round: ONE bucketed tagged-union join (rank ⋈ edges on src %% B)
     emitting per-group pre-aggregated (dst, contrib) partials, then ONE
@@ -1386,23 +1389,37 @@ def neardup_pagerank(
 
         return new_rank
 
-    def dang_partial(t: pa.Table) -> pa.Table:
-        rq = t.column("rq").to_numpy()
-        dg = t.column("dang").to_numpy()
-        return pa.table(
-            {"dq": pa.array([int((rq * dg).sum())], pa.int64())}
+    # Closed-form dangling mass: the near-dup edge set is SYMMETRIC
+    # (both_dirs), so a node with no out-edges also has no in-edges —
+    # dangling == isolated. An isolated node's rank is therefore exactly
+    # base_q + extra_t every round (no contributions), which makes the
+    # per-round dangling total dq_t = D * (base_q + extra_t) a driver
+    # recurrence after ONE count of dangling docs — no per-round reduce
+    # job at all. (A general DIRECTED graph would need the per-round
+    # scalar reduce instead.) The SQL oracle computes dq_t via the join
+    # against r{t-1}; the values are identical by the argument above.
+    if redistribute_dangling:
+        def dang_count(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "dq": pa.array(
+                        [int(t.column("dang").to_numpy().sum())], pa.int64()
+                    )
+                }
+            )
+
+        n_dang = int(
+            docs_tagged.map_batches(dang_count, batch_format="pyarrow").sum(
+                "dq"
+            )
+            or 0
         )
+        dq = n_dang * init_q
 
     for _ in range(PAGERANK_ROUNDS):
         if redistribute_dangling:
-            # the tiny scalar reduce: total dangling rank this round
-            dq = int(
-                rank.map_batches(dang_partial, batch_format="pyarrow").sum(
-                    "dq"
-                )
-                or 0
-            )
             extra = (85 * dq) // (100 * n_docs)
+            dq = n_dang * (base_q + extra)
         else:
             extra = 0
         contribs = (
