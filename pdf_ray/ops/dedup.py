@@ -905,7 +905,13 @@ def _cc_min_labels(pairs, nodes, n_buckets: int = N_SHINGLE_BUCKETS):
             }
         )
 
+    # one consolidation exchange at build: the pair pipeline emits one
+    # (often tiny) block per reduce group, and every superstep union
+    # would re-pay per-block overhead on all of them
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    edges = edges.repartition(
+        max(1, edges.count() // 500_000 + 1)
+    ).materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy()
@@ -915,6 +921,11 @@ def _cc_min_labels(pairs, nodes, n_buckets: int = N_SHINGLE_BUCKETS):
 
     labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    # rows-proportional block budget: without it each superstep's
+    # union -> exchange chain inflates the label table's block count by
+    # ~edges.num_blocks() per round (the same compounding measured in
+    # neardup_pagerank — see its NB comment); ~100k 16-byte rows/block
+    NB = max(1, labels.count() // 100_000 + 1)
 
     def tag_labels(t: pa.Table) -> pa.Table:
         n = t.column("node").to_numpy()
@@ -997,6 +1008,7 @@ def _cc_min_labels(pairs, nodes, n_buckets: int = N_SHINGLE_BUCKETS):
                 lambda g: min_label(g.drop(columns="nbucket")),
                 batch_format="pandas",
             )
+            .repartition(NB)
             .materialize()
         )
         if it + 1 >= CC_JUMP_AFTER:  # escalation: shortcut label chains
@@ -1012,6 +1024,7 @@ def _cc_min_labels(pairs, nodes, n_buckets: int = N_SHINGLE_BUCKETS):
                     lambda g: jump(g.drop(columns="bucket")),
                     batch_format="pandas",
                 )
+                .repartition(NB)
                 .materialize()
             )
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
@@ -1357,7 +1370,16 @@ def neardup_pagerank(
             .map_groups(flag_dangling, batch_format="pandas")
         )
 
-    docs_tagged = docs_tagged.materialize()
+    # Rows-proportional block budget for the BSP tables. Without it the
+    # per-round union(docs ∪ contribs) -> groupby chain INFLATES block
+    # counts round over round (each union concatenates both sides' block
+    # lists and the exchange emits ~one block per input block), and
+    # local-mode exchange cost scales with block count — measured 3x
+    # wall at sf0.1 by round 3. ~100k small rows per block keeps blocks
+    # a few MB at any corpus size.
+    NB = max(1, n_docs // 100_000 + 1)
+
+    docs_tagged = docs_tagged.repartition(NB).materialize()
 
     def init_rank(t: pa.Table) -> pa.Table:
         n = t.column("node")
@@ -1434,7 +1456,7 @@ def neardup_pagerank(
             .map_batches(tag_contrib, batch_format="pyarrow")
         )
         rank = (
-            docs_tagged.union(contribs)
+            docs_tagged.union(contribs.repartition(NB))
             .groupby("bucket")
             .map_groups(
                 lambda g, nr=make_new_rank(extra): nr(
