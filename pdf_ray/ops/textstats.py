@@ -1566,6 +1566,10 @@ def bpe_learn(sf_dir: str):
         )
         .materialize()
     )
+    # consolidate once: the reduce leaves ~one tiny block per bucket and
+    # every merge round re-pays per-block overhead on all of them
+    # (rows-proportional budget, same rationale as dedup.py's NB)
+    vocab = vocab.repartition(max(1, vocab.count() // 100_000 + 1)).materialize()
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
         ls: list[str] = []
