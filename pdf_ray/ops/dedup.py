@@ -1097,7 +1097,10 @@ def incremental_near_dups(sf_dir: str, tau: float = JACCARD_TAU):
     Cross-snapshot pairs keep (new, existing); a final bucket-hash reduce
     (new_doc_id %% B — its cardinality scales with the corpus, so no
     native Aggregate) takes the min existing per new doc."""
-    pairs = dedup_ngram_jaccard(sf_dir, tau)
+    pairs = dedup_ngram_jaccard(sf_dir, tau).materialize()
+    # consolidate the ~one-block-per-reduce-group pair table before the
+    # three chained exchanges below (rows-proportional, see _cc_min_labels)
+    pairs = pairs.repartition(max(1, pairs.count() // 500_000 + 1))
     flags = _read_documents(sf_dir, ["doc_id", "source"]).map_batches(
         lambda t: pa.table(
             {
@@ -1549,6 +1552,11 @@ def neardup_triangles(sf_dir: str, tau: float = JACCARD_TAU):
     expansion; stage 2 tag-unions wedges with the oriented edge list and
     joins inside each (y, z)-hash bucket."""
     pairs = dedup_ngram_jaccard(sf_dir, tau).materialize()  # pairs already unique
+    # consolidate the ~one-block-per-reduce-group pair table once before
+    # the two exchanges below (rows-proportional, see _cc_min_labels)
+    pairs = pairs.repartition(
+        max(1, pairs.count() // 500_000 + 1)
+    ).materialize()
 
     B = N_SHINGLE_BUCKETS
 
