@@ -75,17 +75,33 @@ def knn_brute(sf_dir: str, k: int = TOP_K):
             }
         )
 
-    cand = _read_embeddings(sf_dir).map_batches(
-        partial_topk, batch_format="pandas"
-    ).to_pandas()  # <= nq * k * n_batches rows: tiny
-    cand = cand.sort_values(
-        ["query_id", "score", "neighbor_id"],
-        ascending=[True, False, True],
-        kind="mergesort",
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "rank": pd.Series(
+                    range(1, len(g) + 1), index=g.index, dtype="int64"
+                ),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    # per-query reduce IN TASKS (nq keys, map-side partials are already
+    # <= nq*k per block): the driver receives exactly nq*k rows instead
+    # of O(n_blocks) partial top-k candidates
+    top = (
+        _read_embeddings(sf_dir)
+        .map_batches(partial_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(group_topk, batch_format="pandas")
+        .to_pandas()
     )
-    top = cand.groupby("query_id", as_index=False).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    return top.sort_values(["query_id", "rank"], kind="mergesort").reset_index(
+        drop=True
+    )
 
 
 register(
@@ -233,19 +249,31 @@ def knn_ivf(sf_dir: str, k: int = TOP_K):
             }
         )
 
-    cand = (
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "rank": pd.Series(
+                    range(1, len(g) + 1), index=g.index, dtype="int64"
+                ),
+                "neighbor_id": g["neighbor_id"].astype("int64"),
+            }
+        )
+
+    # per-query reduce in tasks (see knn_brute): driver gets nq*k rows
+    top = (
         rd.read_parquet(probe_dirs, columns=["vec_id", "embedding"])
         .map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(group_topk, batch_format="pandas")
         .to_pandas()
     )
-    cand = cand.sort_values(
-        ["query_id", "score", "neighbor_id"],
-        ascending=[True, False, True],
-        kind="mergesort",
+    return top.sort_values(["query_id", "rank"], kind="mergesort").reset_index(
+        drop=True
     )
-    top = cand.groupby("query_id", as_index=False).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
 def _ivf_oracle(dim: int = 64) -> str:
