@@ -462,3 +462,44 @@ register(
         FROM d) WHERE rn = 1
     """,
 )
+
+
+def knn_ivf_recall(sf_dir: str, k: int = TOP_K):
+    """ANN self-evaluation: recall@k of the IVF-LSH index vs the exact
+    brute-force top-k, per query (n_hits, recall in basis points). Both
+    sides are deterministic (seeded hyperplanes, exact tie-breaks), so
+    the DuckDB oracle replays BOTH rankings and the intersection —
+    the op a pipeline owner runs before trusting the ANN path. The two
+    child pipelines keep their own distributed shapes; the join here is
+    over 2 * nq * k ranked rows."""
+    b = knn_brute(sf_dir, k)
+    v = knn_ivf(sf_dir, k)
+    m = b.merge(v, on=["query_id", "neighbor_id"], how="left")
+    hits = (
+        m.groupby("query_id")["rank_y"]
+        .count()
+        .rename("n_hits")
+        .reset_index()
+    )
+    hits["n_hits"] = hits["n_hits"].astype("int64")
+    hits["recall_bp"] = (hits["n_hits"] * 10_000 // k).astype("int64")
+    return hits
+
+
+from .registry import ORACLE_SQL  # noqa: E402  (oracle text reuse)
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+    WITH b AS ({ORACLE_SQL["knn_brute"]}),
+    v AS ({ORACLE_SQL["knn_ivf"]})
+    SELECT b.query_id,
+           count(v.neighbor_id)::BIGINT AS n_hits,
+           (count(v.neighbor_id) * 10000 // {TOP_K})::BIGINT AS recall_bp
+    FROM b LEFT JOIN v
+      ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+register("knn_ivf_recall", knn_ivf_recall, _ivf_recall_oracle())
