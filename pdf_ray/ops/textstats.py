@@ -309,23 +309,27 @@ def top_bigrams(sf_dir: str, k: int = TOP_NGRAMS_K):
             grams.extend(
                 toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)
             )
+        # map-side combiner: the exchange carries (bigram, partial cnt)
+        # rows, not one row per occurrence — cuts shuffled volume by the
+        # corpus repetition factor
+        c = pd.Series(grams, dtype=object).value_counts()
+        uniq = c.index.to_numpy()
         buckets = [
             int.from_bytes(_hl.md5(g.encode()).digest()[:4], "little")
             % N_NGRAM_BUCKETS
-            for g in grams
+            for g in uniq
         ]
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int32()),
-                "bigram": pa.array(grams, pa.string()),
+                "bigram": pa.array(uniq, pa.string()),
+                "cnt": pa.array(c.to_numpy().astype("int64"), pa.int64()),
             }
         )
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["bigram"].value_counts()
-        out = pd.DataFrame(
-            {"bigram": c.index, "n": c.to_numpy().astype("int64")}
-        )
+        out = g.groupby("bigram", as_index=False).agg(n=("cnt", "sum"))
+        out["n"] = out["n"].astype("int64")
         return out.sort_values(
             ["n", "bigram"], ascending=[False, True], kind="mergesort"
         ).head(k)
@@ -2876,3 +2880,188 @@ def _dsir_oracle() -> str:
 
 
 register("dsir_select", dsir_select, _dsir_oracle())
+
+
+# -- corpus diversity + heavy-hitter coverage ---------------------------------
+#
+# Two corpus-health measurements a data curator runs before/after dedup:
+# distinct-trigram diversity per source (template-heavy or boilerplate
+# sources score low) and exact top-K token mass coverage (how much of
+# the stream the heaviest tokens absorb — the Zipf head check). Both
+# ride the bucketed inverted-index pattern: each (key) lives in exactly
+# one hash bucket, so per-bucket distinct/top-k is lossless, the
+# exchange carries map-side pre-aggregated partials, and the driver
+# receives O(B + sources) rows.
+
+NGRAM_DIV_N = 3
+TOKEN_MASS_K = 20
+
+
+def ngram_diversity(sf_dir: str):
+    """Per-source trigram diversity: distinct trigrams / total trigrams
+    (basis points). Docs with < 3 tokens contribute nothing."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    n = NGRAM_DIV_N
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        src_l: list[str] = []
+        gram_l: list[str] = []
+        for src, text in zip(df["source"], df["text"]):
+            toks = text.lower().split(" ")
+            for j in range(len(toks) - n + 1):
+                src_l.append(src)
+                gram_l.append(" ".join(toks[j : j + n]))
+        if not src_l:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=object),
+                    "gram": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int32"),
+                }
+            )
+        g = (
+            pd.DataFrame({"source": src_l, "gram": gram_l})
+            .groupby(["source", "gram"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        g["bucket"] = [
+            int.from_bytes(_hl.md5((s + "\x1f" + w).encode()).digest()[:4],
+                           "little") % N_NGRAM_BUCKETS
+            for s, w in zip(g["source"], g["gram"])
+        ]
+        return g
+
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # every copy of a (source, gram) shares this bucket: distinct and
+        # total are both exact within the group
+        out = g.groupby("source", as_index=False).agg(
+            nd=("gram", "nunique"), tot=("cnt", "sum")
+        )
+        return out.astype({"nd": "int64", "tot": "int64"})
+
+    per_src = (
+        _read_documents(sf_dir, ["text", "source"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_reduce(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("nd", alias_name="n_distinct"), Sum("tot", alias_name="n_total")
+        )
+        .to_pandas()  # one row per source
+    )
+    per_src["n_distinct"] = per_src["n_distinct"].astype("int64")
+    per_src["n_total"] = per_src["n_total"].astype("int64")
+    per_src["diversity_bp"] = (
+        per_src["n_distinct"] * 10_000 // per_src["n_total"]
+    ).astype("int64")
+    return per_src
+
+
+register(
+    "ngram_diversity",
+    ngram_diversity,
+    f"""
+    WITH t AS (SELECT source, string_split(lower(text), ' ') tk
+               FROM documents),
+    g AS (SELECT source,
+                 unnest(list_transform(range(1, len(tk) - {NGRAM_DIV_N - 2}),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) gram
+          FROM t WHERE len(tk) >= {NGRAM_DIV_N})
+    SELECT source,
+           count(DISTINCT gram)::BIGINT AS n_distinct,
+           count(*)::BIGINT AS n_total,
+           (count(DISTINCT gram) * 10000 // count(*))::BIGINT AS diversity_bp
+    FROM g GROUP BY source
+    """,
+)
+
+
+def token_mass_topk(sf_dir: str, k: int = TOKEN_MASS_K):
+    """Exact top-K tokens by frequency with their share of the total
+    token stream (basis points) — the Zipf-head coverage check. One
+    bucketed exchange: per-batch value_counts partials -> per-bucket
+    exact counts + lossless local top-k + one per-bucket total row ->
+    driver merges B top-k lists and sums B totals."""
+    import hashlib as _hl
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ").explode()
+        c = toks.value_counts()
+        uniq = c.index.to_numpy()
+        return pd.DataFrame(
+            {
+                "token": uniq,
+                "cnt": c.to_numpy().astype("int64"),
+                "bucket": pd.Series(
+                    [
+                        int.from_bytes(
+                            _hl.md5(w.encode()).digest()[:4], "little"
+                        )
+                        % N_NGRAM_BUCKETS
+                        for w in uniq
+                    ],
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token", as_index=False).agg(n=("cnt", "sum"))
+        c["n"] = c["n"].astype("int64")
+        top = c.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        total = pd.DataFrame(
+            {"token": ["\x00total"], "n": [int(c["n"].sum())]}
+        )
+        return pd.concat([top, total], ignore_index=True)
+
+    rows = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_reduce(g.drop(columns="bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= (k + 1) rows per bucket
+    )
+    is_total = rows["token"] == "\x00total"
+    total = int(rows.loc[is_total, "n"].sum())
+    top = (
+        rows[~is_total]
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .copy()
+    )
+    top["share_bp"] = (top["n"].astype("int64") * 10_000 // total).astype(
+        "int64"
+    )
+    return top[["token", "n", "share_bp"]].reset_index(drop=True)
+
+
+register(
+    "token_mass_topk",
+    token_mass_topk,
+    f"""
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) w
+               FROM documents),
+    c AS (SELECT w, count(*)::BIGINT n FROM t GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT s FROM c)
+    SELECT w AS token, n,
+           (n * 10000 // (SELECT s FROM tot))::BIGINT AS share_bp
+    FROM c
+    ORDER BY n DESC, w
+    LIMIT {TOKEN_MASS_K}
+    """,
+)

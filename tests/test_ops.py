@@ -84,6 +84,9 @@ SUBSET = [
     "neardup_pagerank_dangling",
     "gopher_quality_filter",
     "dsir_select",
+    "knn_ivf_recall",
+    "ngram_diversity",
+    "token_mass_topk",
 ]
 
 
