@@ -371,3 +371,44 @@ def test_annotation_and_outline_stages_emit_error_rows():
     assert o.num_rows == 1
     assert o.column("level").to_pylist() == [-1]
     assert o.column("title").to_pylist()[0].startswith("__error__")
+
+
+def test_write_curated_resume_and_orphan_gc(ray_session, tmp_path):
+    """Curated-corpus writer: exactly-once shards via manifests — a full
+    write commits every shard; a rerun skips all of them; deleting one
+    manifest (its shard becomes an orphan) re-writes exactly that shard
+    with identical content."""
+    import json
+    import os
+
+    from pdf_ray.pipelines.curate import (
+        _manifest_dir,
+        gc_orphan_shards,
+        read_curated,
+        write_curated,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    r1 = write_curated(sf, out, n_shards=8)
+    assert r1["skipped"] == 0 and r1["written"] > 0
+    total = read_curated(out).count()
+    assert total == r1["n_rows"] > 0
+
+    # rerun: everything committed -> nothing re-written
+    r2 = write_curated(sf, out, n_shards=8)
+    assert r2["written"] == 0 and r2["skipped"] == r1["written"]
+    assert read_curated(out).count() == total
+
+    # crash simulation: shard published but manifest lost -> orphan is
+    # GC'd and exactly that shard is recomputed, byte-identical rows
+    mdir = _manifest_dir(out)
+    victim = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, victim)) as fh:
+        man = json.load(fh)
+    os.remove(os.path.join(mdir, victim))
+    assert os.path.exists(os.path.join(out, man["file"]))
+    r3 = write_curated(sf, out, n_shards=8)
+    assert r3["written"] == 1 and r3["n_rows"] == man["n_rows"]
+    assert read_curated(out).count() == total
+    assert not gc_orphan_shards(out)  # nothing orphaned after commit
