@@ -3,6 +3,7 @@ none; these fuzz the parity-critical byte paths."""
 
 import zlib
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -413,3 +414,67 @@ def test_kmeans_assignment_tie_break(n, seed):
     Q = C[np.zeros(n, dtype=int)]
     a = _assign(Q, C)
     assert (a == 0).all()
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1), max_size=30
+        ),
+        max_size=6,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_order_invariant(batches, rnd):
+    """HLL registers are a max-lattice: merging per-batch sketches in ANY
+    order yields identical registers (the property the fixed-B tree
+    reduce in ops/sketches.py relies on)."""
+    from pdf_ray.ops.sketches import Hll
+
+    parts = []
+    for b in batches:
+        h = Hll()
+        if b:
+            h.add_hashes(np.array(b, dtype=np.uint64))
+        parts.append(h.registers.copy())
+
+    def merged(order):
+        acc = Hll()
+        for i in order:
+            o = Hll()
+            o.registers = parts[i].copy()
+            acc.merge(o)
+        return acc.registers
+
+    order = list(range(len(parts)))
+    a = merged(order)
+    rnd.shuffle(order)
+    b = merged(order)
+    assert (a == b).all()
+
+
+@given(
+    st.lists(st.lists(st.text(min_size=1, max_size=6), max_size=30), max_size=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_cms_merge_is_linear(batches):
+    """Count-min counts are element-wise sums, so any merge tree equals
+    the flat single-sketch count — the tree reduce is bit-exact."""
+    from pdf_ray.ops.sketches import Cms
+
+    flat = Cms()
+    parts = []
+    for b in batches:
+        c = Cms()
+        if b:
+            toks = np.array(b, dtype=object)
+            ones = np.ones(len(b), dtype=np.int64)
+            c.add(toks, ones)
+            flat.add(toks, ones)
+        parts.append(c)
+    acc = Cms()
+    # lopsided merge tree: ((p0+p1)+p2)...
+    for p in parts:
+        acc.merge(p)
+    assert (acc.counts == flat.counts).all()
