@@ -129,6 +129,14 @@ def bench_table_queries(sf_dir: str, num_cpus: int) -> dict[str, float]:
 
             ray.shutdown()
             _init_ray(num_cpus)
+            # warm the worker pool so the query unlucky enough to run
+            # first after a restart isn't charged cold-start (measured:
+            # local_supplier_revenue 5 s isolated vs ~20 s post-restart)
+            import ray.data as _rd
+
+            _rd.range(num_cpus * 10, override_num_blocks=num_cpus).map_batches(
+                lambda b: b
+            ).count()
         try:
             t0 = time.perf_counter()
             res = fn(sf_dir)
